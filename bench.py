@@ -1,0 +1,121 @@
+"""Headline benchmark: aggregate QPS on an AOL-shaped mixed query workload.
+
+Workload shape follows the AOL trace statistics shipped with the reference
+(data/AOL_QueryLog_analysis/stat.txt: 36.8% 1-term / 25.2% 2-term /
+17.3% 3-term, rest longer), over a Zipf-distributed synthetic corpus.
+Queries run in batches of 4096 through the TpuEngine (BASELINE.json
+config 3), end-to-end including host-side exact f64 re-ranking.
+
+vs_baseline: the reference publishes no absolute QPS (SURVEY.md §6).
+BASELINE.md's target is >=10x the reference's single-node aggregate
+throughput on the AOL trace; we anchor that at an estimated 10k QPS for
+the reference's 25-thread server on cached indexes (FAST'20 setup), so
+vs_baseline = qps / 10_000 and the target is vs_baseline >= 10.
+
+Prints ONE JSON line on stdout; diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+REFERENCE_QPS_ESTIMATE = 10_000.0
+
+N_DOCS = 20_000
+VOCAB = 20_000
+MEAN_LEN = 120
+N_QUERIES = 16_384
+BATCH = 4096
+K = 10
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def get_index():
+    from wiser_tpu.index.format import PackedIndex
+
+    idx_dir = os.path.join(CACHE_DIR, f"idx_{N_DOCS}_{VOCAB}_{MEAN_LEN}")
+    if os.path.isdir(idx_dir):
+        log(f"loading cached index {idx_dir}")
+        return PackedIndex.load(idx_dir)
+    log("building synthetic corpus + index (first run only)...")
+    t0 = time.time()
+    from wiser_tpu.data.synth import synth_docinfos
+    from wiser_tpu.index.builder import build_index
+
+    docs = synth_docinfos(N_DOCS, VOCAB, MEAN_LEN, zipf_a=1.25, seed=42,
+                          with_blooms=False)
+    packed, _ = build_index(docs)
+    packed.save(idx_dir)
+    log(f"built in {time.time()-t0:.1f}s: {packed.n_postings} postings, "
+        f"{packed.n_terms} terms")
+    return packed
+
+
+def aol_mixed_queries(packed, n_queries, seed=7):
+    """1-4 term conjunctive queries with the AOL length mix."""
+    from wiser_tpu.types import SearchQuery
+
+    rng = np.random.default_rng(seed)
+    # AOL: 36.8/25.2/17.3/rest -> normalized over 1..4 terms
+    n_terms = rng.choice([1, 2, 3, 4], size=n_queries,
+                         p=[0.43, 0.29, 0.20, 0.08])
+    queries = []
+    for nt in n_terms:
+        ranks = np.minimum(rng.zipf(1.25, size=int(nt)) - 1, packed.n_terms - 1)
+        terms = [packed.terms[r] for r in ranks]
+        queries.append(SearchQuery(terms, n_results=K))
+    return queries
+
+
+def main():
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE_DIR, "jaxcache"))
+    log(f"devices: {jax.devices()}")
+
+    packed = get_index()
+    from wiser_tpu.engine.device import TpuEngine
+
+    engine = TpuEngine(packed)
+    queries = aol_mixed_queries(packed, N_QUERIES)
+
+    # warmup / compile on the first batch
+    t0 = time.time()
+    engine.search_batch(queries[:BATCH])
+    log(f"warmup (incl. compile): {time.time()-t0:.1f}s")
+
+    lat = []
+    t0 = time.time()
+    done = 0
+    for i in range(0, len(queries), BATCH):
+        bt = time.time()
+        res = engine.search_batch(queries[i : i + BATCH])
+        lat.append(time.time() - bt)
+        done += len(res)
+    wall = time.time() - t0
+    qps = done / wall
+    lat_ms = 1000.0 * np.array(lat) / BATCH  # per-query amortized
+    log(f"{done} queries in {wall:.2f}s -> {qps:,.0f} QPS; "
+        f"batch lat p50={np.median(lat):.3f}s p99={np.percentile(lat,99):.3f}s; "
+        f"amortized/query {lat_ms.mean()*1000:.1f}us")
+
+    print(json.dumps({
+        "metric": "aggregate_qps_aol_mix",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / REFERENCE_QPS_ESTIMATE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

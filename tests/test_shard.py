@@ -1,0 +1,74 @@
+"""Sharded-engine tests over an 8-virtual-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8) — BASELINE.json config 5."""
+
+import jax
+import numpy as np
+import pytest
+
+from wiser_tpu.data.synth import synth_docinfos, synth_query_terms
+from wiser_tpu.engine.device import TpuEngine
+from wiser_tpu.engine.shard import ShardedEngine, ShardedIndex
+from wiser_tpu.index.builder import build_index
+from wiser_tpu.types import SearchQuery
+
+
+@pytest.fixture(scope="module")
+def sharded_setup():
+    docs = synth_docinfos(n_docs=400, vocab_size=100, mean_len=30, seed=3)
+    packed, oracle = build_index(docs)
+    sharded = ShardedIndex.from_packed(packed, n_shards=8)
+    engine = ShardedEngine(sharded)
+    return packed, oracle, TpuEngine(packed), engine
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+class TestShardedIndex:
+    def test_partition_covers_all_postings(self, sharded_setup):
+        packed, _, _, engine = sharded_setup
+        sh = engine.sharded
+        assert int(sh.df_shard.sum()) == int(packed.df.sum())
+
+    def test_shard_doc_ranges(self, sharded_setup):
+        from wiser_tpu.index.format import SENTINEL_DOC
+
+        packed, _, _, engine = sharded_setup
+        sh = engine.sharded
+        for s in range(sh.n_shards):
+            docs = sh.postings_doc[s]
+            real = docs[docs != SENTINEL_DOC]
+            if real.size:
+                assert real.min() >= sh.doc_bounds[s]
+                assert real.max() < sh.doc_bounds[s + 1]
+
+
+class TestShardedParity:
+    def test_single_term(self, sharded_setup):
+        _, oracle, _, engine = sharded_setup
+        for t in ["t0", "t1", "t5", "t42"]:
+            if engine.lookup(t) < 0:
+                continue
+            q = SearchQuery([t], n_results=10)
+            o = [(e.doc_id, e.doc_score) for e in oracle.search(q).entries]
+            s = [(e.doc_id, e.doc_score) for e in engine.search(q).entries]
+            assert o == s, f"term={t}"
+
+    def test_and_queries(self, sharded_setup):
+        _, oracle, _, engine = sharded_setup
+        for terms in synth_query_terms(15, 100, n_terms=2, seed=2):
+            q = SearchQuery(terms, n_results=10)
+            o = [(e.doc_id, e.doc_score) for e in oracle.search(q).entries]
+            s = [(e.doc_id, e.doc_score) for e in engine.search(q).entries]
+            assert o == s, f"terms={terms}"
+
+    def test_matches_single_device_engine(self, sharded_setup):
+        _, _, single, engine = sharded_setup
+        queries = [SearchQuery(t, n_results=10)
+                   for t in synth_query_terms(10, 100, n_terms=3, seed=9)]
+        a = single.search_batch(queries)
+        b = engine.search_batch(queries)
+        for qa, qb in zip(a, b):
+            assert [(e.doc_id, e.doc_score) for e in qa.entries] == \
+                   [(e.doc_id, e.doc_score) for e in qb.entries]

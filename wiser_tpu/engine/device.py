@@ -6,36 +6,43 @@ host side does what hosts are good at: term dictionary lookup, shape
 bucketing, batch assembly, exact f64 re-ranking, snippets.
 
 Query dispatch mirrors ProcessQueryDelta (query_processing.h:956-979):
-  1 term            -> single-term scan kernel (T=1 path)
+  1 term             -> single-term scan kernel (T=1 path)
   N terms, no phrase -> k-way intersection kernel
   N>=2 terms, phrase -> match kernel (+ bi-bloom gate) -> position verify
-                        -> score kernel
+                        -> top-k select
 Bucketing replaces the reference's per-query adaptivity: queries are
-grouped by (padded term count, candidate-list length bucket) so each group
-is one fixed-shape compiled program; kernels are compile-cached across
-batches (the analog of the reference paying index-load cost once,
-vacuum_engine.h:144-166).
+grouped by (slot count, candidate-list length bucket), large groups are
+chunked to a fixed batch width, and every group is dispatched
+asynchronously before any result is fetched — one device roundtrip's
+latency is paid once per batch, not once per group.
+
+Slot layout (see kernels.py): slot 0 holds each query's least-frequent
+term (the candidate list); remaining terms keep their relative order in
+slots 1..; padded slots repeat slot 0 with use_score=0. The host records
+the query-term -> slot permutation to restore the reference's exact f64
+summation order in the re-rank.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
 
 from wiser_tpu.engine import kernels as K
-from wiser_tpu.engine.topk import rescore_topk
+from wiser_tpu.engine.topk import rescore_topk_batch
 from wiser_tpu.index.format import PackedIndex
 from wiser_tpu.scoring import Bm25Similarity
 from wiser_tpu.types import SearchQuery, SearchResult, SearchResultEntry
 
 L_BUCKETS = [128, 512, 2048, 8192, 32768, 131072, 524288, 2097152]
-B_BUCKETS = [1, 4, 16, 64, 256, 1024, 4096]
-T_BUCKETS = [1, 2, 4, 8]
+B_BUCKETS = [128, 1024]
+B_CHUNK = 1024
+T_BUCKETS = [1, 2, 3, 4, 8]
 PP_BUCKETS = [8, 32, 128, 512, 2048, 8192]
-DEFAULT_MARGIN = 40
+DEFAULT_MARGIN = 54  # M = k + margin; fixed M=64 for k=10 keeps shapes few
 
 
 def _bucket(value: int, buckets: Sequence[int]) -> int:
@@ -50,6 +57,16 @@ class _PlannedQuery:
     qi: int  # index into the input batch
     rows: List[int]  # term dictionary rows, query order
     query: SearchQuery
+    slot_rows: List[int] = field(default_factory=list)  # candidate-first
+    slot_of_term: List[int] = field(default_factory=list)  # query t -> slot
+
+    def plan_slots(self, df: np.ndarray) -> None:
+        cand = int(np.argmin([df[r] for r in self.rows]))
+        order = [cand] + [t for t in range(len(self.rows)) if t != cand]
+        self.slot_rows = [self.rows[t] for t in order]
+        self.slot_of_term = [0] * len(self.rows)
+        for slot, t in enumerate(order):
+            self.slot_of_term[t] = slot
 
 
 class TpuEngine:
@@ -70,11 +87,20 @@ class TpuEngine:
         self.similarity = Bm25Similarity(packed.avg_len)
         self.cache64 = self.similarity.cache  # (256,) f64
 
-        # device-resident columns
-        self.d_postings_doc = jnp.asarray(packed.postings_doc, dtype=jnp.int32)
-        self.d_postings_tf = jnp.asarray(packed.postings_tf, dtype=jnp.int32)
-        self.d_doc_len_code = jnp.asarray(packed.doc_len_code, dtype=jnp.int32)
-        self.d_cache_f32 = jnp.asarray(self.cache64, dtype=jnp.float32)
+        # Precomputed per-posting partial scores: idf * lossy tfnorm in
+        # f64, cast to f32 — the device's entire selection-phase scoring.
+        scores64 = packed.partial_scores(self.cache64)
+        # pad columns so any dynamic_slice starting inside the real data
+        # stays in range: a candidate list may start near the very end,
+        # so the tail needs a full L-bucket of slack
+        pad = _bucket(int(packed.df.max(initial=1)), L_BUCKETS)
+        self.d_postings_score = jnp.asarray(
+            np.pad(scores64.astype(np.float32), (0, pad)))
+        self.d_postings_doc = jnp.asarray(
+            np.pad(packed.postings_doc, (0, pad),
+                   constant_values=K.INT32_MAX), dtype=jnp.int32)
+        self.d_postings_tf = jnp.asarray(
+            np.pad(packed.postings_tf, (0, pad)), dtype=jnp.int32)
         self.d_pos_starts = jnp.asarray(packed.pos_starts, dtype=jnp.int32)
         self.d_positions = jnp.asarray(packed.positions, dtype=jnp.int32)
         if packed.bloom_ends is not None:
@@ -87,6 +113,7 @@ class TpuEngine:
 
         self._max_df = int(packed.df.max(initial=1))
         self._starts32 = packed.term_starts.astype(np.int32)
+        self._df32 = packed.df.astype(np.int32)
 
     # ------------------------------------------------------------------
 
@@ -105,121 +132,168 @@ class TpuEngine:
             if any(r < 0 for r in rows):
                 continue  # missing term -> empty result
             pq = _PlannedQuery(qi, rows, q)
+            pq.plan_slots(self.packed.df)
             # dispatch per ProcessQueryDelta: single term is never a phrase
             if q.is_phrase and len(rows) >= 2:
                 phrase.append(pq)
             else:
                 flat.append(pq)
 
-        self._run_flat(flat, results)
-        self._run_phrase(phrase, results)
+        pending = self._submit_flat(flat) + self._submit_phrase(phrase)
+        for finalize in pending:
+            finalize(results)
         return results
 
-    # -- non-phrase (single + AND) -------------------------------------
+    # -- grouping / assembly -------------------------------------------
 
-    def _group_key_flat(self, pq: _PlannedQuery) -> Tuple[int, int]:
-        T = _bucket(len(pq.rows), T_BUCKETS)
-        cand_df = min(int(self.packed.df[r]) for r in pq.rows)
-        L = _bucket(cand_df, L_BUCKETS)
-        return T, L
-
-    def _run_flat(self, planned: List[_PlannedQuery], results: List[SearchResult]):
-        groups: Dict[Tuple[int, int], List[_PlannedQuery]] = {}
+    def _chunked_groups(self, planned: List[_PlannedQuery], keyfn):
+        groups: Dict[tuple, List[_PlannedQuery]] = {}
         for pq in planned:
-            groups.setdefault(self._group_key_flat(pq), []).append(pq)
-
-        for (T, L), group in groups.items():
-            starts, ends, idf32, cand_slot, n_real = self._assemble(group, T)
-            B = starts.shape[0]
-            max_k = max(pq.query.n_results for pq in group)
-            M = min(L, max_k + self.margin)
-            kern = K.make_search_kernel(T, L, M, K.n_iters_for(self._max_df))
-            top_docs, top_score, top_tfs, top_pidx = kern(
-                self.d_postings_doc, self.d_postings_tf, self.d_doc_len_code,
-                self.d_cache_f32,
-                jnp.asarray(starts), jnp.asarray(ends), jnp.asarray(idf32),
-                jnp.asarray(cand_slot),
-            )
-            self._finalize(group, np.asarray(top_docs), np.asarray(top_tfs),
-                           n_real, results, phrase_pidx=np.asarray(top_pidx))
+            groups.setdefault(keyfn(pq), []).append(pq)
+        for key, group in groups.items():
+            for i in range(0, len(group), B_CHUNK):
+                yield key, group[i : i + B_CHUNK]
 
     def _assemble(self, group: List[_PlannedQuery], T: int):
-        """Build (starts, ends, idf32, cand_slot) with candidate-slot
-        padding for missing term slots, B padded to a bucket."""
+        """Slot-ordered (starts, ends, use_score) + query-order f64
+        metadata for the re-rank."""
         B = _bucket(len(group), B_BUCKETS)
         starts = np.zeros((B, T), dtype=np.int32)
         ends = np.zeros((B, T), dtype=np.int32)
-        idf32 = np.zeros((B, T), dtype=np.float32)
-        cand_slot = np.zeros(B, dtype=np.int32)
-        n_real = np.zeros(B, dtype=np.int32)
+        use_score = np.zeros((B, T), dtype=np.float32)
+        idf64_q = np.zeros((B, T), dtype=np.float64)  # query-term order
+        slot_of = np.zeros((B, T), dtype=np.int64)
+        ks = np.zeros(B, dtype=np.int32)
         for i, pq in enumerate(group):
-            rows = pq.rows
-            dfs = [int(self.packed.df[r]) for r in rows]
-            cslot = int(np.argmin(dfs))
-            cand_slot[i] = cslot
-            n_real[i] = len(rows)
+            ks[i] = pq.query.n_results
+            srows = pq.slot_rows
             for t in range(T):
-                r = rows[t] if t < len(rows) else rows[cslot]
+                r = srows[t] if t < len(srows) else srows[0]
                 starts[i, t] = self._starts32[r]
-                ends[i, t] = self._starts32[r + 1]
-                idf32[i, t] = (
-                    np.float32(self.packed.idf64[r]) if t < len(rows) else 0.0
-                )
-        return starts, ends, idf32, cand_slot, n_real
+                ends[i, t] = self._starts32[r] + self._df32[r]
+                if t < len(srows):
+                    use_score[i, t] = 1.0
+            for t, qr in enumerate(pq.rows):
+                idf64_q[i, t] = self.packed.idf64[qr]
+                slot_of[i, t] = pq.slot_of_term[t]
+        return starts, ends, use_score, idf64_q, slot_of, ks
 
-    def _finalize(self, group, top_docs, top_tfs, n_real, results,
-                  phrase_pidx=None, phrase_tables=None):
+    def _finalize_group(self, group, top_docs, top_tfs_slot, slot_of,
+                        idf64_q, ks, results):
+        # slot order -> query-term order for the exact f64 sum
+        M = top_tfs_slot.shape[2]
+        tf_q = np.take_along_axis(
+            top_tfs_slot, np.broadcast_to(slot_of[:, :, None],
+                                          (slot_of.shape[0], slot_of.shape[1], M)),
+            axis=1,
+        )
+        ranked_all = rescore_topk_batch(
+            top_docs, tf_q, idf64_q, self.packed.doc_len_code,
+            self.cache64, ks,
+        )
         for i, pq in enumerate(group):
-            idf64 = self.packed.idf64[pq.rows]
-            ranked = rescore_topk(
-                top_docs[i], top_tfs[i], len(pq.rows), idf64,
-                self.packed.doc_len_code, self.cache64, pq.query.n_results,
-            )
             res = results[pq.qi]
-            for score, doc in ranked:
+            for score, doc in ranked_all[i]:
                 snippet = ""
                 if pq.query.return_snippets:
                     snippet = self._snippet(pq, doc)
                 res.entries.append(SearchResultEntry(doc, score, snippet))
 
+    # -- non-phrase (single + AND) -------------------------------------
+
+    # windowed intersection is used when every list in the group is long
+    # and similarly sized; binary search otherwise (and as the overflow
+    # fallback)
+    WINDOWED_MIN_L = 1024
+    WINDOWED_MAX_RATIO = 4
+
+    def _flat_key(self, pq: _PlannedQuery):
+        T = _bucket(len(pq.rows), T_BUCKETS)
+        L = _bucket(int(self.packed.df[pq.slot_rows[0]]), L_BUCKETS)
+        if T == 1:
+            return (T, L, 0)
+        l2 = _bucket(max(int(self.packed.df[r]) for r in pq.slot_rows), L_BUCKETS)
+        windowed = (L >= self.WINDOWED_MIN_L
+                    and l2 // L <= self.WINDOWED_MAX_RATIO)
+        return (T, L, l2 if windowed else 0)
+
+    def _submit_flat(self, planned: List[_PlannedQuery]):
+        pending = []
+        for (T, L, L2), group in self._chunked_groups(planned, self._flat_key):
+            starts, ends, use_score, idf64_q, slot_of, ks = self._assemble(group, T)
+            M = min(L, int(ks.max(initial=1)) + self.margin)
+            args = (
+                self.d_postings_doc, self.d_postings_score, self.d_postings_tf,
+                jnp.asarray(starts), jnp.asarray(ends), jnp.asarray(use_score),
+            )
+            if L2:  # windowed block-intersection path
+                kern = K.make_windowed_search_kernel(T, L, L2 // 128, M)
+                *out, overflow = kern(*args)
+            else:
+                kern = K.make_search_kernel(T, L, M, K.n_iters_for(self._max_df))
+                out = kern(*args)
+                overflow = None
+
+            def finalize(results, group=group, out=out, overflow=overflow,
+                         slot_of=slot_of, idf64_q=idf64_q, ks=ks,
+                         args=args, T=T, L=L, M=M):
+                if overflow is not None and bool(np.asarray(overflow)):
+                    # skewed doc distribution: exact fallback
+                    kern = K.make_search_kernel(
+                        T, L, M, K.n_iters_for(self._max_df))
+                    out = kern(*args)
+                top_docs, _, top_tfs, _ = out[:4]
+                self._finalize_group(group, np.asarray(top_docs),
+                                     np.asarray(top_tfs), slot_of,
+                                     idf64_q, ks, results)
+
+            pending.append(finalize)
+        return pending
+
     # -- phrase --------------------------------------------------------
 
-    def _run_phrase(self, planned: List[_PlannedQuery], results: List[SearchResult]):
-        groups: Dict[Tuple[int, int, int], List[_PlannedQuery]] = {}
-        for pq in planned:
-            T = len(pq.rows)  # exact T; phrase kernels aren't slot-padded
-            cand_df = min(int(self.packed.df[r]) for r in pq.rows)
-            L = _bucket(cand_df, L_BUCKETS)
-            PP = _bucket(int(self.packed.max_tf[pq.rows[0]]), PP_BUCKETS)
-            groups.setdefault((T, L, PP), []).append(pq)
-
-        for (T, L, PP), group in groups.items():
-            starts, ends, idf32, cand_slot, n_real = self._assemble(group, T)
+    def _submit_phrase(self, planned: List[_PlannedQuery]):
+        pending = []
+        keyfn = lambda pq: (
+            len(pq.rows),  # exact T; phrase adjacency needs true slots
+            _bucket(int(self.packed.df[pq.slot_rows[0]]), L_BUCKETS),
+            _bucket(int(self.packed.max_tf[pq.rows[0]]), PP_BUCKETS),
+        )
+        for (T, L, PP), group in self._chunked_groups(planned, keyfn):
+            starts, ends, use_score, idf64_q, slot_of, ks = self._assemble(group, T)
             B = starts.shape[0]
             probes = self._assemble_bloom_probes(group, T, B)
 
             match_kern = K.make_match_kernel(T, L, K.n_iters_for(self._max_df))
-            match, bloom_pass, cdocs, pidx, tfs = match_kern(
-                self.d_postings_doc, self.d_postings_tf,
-                jnp.asarray(starts), jnp.asarray(ends), jnp.asarray(cand_slot),
+            match, bloom_pass, cdocs, pidx, score = match_kern(
+                self.d_postings_doc, self.d_postings_score,
+                jnp.asarray(starts), jnp.asarray(ends), jnp.asarray(use_score),
                 self.d_bloom_ends, self.d_bloom_begins, *probes,
             )
 
             active = match & bloom_pass
             n_pos_iters = K.n_iters_for(int(self.packed.max_tf.max(initial=1)))
             verify = K.make_phrase_verify_kernel(T, L, PP, n_pos_iters)
-            n_matches = verify(self.d_positions, self.d_pos_starts, pidx, active)
+            # verify wants pidx in query-term order
+            pidx_q = jnp.take_along_axis(
+                pidx, jnp.asarray(slot_of.astype(np.int32))[:, :, None]
+                .repeat(L, 2), axis=1)
+            n_matches = verify(self.d_positions, self.d_pos_starts, pidx_q, active)
 
             final = active & (n_matches > 0)
-            max_k = max(pq.query.n_results for pq in group)
-            M = min(L, max_k + self.margin)
-            score_kern = K.make_score_lanes_kernel(T, L, M)
-            top_docs, top_score, top_tfs, top_pidx = score_kern(
-                self.d_doc_len_code, self.d_cache_f32, jnp.asarray(idf32),
-                cdocs, tfs, pidx, final,
-            )
-            self._finalize(group, np.asarray(top_docs), np.asarray(top_tfs),
-                           n_real, results, phrase_pidx=np.asarray(top_pidx))
+            M = min(L, int(ks.max(initial=1)) + self.margin)
+            select = K.make_select_topk_kernel(T, L, M)
+            out = select(self.d_postings_tf, cdocs, pidx, score, final)
+
+            def finalize(results, group=group, out=out, slot_of=slot_of,
+                         idf64_q=idf64_q, ks=ks):
+                top_docs, _, top_tfs, _ = out
+                self._finalize_group(group, np.asarray(top_docs),
+                                     np.asarray(top_tfs), slot_of,
+                                     idf64_q, ks, results)
+
+            pending.append(finalize)
+        return pending
 
     def _assemble_bloom_probes(self, group, T: int, B: int):
         cfg = self.packed.bloom_cfg
@@ -235,24 +309,25 @@ class TpuEngine:
         if have_blooms and factor is not None:
             for i, pq in enumerate(group):
                 terms, rows = pq.query.terms, pq.rows
+                slot = pq.slot_of_term
                 if len(rows) == 2:
                     # cost-aware side selection (query_processing.h:796-807)
                     s1, s2 = int(self.packed.df[rows[0]]), int(self.packed.df[rows[1]])
                     if factor * s1 <= s2:
                         w, m = cfg.probe_word_masks(terms[1])
-                        probe_slot[i, 0], probe_begins[i, 0] = 0, False
+                        probe_slot[i, 0], probe_begins[i, 0] = slot[0], False
                         probe_word[i, 0], probe_mask[i, 0] = w, m
                         probe_active[i, 0] = True
                     elif factor * s2 < s1:
                         w, m = cfg.probe_word_masks(terms[0])
-                        probe_slot[i, 0], probe_begins[i, 0] = 1, True
+                        probe_slot[i, 0], probe_begins[i, 0] = slot[1], True
                         probe_word[i, 0], probe_mask[i, 0] = w, m
                         probe_active[i, 0] = True
                 else:
                     # chained HasNextTerm fallback (query_processing.h:784-794)
                     for c in range(len(rows) - 1):
                         w, m = cfg.probe_word_masks(terms[c + 1])
-                        probe_slot[i, c], probe_begins[i, c] = c, False
+                        probe_slot[i, c], probe_begins[i, c] = slot[c], False
                         probe_word[i, c], probe_mask[i, c] = w, m
                         probe_active[i, c] = True
 

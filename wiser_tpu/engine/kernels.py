@@ -3,28 +3,30 @@
 The reference processes one query at a time with pointer-chasing DAAT
 iterators (ProcessQueryDelta, query_processing.h:956-979: zigzag +
 SkipForward + min-heap). Here a whole batch of queries executes as one XLA
-program over the global CSR posting columns:
+program over global CSR posting columns:
 
-  1. gather each query's *candidate* posting block — the postings of its
-     least-frequent term (the zigzag always effectively walks the shortest
-     list; here that choice is explicit),
-  2. k-way intersect by vectorized binary search of the candidates into
-     every other term's CSR slice (replaces SkipForward's skip-list hops;
-     same O(log df) asymptotics, but 3 orders of magnitude wider),
-  3. score all candidates with the f32 BM25 cache (lossy tfnorm,
-     scoring.h:65-69) and mask non-intersecting lanes to -inf,
-  4. `lax.top_k` over the masked scores (replaces the min-heap; top_k
-     breaks ties by lowest index = lowest doc id, matching the heap's
-     kept-set semantics, query_processing.h:897-945).
+  1. load each query's *candidate* posting block — the postings of its
+     least-frequent term — as a contiguous dynamic_slice (TPU gathers are
+     ~10x slower than sliced loads, so layout matters more than op count),
+  2. score candidates from a precomputed per-posting partial-score column
+     (idf * lossy tfnorm baked at index-load time — the BM25 cache idea of
+     scoring.h:85-90 taken one step further: the whole per-(term,doc)
+     f32 term score is the cache),
+  3. for multi-term queries, intersect by vectorized binary search of the
+     candidates into every other term's CSR slice (replaces SkipForward's
+     skip-list hops, query_processing.h:742-763),
+  4. mask non-matching lanes to -inf and `lax.top_k` (replaces the
+     min-heap; top_k breaks ties by lowest index = lowest doc id, matching
+     the heap's kept-set semantics, query_processing.h:897-945),
+  5. gather the per-term tfs only for the winning M lanes (tiny gather),
+     for the host's exact f64 re-rank (engine/topk.py).
 
-The exact float64 re-ranking of the returned top-M candidates happens on
-host (engine/topk.py), which restores bit-identical BM25 ordering.
-
-Padding conventions (static shapes):
-- queries with fewer than T terms repeat the candidate slot with idf=0:
-  the membership test trivially passes and the score contribution is 0.
-- candidate lanes beyond the list length hold doc_id=INT32_MAX with
-  score -inf.
+Slot convention (set up by host assembly): slot 0 is ALWAYS the candidate
+(min-df) term; remaining query terms occupy slots 1..T-1; padded slots
+repeat slot 0's list with partial scores ignored via idf-0 baking — the
+host supplies per-slot start/end plus a `use_score` mask. The host keeps
+the slot->query-term permutation to restore exact term order for f64
+re-scoring.
 
 Kernels are specialized (jit-cached) per (T, L, M, n_bs_iters) bucket.
 """
@@ -47,12 +49,23 @@ def _gather1d(arr, idx):
     return jnp.take(arr, jnp.clip(idx, 0, arr.shape[0] - 1), axis=0)
 
 
+def _slice_rows(arr, starts, L):
+    """Contiguous (B, L) loads: arr[starts[b] : starts[b]+L] per row.
+
+    vmap(dynamic_slice) lowers to a sliced load on TPU — about an order
+    of magnitude faster than the equivalent gather."""
+    n = arr.shape[0]
+    s = jnp.minimum(starts.astype(jnp.int32), np.int32(max(0, n - L)))
+    s = jnp.maximum(s, 0)
+    return jax.vmap(lambda st: jax.lax.dynamic_slice(arr, (st,), (L,)))(s)
+
+
 def _binary_search(postings_doc, targets, lo0, hi0, n_iters):
     """Vectorized lower-bound search.
 
     targets: (..., L) values to locate; lo0/hi0: (...,) or (..., L)
-    int32 CSR bounds. Returns lower-bound indices (..., L): the first
-    position in [lo0, hi0) whose value is >= target.
+    int32 CSR bounds. Returns the first position in [lo0, hi0) whose
+    value is >= target.
     """
     lo = jnp.broadcast_to(lo0, targets.shape).astype(jnp.int32)
     hi = jnp.broadcast_to(hi0, targets.shape).astype(jnp.int32)
@@ -68,65 +81,75 @@ def _binary_search(postings_doc, targets, lo0, hi0, n_iters):
     return lo
 
 
-@lru_cache(maxsize=128)
-def make_search_kernel(T: int, L: int, M: int, n_bs_iters: int):
-    """Build the jitted batched AND/single-term search kernel.
+def _candidates(postings_doc, postings_score, starts, ends, L):
+    """Slot-0 contiguous candidate load -> (cdocs, cscore, cvalid, cs)."""
+    cs = starts[:, 0]
+    ce = ends[:, 0]
+    lane = jnp.arange(L, dtype=jnp.int32)
+    n_valid = ce - cs  # (B,)
+    cvalid = lane[None, :] < n_valid[:, None]
+    cdocs = jnp.where(cvalid, _slice_rows(postings_doc, cs, L), INT32_MAX)
+    cscore = _slice_rows(postings_score, cs, L)
+    return cdocs, cscore, cvalid, cs
 
-    Returns fn(postings_doc, postings_tf, doc_len_code_i32, cache_f32,
-               starts, ends, idf32, cand_slot)
-      -> (top_docs (B,M) i32, top_score (B,M) f32,
-          top_tfs (B,T,M) i32, top_pidx (B,T,M) i32)
-    top_pidx = global posting indices of the matched postings (feeds the
-    phrase/bloom kernels and host-side offset lookup).
+
+def search_body(postings_doc, postings_score, postings_tf,
+                starts, ends, use_score, *, T, L, M, n_bs_iters):
+    """The batched AND/single-term search step (traceable; shared by the
+    single-device jitted kernel and the shard_map'd sharded engine).
+
+    use_score: (B, T) f32 0/1 — padded slots contribute no score.
+    Returns (top_docs (B,M) i32, top_score (B,M) f32,
+             top_tfs (B,T,M) i32, top_pidx (B,T,M) i32).
     """
+    B = starts.shape[0]
+    cdocs, cscore, cvalid, cs = _candidates(
+        postings_doc, postings_score, starts, ends, L)
+    lane = jnp.arange(L, dtype=jnp.int32)
+    cpidx = cs[:, None] + lane[None, :]  # (B, L)
 
-    def kernel(postings_doc, postings_tf, doc_len_code, cache_f32,
-               starts, ends, idf32, cand_slot):
-        B = starts.shape[0]
-        bidx = jnp.arange(B)
-
-        cs = starts[bidx, cand_slot]  # (B,)
-        ce = ends[bidx, cand_slot]
-        lane = jnp.arange(L, dtype=jnp.int32)
-        cidx = cs[:, None] + lane[None, :]  # (B, L)
-        cvalid = cidx < ce[:, None]
-        cdocs = jnp.where(cvalid, _gather1d(postings_doc, cidx), INT32_MAX)
-
-        if T == 1:
-            # single-term: the candidates are the postings; no search
-            pidx = cidx[:, None, :]  # (B, 1, L)
-            found = cvalid[:, None, :]
-            tfs = jnp.where(found, _gather1d(postings_tf, cidx)[:, None, :], 0)
-        else:
-            targets = cdocs[:, None, :]  # (B, 1, L) broadcast over T
-            lo = _binary_search(
-                postings_doc,
-                jnp.broadcast_to(targets, (B, T, L)),
-                starts[:, :, None],
-                ends[:, :, None],
-                n_bs_iters,
-            )  # (B, T, L)
-            hit_doc = _gather1d(postings_doc, lo)
-            found = (lo < ends[:, :, None]) & (hit_doc == targets)
-            pidx = lo
-            tfs = jnp.where(found, _gather1d(postings_tf, lo), 0)
-
-        match = jnp.all(found, axis=1) & cvalid  # (B, L)
-
-        code = _gather1d(doc_len_code, jnp.clip(cdocs, 0, doc_len_code.shape[0] - 1))
-        cache_val = jnp.take(cache_f32, code, axis=0)  # (B, L) f32
-
-        tf_f = tfs.astype(jnp.float32)
-        tfn = (tf_f * K1_PLUS_1) / (tf_f + cache_val[:, None, :])  # (B, T, L)
-        score = jnp.sum(idf32[:, :, None] * tfn, axis=1)  # (B, L)
-        score = jnp.where(match, score, NEG_INF)
-
-        top_score, top_l = jax.lax.top_k(score, M)  # ties -> lowest lane = lowest doc
+    if T == 1:
+        score = jnp.where(cvalid, cscore, NEG_INF)
+        top_score, top_l = jax.lax.top_k(score, M)
         top_docs = jnp.take_along_axis(cdocs, top_l, axis=1)
         top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
-        top_tfs = jnp.take_along_axis(tfs, top_l[:, None, :].repeat(T, 1), axis=2)
-        top_pidx = jnp.take_along_axis(pidx, top_l[:, None, :].repeat(T, 1), axis=2)
+        top_pidx = jnp.take_along_axis(cpidx, top_l, axis=1)[:, None, :]
+        top_tfs = jnp.where(
+            top_docs[:, None, :] >= 0, _gather1d(postings_tf, top_pidx), 0)
         return top_docs, top_score, top_tfs, top_pidx
+
+    Tr = T - 1  # searched slots
+    targets = jnp.broadcast_to(cdocs[:, None, :], (B, Tr, L))
+    lo = _binary_search(postings_doc, targets,
+                        starts[:, 1:, None], ends[:, 1:, None], n_bs_iters)
+    hit = _gather1d(postings_doc, lo)
+    found = (lo < ends[:, 1:, None]) & (hit == targets)  # (B, Tr, L)
+    match = jnp.all(found, axis=1) & cvalid
+
+    partial = jnp.where(found, _gather1d(postings_score, lo), 0.0)
+    score = cscore * use_score[:, 0:1] + jnp.sum(
+        partial * use_score[:, 1:, None], axis=1)
+    score = jnp.where(match, score, NEG_INF)
+
+    top_score, top_l = jax.lax.top_k(score, M)
+    top_docs = jnp.take_along_axis(cdocs, top_l, axis=1)
+    top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
+    pidx = jnp.concatenate([cpidx[:, None, :], lo], axis=1)  # (B, T, L)
+    top_pidx = jnp.take_along_axis(pidx, top_l[:, None, :].repeat(T, 1), axis=2)
+    top_tfs = jnp.where(
+        top_docs[:, None, :] >= 0, _gather1d(postings_tf, top_pidx), 0)
+    return top_docs, top_score, top_tfs, top_pidx
+
+
+@lru_cache(maxsize=128)
+def make_search_kernel(T: int, L: int, M: int, n_bs_iters: int):
+    """Jitted single-device wrapper over search_body."""
+
+    def kernel(postings_doc, postings_score, postings_tf,
+               starts, ends, use_score):
+        return search_body(postings_doc, postings_score, postings_tf,
+                           starts, ends, use_score,
+                           T=T, L=L, M=M, n_bs_iters=n_bs_iters)
 
     return jax.jit(kernel)
 
@@ -135,46 +158,44 @@ def make_search_kernel(T: int, L: int, M: int, n_bs_iters: int):
 def make_match_kernel(T: int, L: int, n_bs_iters: int):
     """Intersection-only kernel (phase 1 of phrase execution, and the
     bloom pre-check site): returns per-lane match flags, posting indices,
-    and bloom-gate pass flags.
+    and bloom-gate pass flags. T >= 2; slot 0 = candidate.
 
     Bloom probes (the IsPossibleToPresent analog, query_processing.h:
     784-807): per query, up to T-1 chained probes; probe c tests filter
-    row `bloom[fs_c's posting]` for precomputed word/mask pairs. The host
-    encodes the cost-aware side choice into (probe_slot, probe_begins,
-    probe_word, probe_mask, probe_active).
+    row `bloom[probe_slot_c's posting]` for precomputed word/mask pairs.
+    The host encodes the cost-aware side choice into
+    (probe_slot, probe_begins, probe_word, probe_mask, probe_active).
     """
 
-    def kernel(postings_doc, postings_tf, starts, ends, cand_slot,
+    def kernel(postings_doc, postings_score, starts, ends, use_score,
                bloom_ends, bloom_begins,
                probe_slot, probe_begins, probe_word, probe_mask, probe_active):
-        # probe_slot: (B, C) which slot's filter; probe_begins: (B, C) bool;
-        # probe_word/mask: (B, C, H); probe_active: (B, C) bool
         B = starts.shape[0]
-        bidx = jnp.arange(B)
-        cs = starts[bidx, cand_slot]
-        ce = ends[bidx, cand_slot]
+        cdocs, cscore, cvalid, cs = _candidates(
+            postings_doc, postings_score, starts, ends, L)
         lane = jnp.arange(L, dtype=jnp.int32)
-        cidx = cs[:, None] + lane[None, :]
-        cvalid = cidx < ce[:, None]
-        cdocs = jnp.where(cvalid, _gather1d(postings_doc, cidx), INT32_MAX)
+        cpidx = cs[:, None] + lane[None, :]
 
-        targets = jnp.broadcast_to(cdocs[:, None, :], (B, T, L))
-        lo = _binary_search(postings_doc, targets, starts[:, :, None],
-                            ends[:, :, None], n_bs_iters)
+        Tr = T - 1
+        targets = jnp.broadcast_to(cdocs[:, None, :], (B, Tr, L))
+        lo = _binary_search(postings_doc, targets,
+                            starts[:, 1:, None], ends[:, 1:, None], n_bs_iters)
         hit = _gather1d(postings_doc, lo)
-        found = (lo < ends[:, :, None]) & (hit == targets)
-        match = jnp.all(found, axis=1) & cvalid  # (B, L)
-        tfs = jnp.where(found, _gather1d(postings_tf, lo), 0)
+        found = (lo < ends[:, 1:, None]) & (hit == targets)
+        match = jnp.all(found, axis=1) & cvalid
+        pidx = jnp.concatenate([cpidx[:, None, :], lo], axis=1)  # (B, T, L)
+
+        partial = jnp.where(found, _gather1d(postings_score, lo), 0.0)
+        score = cscore * use_score[:, 0:1] + jnp.sum(
+            partial * use_score[:, 1:, None], axis=1)
 
         # --- bloom gate -------------------------------------------------
         C = probe_slot.shape[1]
-        # posting index of the probed slot, per (b, c, l)
-        slot_pidx = jnp.take_along_axis(lo, probe_slot[:, :, None], axis=1)  # (B,C,L)
+        slot_pidx = jnp.take_along_axis(pidx, probe_slot[:, :, None], axis=1)
         W = bloom_ends.shape[1]
         rows_e = _gather1d(bloom_ends, slot_pidx.reshape(B, -1)).reshape(B, C, L, W)
         rows_b = _gather1d(bloom_begins, slot_pidx.reshape(B, -1)).reshape(B, C, L, W)
         rows = jnp.where(probe_begins[:, :, None, None], rows_b, rows_e)
-        # gather probed words: (B, C, L, H)
         H = probe_word.shape[2]
         pw = jnp.take_along_axis(
             rows, jnp.broadcast_to(probe_word[:, :, None, :], (B, C, L, H)), axis=3
@@ -184,7 +205,7 @@ def make_match_kernel(T: int, L: int, n_bs_iters: int):
         probe_pass = probe_pass | ~probe_active[:, :, None]
         bloom_pass = jnp.all(probe_pass, axis=1)  # (B, L)
 
-        return match, bloom_pass, cdocs, lo, tfs
+        return match, bloom_pass, cdocs, pidx, score
 
     return jax.jit(kernel)
 
@@ -199,6 +220,10 @@ def make_phrase_verify_kernel(T: int, L: int, PP: int, n_pos_iters: int):
     posting bag; membership of x+i in slot i's bag is a vectorized binary
     search over the global positions column (second-level CSR, the
     "posting bag" of flash_iterators.h:558-664).
+
+    NOTE: here slots are in QUERY-TERM order, not candidate-first order
+    (phrase adjacency depends on term order); the host passes pidx
+    re-permuted accordingly.
 
     fn(positions, pos_starts_i32, pidx (B,T,L), active (B,L)) ->
       n_matches (B, L) int32
@@ -230,22 +255,18 @@ def make_phrase_verify_kernel(T: int, L: int, PP: int, n_pos_iters: int):
 
 
 @lru_cache(maxsize=64)
-def make_score_lanes_kernel(T: int, L: int, M: int):
-    """Score + top-k over precomputed (match, tfs, cdocs) lanes — phase 2
-    of phrase execution after position verification."""
+def make_select_topk_kernel(T: int, L: int, M: int):
+    """Top-k over precomputed (score, match) lanes — phase 2 of phrase
+    execution after position verification."""
 
-    def kernel(doc_len_code, cache_f32, idf32, cdocs, tfs, pidx, match):
-        code = _gather1d(doc_len_code, jnp.clip(cdocs, 0, doc_len_code.shape[0] - 1))
-        cache_val = jnp.take(cache_f32, code, axis=0)
-        tf_f = tfs.astype(jnp.float32)
-        tfn = (tf_f * K1_PLUS_1) / (tf_f + cache_val[:, None, :])
-        score = jnp.sum(idf32[:, :, None] * tfn, axis=1)
+    def kernel(postings_tf, cdocs, pidx, score, match):
         score = jnp.where(match, score, NEG_INF)
         top_score, top_l = jax.lax.top_k(score, M)
         top_docs = jnp.take_along_axis(cdocs, top_l, axis=1)
         top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
-        top_tfs = jnp.take_along_axis(tfs, top_l[:, None, :].repeat(T, 1), axis=2)
         top_pidx = jnp.take_along_axis(pidx, top_l[:, None, :].repeat(T, 1), axis=2)
+        top_tfs = jnp.where(
+            top_docs[:, None, :] >= 0, _gather1d(postings_tf, top_pidx), 0)
         return top_docs, top_score, top_tfs, top_pidx
 
     return jax.jit(kernel)
@@ -254,3 +275,143 @@ def make_score_lanes_kernel(T: int, L: int, M: int):
 def n_iters_for(max_len: int) -> int:
     """Binary-search iteration count covering lists up to max_len."""
     return max(1, int(np.ceil(np.log2(max(2, int(max_len) + 1)))))
+
+
+# ---------------------------------------------------------------------------
+# Windowed block intersection — the fast path for multi-term queries whose
+# posting lists are all long.
+#
+# Element gathers on TPU run at ~0.1 G elem/s while 128-wide row gathers
+# run at >4 G elem/s, so the binary-search intersection (15 random probes
+# per candidate) is replaced by block arithmetic: every term's posting run
+# is 128-aligned (index/format.py BLOCK), posting memory is viewed as a
+# (P/128, 128) matrix, and for each 128-candidate block we row-gather a
+# WINDOW of the other list's blocks that can overlap it, then do a dense
+# 128xW*128 equality compare on the VPU. Window placement comes from
+# block summaries (first element of each block) via a compare-count — no
+# binary search, no element gathers anywhere.
+#
+# This is the TPU analog of the reference's skip-list + in-block linear
+# scan (flash_iterators.h:181-199, SkipForward): the block summary IS the
+# skip list, the dense compare IS the in-block scan.
+#
+# Exactness: a candidate block's true overlap in the other list can exceed
+# the fixed window width WIN when doc distributions are skewed; the kernel
+# detects that (overflow flag) and the host re-runs the group through the
+# binary-search kernel. With similarly-sized lists overflow is rare.
+# ---------------------------------------------------------------------------
+
+def default_win(L: int, G: int) -> int:
+    """Window width: ~2x the average blocks-per-candidate-block ratio."""
+    ratio = max(1, (G * 128) // max(L, 1))
+    return min(16, 2 * ratio + 2)
+
+
+def windowed_search_body(postings_doc, postings_score, postings_tf,
+                         starts, ends, use_score, *, T, L, G, M, WIN):
+    """Multi-term search via windowed block intersection.
+
+    G = other-list block-count bucket (covers the longest non-candidate
+    list in the group: G*128 >= max df). Returns search_body's outputs
+    plus an `overflow` bool scalar.
+    """
+    assert T >= 2
+    B = starts.shape[0]
+    I = L // 128
+    doc_blocks = postings_doc.reshape(-1, 128)
+    score_blocks = postings_score.reshape(-1, 128)
+
+    cdocs, cscore, cvalid, cs = _candidates(
+        postings_doc, postings_score, starts, ends, L)
+    lane = jnp.arange(L, dtype=jnp.int32)
+    cpidx = cs[:, None] + lane[None, :]
+    cblocks = cdocs.reshape(B, I, 128)
+    cbmin = cblocks[:, :, 0]  # (B, I) first = min (sorted)
+    cbmax = jnp.max(jnp.where(cblocks < INT32_MAX, cblocks, -1), axis=2)
+
+    total_found = []
+    total_score = []
+    total_pidx = []
+    overflow = jnp.zeros((), dtype=bool)
+    g = jnp.arange(G, dtype=jnp.int32)
+
+    for t in range(1, T):
+        st = starts[:, t]  # (B,)
+        en = ends[:, t]
+        sblock = st >> 7  # 128-aligned starts
+        nblocks = (en - st + 127) >> 7  # (B,)
+        gvalid = g[None, :] < nblocks[:, None]  # (B, G)
+        rows_idx = sblock[:, None] + jnp.minimum(g[None, :], nblocks[:, None] - 1)
+        rows_idx = jnp.maximum(rows_idx, 0)
+        # block summaries: first element of each other-block (row gather of
+        # only the summary lane would still be a gather; instead summarize
+        # from a row gather of the block firsts via one row gather of all
+        # G blocks' first columns — cheap: (B, G) rows? We only need one
+        # element per block, but row-gathering G blocks costs (B,G,128)
+        # which we also reuse below when G is small. For large G we gather
+        # the summary alone.)
+        obfirst = jnp.take(doc_blocks[:, 0], rows_idx, axis=0)  # (B, G) elem gather
+        obfirst = jnp.where(gvalid, obfirst, INT32_MAX)
+
+        # lower-bound block: last block whose first element <= cbmin;
+        # j_lo = count(obfirst <= cbmin) - 1 clamped at 0.
+        cmp_lo = (obfirst[:, None, :] <= cbmin[:, :, None]) & gvalid[:, None, :]
+        j_lo = jnp.maximum(jnp.sum(cmp_lo, axis=2, dtype=jnp.int32) - 1, 0)  # (B, I)
+        # last overlapping block: last block with first element <= cbmax
+        cmp_hi = (obfirst[:, None, :] <= cbmax[:, :, None]) & gvalid[:, None, :]
+        j_hi = jnp.maximum(jnp.sum(cmp_hi, axis=2, dtype=jnp.int32) - 1, 0)
+        has_cand = cbmax >= 0
+        overflow = overflow | jnp.any((j_hi - j_lo + 1 > WIN) & has_cand)
+
+        found_t = jnp.zeros((B, I, 128), dtype=bool)
+        score_t = jnp.zeros((B, I, 128), dtype=jnp.float32)
+        pidx_t = jnp.zeros((B, I, 128), dtype=jnp.int32)
+        col = jnp.arange(128, dtype=jnp.int32)
+        for d in range(WIN):
+            j = j_lo + d  # (B, I)
+            wvalid = j < nblocks[:, None]
+            wrow = sblock[:, None] + jnp.minimum(j, jnp.maximum(nblocks[:, None] - 1, 0))
+            wdocs = jnp.take(doc_blocks, wrow, axis=0)  # (B, I, 128) row gather
+            wscore = jnp.take(score_blocks, wrow, axis=0)
+            eq = (cblocks[:, :, :, None] == wdocs[:, :, None, :]) \
+                & wvalid[:, :, None, None]  # (B, I, 128, 128)
+            hit = jnp.any(eq, axis=3)
+            found_t = found_t | hit
+            score_t = score_t + jnp.max(
+                jnp.where(eq, wscore[:, :, None, :], 0.0), axis=3)
+            widx = (wrow[:, :, None] << 7) + col[None, None, :]  # global pidx
+            pidx_t = pidx_t + jnp.max(
+                jnp.where(eq, widx[:, :, None, :], 0), axis=3)
+        total_found.append(found_t.reshape(B, L))
+        total_score.append(score_t.reshape(B, L))
+        total_pidx.append(pidx_t.reshape(B, L))
+
+    found = jnp.stack(total_found, axis=1)  # (B, T-1, L)
+    match = jnp.all(found, axis=1) & cvalid
+    partial = jnp.stack(total_score, axis=1)
+    score = cscore * use_score[:, 0:1] + jnp.sum(
+        partial * use_score[:, 1:, None], axis=1)
+    score = jnp.where(match, score, NEG_INF)
+
+    top_score, top_l = jax.lax.top_k(score, M)
+    top_docs = jnp.take_along_axis(cdocs, top_l, axis=1)
+    top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
+    pidx = jnp.concatenate(
+        [cpidx[:, None, :], jnp.stack(total_pidx, axis=1)], axis=1)  # (B,T,L)
+    top_pidx = jnp.take_along_axis(pidx, top_l[:, None, :].repeat(T, 1), axis=2)
+    top_tfs = jnp.where(
+        top_docs[:, None, :] >= 0, _gather1d(postings_tf, top_pidx), 0)
+    return top_docs, top_score, top_tfs, top_pidx, overflow
+
+
+@lru_cache(maxsize=128)
+def make_windowed_search_kernel(T: int, L: int, G: int, M: int):
+    win = default_win(L, G)
+
+    def kernel(postings_doc, postings_score, postings_tf,
+               starts, ends, use_score):
+        return windowed_search_body(
+            postings_doc, postings_score, postings_tf, starts, ends,
+            use_score, T=T, L=L, G=G, M=M, WIN=win)
+
+    return jax.jit(kernel)

@@ -1,0 +1,268 @@
+"""Document-partitioned sharded engine over a jax.sharding.Mesh.
+
+The reference's entire distributed story is a gRPC client/server pair with
+a single server owning the whole index (SURVEY.md §2, grpc_server_impl.h);
+there is no index sharding. This module adds the TPU-native scaling axis
+(BASELINE.json config 5): postings are partitioned by contiguous document
+ranges across mesh devices, every device runs the same batched search step
+on its local shard under shard_map, and per-shard top-k results are merged
+with an all-gather + re-top-k — the collective rides ICI instead of a
+network hop.
+
+Correctness notes:
+- df/idf/avg_len/doc length codes are global statistics, replicated.
+- doc ranges are contiguous and ascending with shard id, so the merge's
+  tie-break (lowest concatenated index on equal f32 scores) still resolves
+  to the lowest doc id; the host f64 re-rank finalizes ordering exactly as
+  in the single-device engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from wiser_tpu.engine import kernels as K
+from wiser_tpu.engine.device import (
+    B_BUCKETS,
+    L_BUCKETS,
+    T_BUCKETS,
+    _bucket,
+    DEFAULT_MARGIN,
+)
+from wiser_tpu.engine.topk import rescore_topk_batch
+from wiser_tpu.index.format import PackedIndex
+from wiser_tpu.scoring import Bm25Similarity
+from wiser_tpu.types import SearchQuery, SearchResult, SearchResultEntry
+
+
+@dataclass
+class ShardedIndex:
+    """Per-shard CSR posting columns stacked on a leading shard axis."""
+
+    n_shards: int
+    doc_bounds: np.ndarray  # int64[D+1] contiguous doc ranges
+    postings_doc: np.ndarray  # int32[D, P_pad] global doc ids, pad SENTINEL
+    postings_tf: np.ndarray  # int32[D, P_pad]
+    postings_score: np.ndarray  # f32[D, P_pad] partial scores (global stats)
+    term_starts: np.ndarray  # int32[D, T+1] 128-aligned per-shard CSR
+    df_shard: np.ndarray  # int32[D, T] real per-shard posting counts
+    # global (replicated) metadata
+    terms: List[str]
+    df: np.ndarray
+    idf64: np.ndarray
+    n_docs: int
+    avg_len: float
+    doc_len_code: np.ndarray  # uint8[N]
+
+    @classmethod
+    def from_packed(cls, packed: PackedIndex, n_shards: int) -> "ShardedIndex":
+        from wiser_tpu.index.format import BLOCK, SENTINEL_DOC
+
+        N, T = packed.n_docs, packed.n_terms
+        bounds = np.linspace(0, N, n_shards + 1).astype(np.int64)
+        scores = packed.partial_scores(
+            Bm25Similarity(packed.avg_len).cache
+        ).astype(np.float32)
+        lens = np.diff(packed.term_starts)
+        term_of = np.repeat(np.arange(T, dtype=np.int64), lens)
+        real = packed.postings_doc != SENTINEL_DOC
+        shard_of = np.full(packed.n_postings, -1, dtype=np.int64)
+        if n_shards > 1:
+            shard_of[real] = np.searchsorted(
+                bounds[1:-1], packed.postings_doc[real], side="right")
+        else:
+            shard_of[real] = 0
+
+        per = []
+        for s in range(n_shards):
+            sel = shard_of == s
+            cnt = np.bincount(term_of[sel], minlength=T).astype(np.int64)
+            padded = (cnt + BLOCK - 1) // BLOCK * BLOCK
+            ts = np.zeros(T + 1, dtype=np.int64)
+            np.cumsum(padded, out=ts[1:])
+            per.append((sel, cnt, ts))
+
+        lmax = _bucket(int(packed.df.max(initial=1)), L_BUCKETS)
+        p_pad = max(int(ts[-1]) for _, _, ts in per) + lmax
+        p_pad = (p_pad + BLOCK - 1) // BLOCK * BLOCK
+        D = n_shards
+        out_doc = np.full((D, p_pad), SENTINEL_DOC, dtype=np.int32)
+        out_tf = np.zeros((D, p_pad), dtype=np.int32)
+        out_sc = np.zeros((D, p_pad), dtype=np.float32)
+        df_shard = np.zeros((D, T), dtype=np.int32)
+        for s, (sel, cnt, ts) in enumerate(per):
+            t_sel = term_of[sel]
+            # rank of each selected posting within its term run
+            csum = np.zeros(T + 1, dtype=np.int64)
+            np.cumsum(cnt, out=csum[1:])
+            rank = np.arange(t_sel.size) - csum[t_sel]
+            dest = ts[t_sel] + rank
+            out_doc[s, dest] = packed.postings_doc[sel]
+            out_tf[s, dest] = packed.postings_tf[sel]
+            out_sc[s, dest] = scores[sel]
+            df_shard[s] = cnt
+        return cls(
+            n_shards=D,
+            doc_bounds=bounds,
+            postings_doc=out_doc,
+            postings_tf=out_tf,
+            postings_score=out_sc,
+            term_starts=np.stack([ts for _, _, ts in per]).astype(np.int32),
+            df_shard=df_shard,
+            terms=packed.terms,
+            df=packed.df.copy(),
+            idf64=packed.idf64.copy(),
+            n_docs=N,
+            avg_len=packed.avg_len,
+            doc_len_code=packed.doc_len_code.copy(),
+        )
+
+
+@lru_cache(maxsize=64)
+def make_sharded_kernel(T: int, L: int, M: int, n_bs_iters: int, mesh: Mesh):
+    """Sharded search step: local search_body per shard, all-gather + merge.
+
+    fn(pd (D,Pp), psc (D,Pp), pt (D,Pp), ts (D,T+1), rows (B,T) slot-
+       ordered, use_score (B,T)) -> (docs (B,M), score (B,M),
+       tfs (B,T,M) slot-ordered) replicated.
+    """
+
+    def local(pd, psc, pt, ts, dfs, rows, use_score):
+        pd, psc, pt, ts, dfs = pd[0], psc[0], pt[0], ts[0], dfs[0]
+        starts = ts[rows]
+        ends = starts + dfs[rows]
+        td, tsc, ttf, _ = K.search_body(
+            pd, psc, pt, starts, ends, use_score,
+            T=T, L=L, M=M, n_bs_iters=n_bs_iters,
+        )
+        g_d = jax.lax.all_gather(td, "d")  # (D, B, M)
+        g_s = jax.lax.all_gather(tsc, "d")
+        g_t = jax.lax.all_gather(ttf, "d")  # (D, B, T, M)
+        D = g_d.shape[0]
+        B = td.shape[0]
+        gd = jnp.transpose(g_d, (1, 0, 2)).reshape(B, D * M)
+        gs = jnp.transpose(g_s, (1, 0, 2)).reshape(B, D * M)
+        gt = jnp.transpose(g_t, (1, 2, 0, 3)).reshape(B, T, D * M)
+        s2, i2 = jax.lax.top_k(gs, M)
+        d2 = jnp.take_along_axis(gd, i2, axis=1)
+        t2 = jnp.take_along_axis(gt, i2[:, None, :].repeat(T, 1), axis=2)
+        return d2, s2, t2
+
+    step = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("d"), P("d"), P("d"), P("d"), P("d"), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+class ShardedEngine:
+    """Search over a ShardedIndex on a device mesh (single + AND queries;
+    phrase execution stays on the single-device engine for now)."""
+
+    def __init__(
+        self,
+        sharded: ShardedIndex,
+        mesh: Optional[Mesh] = None,
+        margin: int = DEFAULT_MARGIN,
+    ):
+        if mesh is None:
+            devs = np.array(jax.devices()[: sharded.n_shards])
+            mesh = Mesh(devs, ("d",))
+        if mesh.devices.size != sharded.n_shards:
+            raise ValueError(
+                f"mesh has {mesh.devices.size} devices, index has "
+                f"{sharded.n_shards} shards"
+            )
+        self.mesh = mesh
+        self.sharded = sharded
+        self.margin = margin
+        self.similarity = Bm25Similarity(sharded.avg_len)
+        self.cache64 = self.similarity.cache
+        self.term_to_row = {t: i for i, t in enumerate(sharded.terms)}
+
+        shard_spec = NamedSharding(mesh, P("d"))
+        self.d_postings_doc = jax.device_put(sharded.postings_doc, shard_spec)
+        self.d_postings_score = jax.device_put(sharded.postings_score, shard_spec)
+        self.d_postings_tf = jax.device_put(sharded.postings_tf, shard_spec)
+        self.d_term_starts = jax.device_put(sharded.term_starts, shard_spec)
+        self.d_df_shard = jax.device_put(sharded.df_shard, shard_spec)
+        self._max_df = int(sharded.df.max(initial=1))
+
+    def lookup(self, term: str) -> int:
+        return self.term_to_row.get(term, -1)
+
+    def search(self, query: SearchQuery) -> SearchResult:
+        return self.search_batch([query])[0]
+
+    def search_batch(self, queries: List[SearchQuery]) -> List[SearchResult]:
+        results = [SearchResult() for _ in queries]
+        planned = []
+        for qi, q in enumerate(queries):
+            if q.n_results <= 0 or not q.terms:
+                continue
+            rows = [self.lookup(t) for t in q.terms]
+            if any(r < 0 for r in rows):
+                continue
+            planned.append((qi, rows, q))
+
+        groups: Dict[Tuple[int, int], list] = {}
+        for item in planned:
+            _, rows, _ = item
+            T = _bucket(len(rows), T_BUCKETS)
+            Lb = _bucket(min(int(self.sharded.df[r]) for r in rows), L_BUCKETS)
+            groups.setdefault((T, Lb), []).append(item)
+
+        repl = NamedSharding(self.mesh, P())
+        for (T, L), group in groups.items():
+            B = _bucket(len(group), B_BUCKETS)
+            rows_arr = np.zeros((B, T), dtype=np.int32)
+            use_score = np.zeros((B, T), dtype=np.float32)
+            idf64_q = np.zeros((B, T), dtype=np.float64)
+            slot_of = np.zeros((B, T), dtype=np.int64)
+            ks = np.zeros(B, dtype=np.int32)
+            for i, (_, rows, q) in enumerate(group):
+                dfs = [int(self.sharded.df[r]) for r in rows]
+                cand = int(np.argmin(dfs))
+                order = [cand] + [t for t in range(len(rows)) if t != cand]
+                ks[i] = q.n_results
+                for slot in range(T):
+                    t = order[slot] if slot < len(order) else order[0]
+                    rows_arr[i, slot] = rows[t]
+                    if slot < len(order):
+                        use_score[i, slot] = 1.0
+                for slot, t in enumerate(order):
+                    slot_of[i, t] = slot
+                for t, r in enumerate(rows):
+                    idf64_q[i, t] = self.sharded.idf64[r]
+            max_k = max(q.n_results for _, _, q in group)
+            M = min(L, max_k + self.margin)
+            kern = make_sharded_kernel(T, L, M, K.n_iters_for(self._max_df), self.mesh)
+            docs, score, tfs = kern(
+                self.d_postings_doc, self.d_postings_score, self.d_postings_tf,
+                self.d_term_starts, self.d_df_shard,
+                jax.device_put(rows_arr, repl), jax.device_put(use_score, repl),
+            )
+            tfs_slot = np.asarray(tfs)
+            tf_q = np.take_along_axis(
+                tfs_slot,
+                np.broadcast_to(slot_of[:, :, None], (B, T, M)), axis=1,
+            )
+            ranked_all = rescore_topk_batch(
+                np.asarray(docs), tf_q, idf64_q,
+                self.sharded.doc_len_code, self.cache64, ks,
+            )
+            for i, (qi, rows, q) in enumerate(group):
+                for s, d in ranked_all[i]:
+                    results[qi].entries.append(SearchResultEntry(d, s))
+        return results

@@ -40,3 +40,51 @@ def rescore_topk(
         score = score + np.float64(idf64[t]) * ((f * (K1 + 1)) / (f + cache_val))
     order = np.lexsort((docs, -score))[:k]
     return [(float(score[i]), int(docs[i])) for i in order]
+
+
+def rescore_topk_batch(
+    top_docs: np.ndarray,  # (B, M) int32, -1 = invalid
+    top_tfs: np.ndarray,  # (B, T, M) int32 (slot-major, query-term order)
+    idf64_slots: np.ndarray,  # (B, T) float64, 0.0 on padded slots
+    doc_len_code: np.ndarray,  # (N,) uint8
+    cache64: np.ndarray,  # (256,) float64
+    ks: np.ndarray,  # (B,) per-query k
+) -> List[List[Tuple[float, int]]]:
+    """Vectorized exact f64 re-rank of a whole group at once.
+
+    Accumulation runs over all T slots in slot order; padded slots have
+    idf 0.0, whose contribution is exactly +0.0 in f64 and therefore does
+    not perturb the bit pattern of the real-term sum — so this matches
+    the per-query reference order (CalcDocScoreLossy) exactly.
+    """
+    B, T, M = top_tfs.shape
+    # guard: doc ids outside [0, n_docs) are invalid lanes by construction
+    # (also shields against transient device faults on tunneled backends)
+    valid = (top_docs >= 0) & (top_docs < doc_len_code.shape[0])  # (B, M)
+    docs = np.where(valid, top_docs, 0).astype(np.int64)
+    cache_val = cache64[doc_len_code[docs] & 0xFF]  # (B, M)
+    score = np.zeros((B, M), dtype=np.float64)
+    for t in range(T):
+        f = top_tfs[:, t, :].astype(np.float64)
+        score = score + idf64_slots[:, t : t + 1] * ((f * (K1 + 1)) / (f + cache_val))
+    # batched lexsort by (-score, doc): stable doc-ascending sort, then
+    # stable score-descending sort
+    docs_sorted_idx = np.argsort(docs, axis=1, kind="stable")
+    score_d = np.take_along_axis(score, docs_sorted_idx, axis=1)
+    valid_d = np.take_along_axis(valid, docs_sorted_idx, axis=1)
+    score_d = np.where(valid_d, score_d, -np.inf)
+    final_idx = np.argsort(-score_d, axis=1, kind="stable")
+    order = np.take_along_axis(docs_sorted_idx, final_idx, axis=1)
+    docs_f = np.take_along_axis(docs, order, axis=1)
+    score_f = np.take_along_axis(score, order, axis=1)
+    valid_f = np.take_along_axis(valid, order, axis=1)
+    out = []
+    for b in range(B):
+        kb = int(ks[b])
+        row = []
+        for m in range(min(kb, M)):
+            if not valid_f[b, m]:
+                break
+            row.append((float(score_f[b, m]), int(docs_f[b, m])))
+        out.append(row)
+    return out

@@ -30,22 +30,30 @@ def pack_oracle(
     bloom_cfg: Optional[BloomConfig] = None,
     with_blooms: bool = False,
 ) -> PackedIndex:
-    """Stage 2: in-memory engine -> packed columnar index."""
+    """Stage 2: in-memory engine -> packed columnar index.
+
+    Every term's posting run is padded to a BLOCK (128) multiple —
+    sentinel doc SENTINEL_DOC, tf 0, empty position/offset bags — so the
+    device can treat posting memory as (P/128, 128) rows (the reference's
+    128-value pack blocks, flash_containers.h:10)."""
+    from wiser_tpu.index.format import BLOCK, SENTINEL_DOC
+
     terms = sorted(eng.index.keys())
     T = len(terms)
 
     df = np.array([len(eng.index[t]) for t in terms], dtype=np.int64)
+    padded = (df + BLOCK - 1) // BLOCK * BLOCK
     term_starts = np.zeros(T + 1, dtype=np.int64)
-    np.cumsum(df, out=term_starts[1:])
+    np.cumsum(padded, out=term_starts[1:])
     P = int(term_starts[-1])
 
-    postings_doc = np.empty(P, dtype=np.int32)
-    postings_tf = np.empty(P, dtype=np.int32)
-    pos_counts = np.empty(P, dtype=np.int64)
-    off_counts = np.empty(P, dtype=np.int64)
+    postings_doc = np.full(P, SENTINEL_DOC, dtype=np.int32)
+    postings_tf = np.zeros(P, dtype=np.int32)
+    pos_counts = np.zeros(P, dtype=np.int64)
+    off_counts = np.zeros(P, dtype=np.int64)
 
-    p = 0
-    for t in terms:
+    for ti, t in enumerate(terms):
+        p = int(term_starts[ti])
         for post in eng.index[t]:
             postings_doc[p] = post.doc_id
             postings_tf[p] = post.term_freq
@@ -62,8 +70,8 @@ def pack_oracle(
     off_begin = np.empty(int(off_starts[-1]), dtype=np.int32)
     off_end = np.empty(int(off_starts[-1]), dtype=np.int32)
 
-    p = 0
-    for t in terms:
+    for ti, t in enumerate(terms):
+        p = int(term_starts[ti])
         for post in eng.index[t]:
             s = pos_starts[p]
             positions[s : s + len(post.positions)] = post.positions
@@ -79,8 +87,8 @@ def pack_oracle(
         W = bloom_cfg.n_words
         bloom_ends = np.zeros((P, W), dtype=np.uint32)
         bloom_begins = np.zeros((P, W), dtype=np.uint32)
-        p = 0
-        for t in terms:
+        for ti, t in enumerate(terms):
+            p = int(term_starts[ti])
             for post in eng.index[t]:
                 ends = eng.phrase_ends.get((t, post.doc_id))
                 if ends:
@@ -93,6 +101,7 @@ def pack_oracle(
     return PackedIndex(
         terms=terms,
         term_starts=term_starts,
+        df=df,
         postings_doc=postings_doc,
         postings_tf=postings_tf,
         n_docs=eng.n_docs,

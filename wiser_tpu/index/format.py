@@ -38,16 +38,26 @@ import numpy as np
 
 from wiser_tpu.index.bloom import BloomConfig
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
+
+# Every term's posting run is padded to a multiple of BLOCK postings
+# (sentinel doc INT32_MAX, tf 0) so each term starts on a block boundary —
+# the direct analog of the reference's 128-value packs
+# (flash_containers.h:10, packed_value.h), and what lets the device
+# address posting blocks as rows of a (P/128, 128) matrix: TPU row
+# gathers are ~40x faster than element gathers.
+BLOCK = 128
+SENTINEL_DOC = np.int32(2**31 - 1)
 
 
 @dataclass
 class PackedIndex:
     # term dictionary (sorted unicode order)
     terms: List[str]
-    term_starts: np.ndarray  # int64[T+1] -> postings CSR offsets
-    postings_doc: np.ndarray  # int32[P], ascending within term
-    postings_tf: np.ndarray  # int32[P]
+    term_starts: np.ndarray  # int64[T+1] -> padded CSR offsets (128-aligned)
+    df: np.ndarray  # int64[T] real posting counts (<= padded run length)
+    postings_doc: np.ndarray  # int32[P_pad], ascending within term, pad SENTINEL
+    postings_tf: np.ndarray  # int32[P_pad], pad 0
 
     # doc metadata
     n_docs: int
@@ -70,25 +80,23 @@ class PackedIndex:
 
     # derived (built in __post_init__)
     term_to_row: Dict[str, int] = field(default_factory=dict, repr=False)
-    df: np.ndarray = None  # int64[T]
     idf64: np.ndarray = None  # float64[T]
     max_tf: np.ndarray = None  # int32[T] (for phrase position bucketing)
 
     def __post_init__(self):
         if not self.term_to_row:
             self.term_to_row = {t: i for i, t in enumerate(self.terms)}
-        if self.df is None:
-            self.df = np.diff(self.term_starts).astype(np.int64)
         if self.idf64 is None:
             from wiser_tpu.scoring import calc_es_idf
 
             self.idf64 = np.asarray(calc_es_idf(self.n_docs, self.df), dtype=np.float64)
         if self.max_tf is None:
             self.max_tf = np.zeros(len(self.terms), dtype=np.int32)
+            lens = np.diff(self.term_starts)
             if len(self.postings_tf):
                 np.maximum.at(
                     self.max_tf,
-                    np.repeat(np.arange(len(self.terms)), self.df),
+                    np.repeat(np.arange(len(self.terms)), lens),
                     self.postings_tf.astype(np.int32),
                 )
 
@@ -100,6 +108,7 @@ class PackedIndex:
 
     @property
     def n_postings(self) -> int:
+        """Padded posting count (block-aligned)."""
         return int(self.term_starts[-1])
 
     def lookup(self, term: str) -> int:
@@ -109,6 +118,21 @@ class PackedIndex:
     def postinglist_size(self, term: str) -> int:
         r = self.lookup(term)
         return int(self.df[r]) if r >= 0 else 0
+
+    def partial_scores(self, cache64: np.ndarray) -> np.ndarray:
+        """Per-posting f64 partial BM25 score idf_term * lossy_tfnorm —
+        the device selection-phase score column (the 256-entry cache idea
+        of scoring.h:85-90 extended to a full per-posting bake). Padded
+        (sentinel) postings score 0."""
+        lens = np.diff(self.term_starts)
+        term_of = np.repeat(np.arange(self.n_terms, dtype=np.int64), lens)
+        valid = self.postings_doc != SENTINEL_DOC
+        code = self.doc_len_code[
+            np.where(valid, self.postings_doc, 0).astype(np.int64)] & 0xFF
+        cache_val = cache64[code]
+        tf = self.postings_tf.astype(np.float64)
+        score = self.idf64[term_of] * ((tf * 2.2) / (tf + cache_val))
+        return np.where(valid, score, 0.0)
 
     # -- persistence ------------------------------------------------------
 
@@ -131,6 +155,7 @@ class PackedIndex:
             f.write("\n".join(self.terms))
         cols = {
             "term_starts": self.term_starts,
+            "df": self.df,
             "postings_doc": self.postings_doc,
             "postings_tf": self.postings_tf,
             "doc_len_code": self.doc_len_code,
@@ -158,6 +183,7 @@ class PackedIndex:
         return cls(
             terms=terms,
             term_starts=z["term_starts"],
+            df=z["df"],
             postings_doc=z["postings_doc"],
             postings_tf=z["postings_tf"],
             n_docs=meta["n_docs"],
