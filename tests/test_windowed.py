@@ -42,7 +42,7 @@ class TestWindowedParity:
         pq = _PlannedQuery(0, [packed.lookup("w0"), packed.lookup("w1")],
                            SearchQuery(["w0", "w1"]))
         pq.plan_slots(packed.df)
-        T, L, L2 = engine._flat_key(pq)
+        T, L, L2, _iters = engine._flat_key(pq)
         assert L2 != 0, "expected the windowed strategy for long similar lists"
 
     def test_and_parity_on_long_lists(self, dense_corpus):

@@ -121,6 +121,18 @@ class TpuEngine:
         return self.search_batch([query])[0]
 
     def search_batch(self, queries: List[SearchQuery]) -> List[SearchResult]:
+        results, pending = self.submit_batch(queries)
+        for finalize in pending:
+            finalize(results)
+        return results
+
+    def submit_batch(self, queries: List[SearchQuery]):
+        """Asynchronously dispatch a batch; device work proceeds while the
+        caller prepares (or submits) more batches. Returns
+        (results, finalizers) — call each finalizer(results) to fetch and
+        fill in the entries. Lets a serving loop keep several batches in
+        flight (the analog of the reference's async completion-queue
+        server, grpc_server_impl.h:209-458)."""
         results = [SearchResult() for _ in queries]
 
         flat: List[_PlannedQuery] = []
@@ -140,9 +152,7 @@ class TpuEngine:
                 flat.append(pq)
 
         pending = self._submit_flat(flat) + self._submit_phrase(phrase)
-        for finalize in pending:
-            finalize(results)
-        return results
+        return results, pending
 
     # -- grouping / assembly -------------------------------------------
 
@@ -211,15 +221,17 @@ class TpuEngine:
         T = _bucket(len(pq.rows), T_BUCKETS)
         L = _bucket(int(self.packed.df[pq.slot_rows[0]]), L_BUCKETS)
         if T == 1:
-            return (T, L, 0)
+            return (T, L, 0, 0)
         l2 = _bucket(max(int(self.packed.df[r]) for r in pq.slot_rows), L_BUCKETS)
         windowed = (L >= self.WINDOWED_MIN_L
                     and l2 // L <= self.WINDOWED_MAX_RATIO)
-        return (T, L, l2 if windowed else 0)
+        # note: keying on per-group search depth was tried and splits
+        # groups too finely (more dispatches than the iterations save)
+        return (T, L, l2 if windowed else 0, 0)
 
     def _submit_flat(self, planned: List[_PlannedQuery]):
         pending = []
-        for (T, L, L2), group in self._chunked_groups(planned, self._flat_key):
+        for (T, L, L2, iters), group in self._chunked_groups(planned, self._flat_key):
             starts, ends, use_score, idf64_q, slot_of, ks = self._assemble(group, T)
             M = min(L, int(ks.max(initial=1)) + self.margin)
             args = (
@@ -230,7 +242,8 @@ class TpuEngine:
                 kern = K.make_windowed_search_kernel(T, L, L2 // 128, M)
                 *out, overflow = kern(*args)
             else:
-                kern = K.make_search_kernel(T, L, M, K.n_iters_for(self._max_df))
+                kern = K.make_search_kernel(
+                    T, L, M, iters or K.n_iters_for(self._max_df))
                 out = kern(*args)
                 overflow = None
 
