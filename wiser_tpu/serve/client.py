@@ -1,0 +1,123 @@
+"""Closed-loop multithreaded benchmark client — reference:
+grpc_client_impl.h (SyncStreamingClient :557, SyncUnaryClient :728,
+per-thread latency histograms merged for percentiles :468-492, QPS =
+roundtrips/duration :448-466).
+
+Run: python -m wiser_tpu.serve.client --target localhost:50051 \
+       --query-log queries.txt --n-threads 8 --duration 10 [--unary]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import threading
+import time
+from typing import List, Optional
+
+import grpc
+
+from wiser_tpu.bench.histogram import Histogram, format_latency_table
+from wiser_tpu.bench.query_pool import QueryLogReader, QueryProducer
+from wiser_tpu.serve import wiser_pb2 as pb
+from wiser_tpu.serve.protocol import WiserEngineStub
+from wiser_tpu.types import SearchQuery
+
+
+def request_from_query(q: SearchQuery) -> pb.SearchRequest:
+    return pb.SearchRequest(
+        terms=q.terms, n_results=q.n_results,
+        return_snippets=q.return_snippets,
+        n_snippet_passages=q.n_snippet_passages, is_phrase=q.is_phrase,
+    )
+
+
+class Client:
+    """reference: Client (grpc_client_impl.h:342-554)."""
+
+    def __init__(self, target: str, producer: QueryProducer,
+                 n_threads: int = 8, streaming: bool = True,
+                 duration_s: float = 10.0, n_channels: int = 4):
+        self.target = target
+        self.producer = producer
+        self.n_threads = n_threads
+        self.streaming = streaming
+        self.duration_s = duration_s
+        self.channels = [grpc.insecure_channel(target) for _ in range(n_channels)]
+        self.hists = [Histogram() for _ in range(n_threads)]
+        self.counts = [0] * n_threads
+        self._stop = threading.Event()
+
+    def _thread_fn(self, tid: int) -> None:
+        stub = WiserEngineStub(self.channels[tid % len(self.channels)])
+        hist = self.hists[tid]
+        if self.streaming:
+            reqs_done = threading.Event()
+
+            def gen():
+                while not self._stop.is_set():
+                    yield request_from_query(self.producer.next_query(tid))
+                reqs_done.set()
+
+            # closed loop over a bidirectional stream: time per roundtrip
+            t0 = time.monotonic_ns()
+            for _reply in stub.StreamingSearch(gen()):
+                t1 = time.monotonic_ns()
+                hist.add(t1 - t0)
+                self.counts[tid] += 1
+                t0 = t1
+                if self._stop.is_set():
+                    break
+        else:
+            while not self._stop.is_set():
+                q = self.producer.next_query(tid)
+                t0 = time.monotonic_ns()
+                stub.UnarySearch(request_from_query(q))
+                hist.add(time.monotonic_ns() - t0)
+                self.counts[tid] += 1
+
+    def run(self) -> dict:
+        threads = [threading.Thread(target=self._thread_fn, args=(i,))
+                   for i in range(self.n_threads)]
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        time.sleep(self.duration_s)
+        self._stop.set()
+        for t in threads:
+            t.join(timeout=10)
+        wall = time.time() - t0
+        total = sum(self.counts)
+        merged = Histogram.merged(self.hists)
+        return {
+            "qps": total / wall,
+            "total": total,
+            "wall_s": wall,
+            "histogram": merged,
+        }
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    ap = argparse.ArgumentParser(description="wiser_tpu benchmark client")
+    ap.add_argument("--target", default="localhost:50051")
+    ap.add_argument("--query-log", required=True)
+    ap.add_argument("--n-threads", type=int, default=8)
+    ap.add_argument("--n-channels", type=int, default=4)
+    ap.add_argument("--duration", type=float, default=10.0)
+    ap.add_argument("--n-results", type=int, default=10)
+    ap.add_argument("--unary", action="store_true")
+    args = ap.parse_args(argv)
+
+    queries = QueryLogReader(args.query_log).read_all(n_results=args.n_results)
+    producer = QueryProducer(queries, args.n_threads)
+    client = Client(args.target, producer, n_threads=args.n_threads,
+                    streaming=not args.unary, duration_s=args.duration,
+                    n_channels=args.n_channels)
+    stats = client.run()
+    print(f"QPS\t{stats['qps']:.1f}")
+    print(f"total\t{stats['total']}")
+    print(format_latency_table(stats["histogram"]))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,188 @@
+"""gRPC search server — reference: grpc_server_impl.h + qq_server.cc.
+
+The reference's AsyncServer achieves throughput with N completion queues x
+5000 preallocated call state machines (grpc_server_impl.h:209-458). The
+TPU-native equivalent of that design is a *batching executor*: request
+handler threads enqueue queries into a shared queue; a dispatcher thread
+drains up to `max_batch` queries (or waits `max_wait_ms`), executes them
+as ONE batched device program via TpuEngine.search_batch, and fulfills the
+per-request futures. Device efficiency comes from cross-request batching,
+not thread count.
+
+Run: python -m wiser_tpu.serve.server --index <dir> --port 50051
+     [--engine tpu|oracle] [--linedoc path --format WITH_POSITIONS]
+"""
+
+from __future__ import annotations
+
+import argparse
+import queue
+import signal
+import sys
+import threading
+import time
+from concurrent import futures
+from typing import List, Optional
+
+import grpc
+
+from wiser_tpu.serve import protocol, wiser_pb2 as pb
+from wiser_tpu.types import SearchQuery, SearchResult
+
+
+class BatchingExecutor:
+    def __init__(self, engine, max_batch: int = 4096, max_wait_ms: float = 2.0):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue[tuple[SearchQuery, futures.Future]]" = queue.Queue()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def search(self, query: SearchQuery, timeout: float = 60.0) -> SearchResult:
+        fut: futures.Future = futures.Future()
+        self._q.put((query, fut))
+        return fut.result(timeout=timeout)
+
+    def _drain(self) -> List[tuple]:
+        items = []
+        try:
+            items.append(self._q.get(timeout=0.05))
+        except queue.Empty:
+            return items
+        deadline = time.time() + self.max_wait
+        while len(items) < self.max_batch:
+            remaining = deadline - time.time()
+            if remaining <= 0:
+                break
+            try:
+                items.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return items
+
+    def _loop(self) -> None:
+        while not self._stop:
+            items = self._drain()
+            if not items:
+                continue
+            queries = [q for q, _ in items]
+            try:
+                results = self.engine.search_batch(queries)
+                for (_, fut), res in zip(items, results):
+                    fut.set_result(res)
+            except Exception as e:  # fulfil futures even on engine errors
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def stop(self) -> None:
+        self._stop = True
+
+
+class WiserServicer:
+    """reference: the service impl inside grpc_server_impl.h."""
+
+    def __init__(self, executor: BatchingExecutor, mutable_engine=None):
+        self.executor = executor
+        self.mutable_engine = mutable_engine  # oracle engine supports adds
+
+    def UnarySearch(self, request, context):
+        q = protocol.query_from_request(request)
+        return protocol.reply_from_result(self.executor.search(q))
+
+    def StreamingSearch(self, request_iterator, context):
+        for request in request_iterator:
+            q = protocol.query_from_request(request)
+            yield protocol.reply_from_result(self.executor.search(q))
+
+    def AddDocument(self, request, context):
+        # The packed engine is immutable after load (the index IS the
+        # checkpoint, vacuum_engine.h:144-166); only the in-memory oracle
+        # engine accepts documents, like QQ-Mem (qq_mem_engine.h:298).
+        if self.mutable_engine is None:
+            return pb.StatusReply(ok=False, message="engine is read-only")
+        from wiser_tpu.types import DocInfo
+
+        self.mutable_engine.add_document(DocInfo(
+            body=request.body, tokens=request.tokens,
+            token_offsets=request.offsets, token_positions=request.positions,
+            format="WITH_POSITIONS"))
+        return pb.StatusReply(ok=True, message="added")
+
+    def Echo(self, request, context):
+        return pb.EchoData(message=request.message)
+
+
+def create_server(engine, port: int, n_threads: int = 16,
+                  max_batch: int = 4096, max_wait_ms: float = 2.0,
+                  mutable_engine=None):
+    executor = BatchingExecutor(engine, max_batch, max_wait_ms)
+    server = grpc.server(futures.ThreadPoolExecutor(max_workers=n_threads))
+    protocol.add_service(server, WiserServicer(executor, mutable_engine))
+    server.add_insecure_port(f"[::]:{port}")
+    return server, executor
+
+
+class OracleExecutorAdapter:
+    """Lets the batching executor drive the oracle engine too."""
+
+    def __init__(self, oracle):
+        self.oracle = oracle
+
+    def search_batch(self, queries):
+        return [self.oracle.search(q) for q in queries]
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    ap = argparse.ArgumentParser(description="wiser_tpu search server")
+    ap.add_argument("--index", help="PackedIndex directory")
+    ap.add_argument("--linedoc", help="linedoc to index at startup")
+    ap.add_argument("--format", default="WITH_POSITIONS")
+    ap.add_argument("--engine", default="tpu", choices=["tpu", "oracle"])
+    ap.add_argument("--port", type=int, default=50051)
+    ap.add_argument("--n-threads", type=int, default=16)
+    ap.add_argument("--max-batch", type=int, default=4096)
+    ap.add_argument("--max-wait-ms", type=float, default=2.0)
+    args = ap.parse_args(argv)
+
+    mutable = None
+    if args.engine == "oracle" or args.index is None:
+        from wiser_tpu.linedoc import parse_linedoc
+        from wiser_tpu.oracle import OracleEngine
+
+        oracle = OracleEngine()
+        if args.linedoc:
+            n = oracle.load_linedocs(parse_linedoc(args.linedoc, args.format))
+            print(f"indexed {n} docs ({oracle.term_count()} terms)", file=sys.stderr)
+        if args.engine == "oracle":
+            engine = OracleExecutorAdapter(oracle)
+            mutable = oracle
+        else:
+            from wiser_tpu.engine.device import TpuEngine
+            from wiser_tpu.index.builder import pack_oracle
+
+            engine = TpuEngine(pack_oracle(oracle), doc_bodies=oracle.doc_bodies)
+    else:
+        from wiser_tpu.engine.device import TpuEngine
+        from wiser_tpu.index.format import PackedIndex
+
+        engine = TpuEngine(PackedIndex.load(args.index))
+
+    server, executor = create_server(
+        engine, args.port, args.n_threads, args.max_batch, args.max_wait_ms,
+        mutable_engine=mutable)
+    server.start()
+    print(f"wiser_tpu serving on :{args.port}", file=sys.stderr)
+
+    stop = threading.Event()
+    signal.signal(signal.SIGINT, lambda *_: stop.set())
+    signal.signal(signal.SIGTERM, lambda *_: stop.set())
+    stop.wait()
+    executor.stop()
+    server.stop(grace=2)
+
+
+if __name__ == "__main__":
+    main()
