@@ -30,8 +30,8 @@ REFERENCE_QPS_ESTIMATE = 10_000.0
 N_DOCS = 20_000
 VOCAB = 20_000
 MEAN_LEN = 120
-N_QUERIES = 16_384
-BATCH = 4096
+N_QUERIES = 131_072
+BATCH = 32_768
 K = 10
 
 

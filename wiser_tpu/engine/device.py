@@ -38,8 +38,8 @@ from wiser_tpu.scoring import Bm25Similarity
 from wiser_tpu.types import SearchQuery, SearchResult, SearchResultEntry
 
 L_BUCKETS = [128, 512, 2048, 8192, 32768, 131072, 524288, 2097152]
-B_BUCKETS = [128, 1024]
-B_CHUNK = 1024
+B_BUCKETS = [128, 1024, 4096]
+B_CHUNK = 4096
 T_BUCKETS = [1, 2, 3, 4, 8]
 PP_BUCKETS = [8, 32, 128, 512, 2048, 8192]
 DEFAULT_MARGIN = 54  # M = k + margin; fixed M=64 for k=10 keeps shapes few
@@ -240,24 +240,28 @@ class TpuEngine:
             )
             if L2:  # windowed block-intersection path
                 kern = K.make_windowed_search_kernel(T, L, L2 // 128, M)
-                *out, overflow = kern(*args)
+                out = kern(*args)
+                windowed = True
             else:
                 kern = K.make_search_kernel(
                     T, L, M, iters or K.n_iters_for(self._max_df))
                 out = kern(*args)
-                overflow = None
+                windowed = False
 
-            def finalize(results, group=group, out=out, overflow=overflow,
+            def finalize(results, group=group, out=out, windowed=windowed,
                          slot_of=slot_of, idf64_q=idf64_q, ks=ks,
                          args=args, T=T, L=L, M=M):
-                if overflow is not None and bool(np.asarray(overflow)):
-                    # skewed doc distribution: exact fallback
-                    kern = K.make_search_kernel(
-                        T, L, M, K.n_iters_for(self._max_df))
-                    out = kern(*args)
-                top_docs, _, top_tfs, _ = out[:4]
-                self._finalize_group(group, np.asarray(top_docs),
-                                     np.asarray(top_tfs), slot_of,
+                packed = np.asarray(out)  # ONE device->host roundtrip
+                if windowed:
+                    overflow = bool(packed[0, T + 1, 0])
+                    if overflow:
+                        # skewed doc distribution: exact fallback
+                        kern = K.make_search_kernel(
+                            T, L, M, K.n_iters_for(self._max_df))
+                        packed = np.asarray(kern(*args))
+                top_docs = packed[:, 0, :]
+                top_tfs = packed[:, 1 : T + 1, :]
+                self._finalize_group(group, top_docs, top_tfs, slot_of,
                                      idf64_q, ks, results)
 
             pending.append(finalize)
@@ -299,10 +303,10 @@ class TpuEngine:
             out = select(self.d_postings_tf, cdocs, pidx, score, final)
 
             def finalize(results, group=group, out=out, slot_of=slot_of,
-                         idf64_q=idf64_q, ks=ks):
-                top_docs, _, top_tfs, _ = out
-                self._finalize_group(group, np.asarray(top_docs),
-                                     np.asarray(top_tfs), slot_of,
+                         idf64_q=idf64_q, ks=ks, T=T):
+                packed = np.asarray(out)
+                self._finalize_group(group, packed[:, 0, :],
+                                     packed[:, 1 : T + 1, :], slot_of,
                                      idf64_q, ks, results)
 
             pending.append(finalize)

@@ -1,0 +1,56 @@
+"""Engine factory — reference: engine_factory.h:21-50 (URL-style engine
+selection: "qq_mem_compressed" / "vacuum:vacuum_dump:<path>").
+
+URLs here:
+  "oracle:"                     empty in-memory oracle engine
+  "oracle:<dump_dir>"           oracle loaded from an oracle_dump dir
+  "oracle_linedoc:<path>:<fmt>" oracle built from a linedoc file
+  "tpu:<index_dir>"             TpuEngine over a saved PackedIndex
+  "sharded:<index_dir>:<n>"     ShardedEngine over n mesh devices
+"""
+
+from __future__ import annotations
+
+
+def create_search_engine(url: str):
+    scheme, _, rest = url.partition(":")
+    if scheme == "oracle":
+        from wiser_tpu.oracle import OracleEngine
+
+        if not rest:
+            return OracleEngine()
+        from wiser_tpu.index.oracle_dump import deserialize
+
+        return deserialize(rest)
+    if scheme == "oracle_linedoc":
+        path, _, fmt = rest.partition(":")
+        from wiser_tpu.linedoc import parse_linedoc
+        from wiser_tpu.oracle import OracleEngine
+
+        eng = OracleEngine()
+        eng.load_linedocs(parse_linedoc(path, fmt or "WITH_POSITIONS"))
+        return eng
+    if scheme == "tpu":
+        import os
+
+        from wiser_tpu.engine.device import TpuEngine
+        from wiser_tpu.index.format import PackedIndex
+
+        packed = PackedIndex.load(rest)
+        bodies = None
+        docs_dir = os.path.join(rest, "docs")
+        if os.path.isdir(docs_dir):
+            from wiser_tpu.index.doc_store import ChunkedDocStoreReader
+
+            r = ChunkedDocStoreReader(docs_dir)
+            bodies = [r.get(i) for i in range(r.n_docs)]
+            r.close()
+        return TpuEngine(packed, doc_bodies=bodies)
+    if scheme == "sharded":
+        path, _, n = rest.rpartition(":")
+        from wiser_tpu.engine.shard import ShardedEngine, ShardedIndex
+        from wiser_tpu.index.format import PackedIndex
+
+        packed = PackedIndex.load(path)
+        return ShardedEngine(ShardedIndex.from_packed(packed, int(n)))
+    raise ValueError(f"unknown engine url: {url!r}")

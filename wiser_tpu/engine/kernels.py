@@ -143,13 +143,18 @@ def search_body(postings_doc, postings_score, postings_tf,
 
 @lru_cache(maxsize=128)
 def make_search_kernel(T: int, L: int, M: int, n_bs_iters: int):
-    """Jitted single-device wrapper over search_body."""
+    """Jitted single-device wrapper over search_body.
+
+    Returns ONE packed int32 (B, T+1, M) array — row 0 = top docs, rows
+    1..T = per-slot tfs — so the host pays a single device->host
+    roundtrip per group (the tunnel RTT dominates small fetches)."""
 
     def kernel(postings_doc, postings_score, postings_tf,
                starts, ends, use_score):
-        return search_body(postings_doc, postings_score, postings_tf,
-                           starts, ends, use_score,
-                           T=T, L=L, M=M, n_bs_iters=n_bs_iters)
+        top_docs, _, top_tfs, _ = search_body(
+            postings_doc, postings_score, postings_tf, starts, ends,
+            use_score, T=T, L=L, M=M, n_bs_iters=n_bs_iters)
+        return jnp.concatenate([top_docs[:, None, :], top_tfs], axis=1)
 
     return jax.jit(kernel)
 
@@ -257,7 +262,8 @@ def make_phrase_verify_kernel(T: int, L: int, PP: int, n_pos_iters: int):
 @lru_cache(maxsize=64)
 def make_select_topk_kernel(T: int, L: int, M: int):
     """Top-k over precomputed (score, match) lanes — phase 2 of phrase
-    execution after position verification."""
+    execution after position verification. Returns packed (B, T+1, M)
+    int32 (docs; per-slot tfs) for a single host fetch."""
 
     def kernel(postings_tf, cdocs, pidx, score, match):
         score = jnp.where(match, score, NEG_INF)
@@ -267,7 +273,7 @@ def make_select_topk_kernel(T: int, L: int, M: int):
         top_pidx = jnp.take_along_axis(pidx, top_l[:, None, :].repeat(T, 1), axis=2)
         top_tfs = jnp.where(
             top_docs[:, None, :] >= 0, _gather1d(postings_tf, top_pidx), 0)
-        return top_docs, top_score, top_tfs, top_pidx
+        return jnp.concatenate([top_docs[:, None, :], top_tfs], axis=1)
 
     return jax.jit(kernel)
 
@@ -410,8 +416,12 @@ def make_windowed_search_kernel(T: int, L: int, G: int, M: int):
 
     def kernel(postings_doc, postings_score, postings_tf,
                starts, ends, use_score):
-        return windowed_search_body(
+        top_docs, _, top_tfs, _, overflow = windowed_search_body(
             postings_doc, postings_score, postings_tf, starts, ends,
             use_score, T=T, L=L, G=G, M=M, WIN=win)
+        packed = jnp.concatenate([top_docs[:, None, :], top_tfs], axis=1)
+        # overflow rides in an extra int32 lane to keep one fetch
+        flag = jnp.broadcast_to(overflow.astype(jnp.int32), (packed.shape[0], 1, packed.shape[2]))
+        return jnp.concatenate([packed, flag], axis=1)
 
     return jax.jit(kernel)
