@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from wiser_tpu.engine import kernels as K
-from wiser_tpu.engine.topk import rescore_topk_batch
+from wiser_tpu.engine.topk import rescore_sorted_arrays, rescore_topk_batch
 from wiser_tpu.index.format import PackedIndex
 from wiser_tpu.scoring import Bm25Similarity
 from wiser_tpu.types import SearchQuery, SearchResult, SearchResultEntry
@@ -126,6 +126,8 @@ class TpuEngine:
             finalize(results)
         return results
 
+    MAX_T = 8  # hard cap on query terms in the vectorized flat path
+
     def submit_batch(self, queries: List[SearchQuery]):
         """Asynchronously dispatch a batch; device work proceeds while the
         caller prepares (or submits) more batches. Returns
@@ -135,24 +137,160 @@ class TpuEngine:
         server, grpc_server_impl.h:209-458)."""
         results = [SearchResult() for _ in queries]
 
-        flat: List[_PlannedQuery] = []
+        # one python pass for term-dictionary lookups; everything after is
+        # vectorized numpy (host planning was ~30% of batch time before)
+        lookup = self.packed.term_to_row.get
+        flat_qi: List[int] = []
+        flat_rows: List[List[int]] = []
         phrase: List[_PlannedQuery] = []
+        long_tail: List[_PlannedQuery] = []
         for qi, q in enumerate(queries):
-            if q.n_results <= 0 or not q.terms:
+            terms = q.terms
+            if q.n_results <= 0 or not terms:
                 continue
-            rows = [self.packed.lookup(t) for t in q.terms]
-            if any(r < 0 for r in rows):
+            rows = [lookup(t, -1) for t in terms]
+            if min(rows) < 0:
                 continue  # missing term -> empty result
-            pq = _PlannedQuery(qi, rows, q)
-            pq.plan_slots(self.packed.df)
-            # dispatch per ProcessQueryDelta: single term is never a phrase
             if q.is_phrase and len(rows) >= 2:
+                pq = _PlannedQuery(qi, rows, q)
+                pq.plan_slots(self.packed.df)
                 phrase.append(pq)
+            elif len(rows) > self.MAX_T:
+                pq = _PlannedQuery(qi, rows, q)
+                pq.plan_slots(self.packed.df)
+                long_tail.append(pq)
             else:
-                flat.append(pq)
+                flat_qi.append(qi)
+                flat_rows.append(rows)
 
-        pending = self._submit_flat(flat) + self._submit_phrase(phrase)
+        pending = self._submit_flat_vec(flat_qi, flat_rows, queries, results)
+        pending += self._submit_flat(long_tail)
+        pending += self._submit_phrase(phrase)
         return results, pending
+
+    def _submit_flat_vec(self, flat_qi, flat_rows, queries, results):
+        """Vectorized planning + assembly for <=MAX_T-term flat queries."""
+        N = len(flat_qi)
+        if N == 0:
+            return []
+        MT = self.MAX_T
+        qi_arr = np.asarray(flat_qi, dtype=np.int64)
+        n_terms = np.fromiter((len(r) for r in flat_rows), dtype=np.int32, count=N)
+        rows_pad = np.zeros((N, MT), dtype=np.int32)
+        for i, r in enumerate(flat_rows):
+            rows_pad[i, : len(r)] = r
+        ks = np.fromiter((queries[qi].n_results for qi in flat_qi),
+                         dtype=np.int32, count=N)
+
+        slot_idx = np.arange(MT, dtype=np.int32)[None, :]
+        valid = slot_idx < n_terms[:, None]  # (N, MT)
+        dfs = self._df32[rows_pad]
+        dfs_m = np.where(valid, dfs, np.int32(2**31 - 1))
+        cand = np.argmin(dfs_m, axis=1).astype(np.int32)
+        cand_df = np.take_along_axis(dfs_m, cand[:, None], 1)[:, 0]
+
+        lb = np.asarray(L_BUCKETS, dtype=np.int64)
+        L_idx = np.minimum(np.searchsorted(lb, cand_df), len(lb) - 1)
+        l2 = np.max(np.where(valid, dfs, 0), axis=1)
+        L2_idx = np.minimum(np.searchsorted(lb, l2), len(lb) - 1)
+        Lval = lb[L_idx]
+        L2val = lb[L2_idx]
+        windowed = (n_terms > 1) & (Lval >= self.WINDOWED_MIN_L) & (
+            L2val // Lval <= self.WINDOWED_MAX_RATIO)
+        tb = np.asarray(T_BUCKETS, dtype=np.int64)
+        T_idx = np.minimum(np.searchsorted(tb, n_terms), len(tb) - 1)
+
+        key = (T_idx.astype(np.int64) * 1000 + L_idx * 10
+               + np.where(windowed, L2_idx + 1, 0))
+        uniq_keys, inverse = np.unique(key, return_inverse=True)
+
+        # slot order: candidate first, remaining real terms in query order,
+        # padding last (stable argsort of a rank key)
+        rank = np.where(slot_idx == cand[:, None], np.int32(-1),
+                        np.where(valid, slot_idx, np.int32(MT + 1)))
+        order = np.argsort(rank, axis=1, kind="stable")  # (N, MT)
+        slot_rows_all = np.take_along_axis(rows_pad, order, 1)
+        # fill padding slots with the candidate's row
+        slot_rows_all = np.where(slot_idx < n_terms[:, None], slot_rows_all,
+                                 slot_rows_all[:, :1])
+        slot_of_all = np.argsort(order, axis=1, kind="stable")  # query t -> slot
+        idf64_all = self.packed.idf64[rows_pad] * valid  # query-term order
+
+        pending = []
+        for gi, gkey in enumerate(uniq_keys):
+            members_all = np.nonzero(inverse == gi)[0]
+            T_i = int(key[members_all[0]])  # decode from any member
+            T = int(tb[T_i // 1000])
+            L = int(lb[(T_i % 1000) // 10])
+            w_code = T_i % 10
+            L2 = int(lb[w_code - 1]) if w_code else 0
+            for ci in range(0, len(members_all), B_CHUNK):
+                m = members_all[ci : ci + B_CHUNK]
+                B = _bucket(len(m), B_BUCKETS)
+                slot_rows = np.zeros((B, T), dtype=np.int32)
+                slot_rows[: len(m)] = slot_rows_all[m, :T]
+                starts = self._starts32[slot_rows]
+                ends = starts + self._df32[slot_rows]
+                starts[len(m):] = 0
+                ends[len(m):] = 0
+                use_score = np.zeros((B, T), dtype=np.float32)
+                use_score[: len(m)] = (
+                    np.arange(T)[None, :] < n_terms[m, None]).astype(np.float32)
+                idf64_q = np.zeros((B, T), dtype=np.float64)
+                idf64_q[: len(m)] = idf64_all[m, :T]
+                slot_of = np.zeros((B, T), dtype=np.int64)
+                slot_of[: len(m)] = slot_of_all[m, :T]
+                ks_g = np.zeros(B, dtype=np.int32)
+                ks_g[: len(m)] = ks[m]
+                pending.append(self._dispatch_flat(
+                    T, L, L2, starts, ends, use_score, idf64_q, slot_of,
+                    ks_g, qi_arr[m], flat_rows, m, queries, results))
+        return pending
+
+    def _dispatch_flat(self, T, L, L2, starts, ends, use_score, idf64_q,
+                       slot_of, ks, qis, flat_rows, members, queries, results):
+        M = min(L, int(ks.max(initial=1)) + self.margin)
+        args = (
+            self.d_postings_doc, self.d_postings_score, self.d_postings_tf,
+            jnp.asarray(starts), jnp.asarray(ends), jnp.asarray(use_score),
+        )
+        if L2:
+            kern = K.make_windowed_search_kernel(T, L, L2 // 128, M)
+        else:
+            kern = K.make_search_kernel(T, L, M, K.n_iters_for(self._max_df))
+        out = kern(*args)
+
+        def finalize(res_list):
+            packed = np.asarray(out)
+            if L2 and bool(packed[0, T + 1, 0]):
+                fb = K.make_search_kernel(T, L, M, K.n_iters_for(self._max_df))
+                packed = np.asarray(fb(*args))
+            self._finalize_arrays(
+                packed[:, 0, :], packed[:, 1 : T + 1, :], slot_of, idf64_q,
+                ks, qis, flat_rows, members, queries, res_list)
+
+        return finalize
+
+    def _finalize_arrays(self, top_docs, top_tfs_slot, slot_of, idf64_q, ks,
+                         qis, flat_rows, members, queries, results):
+        n = len(qis)
+        M = top_tfs_slot.shape[2]
+        tf_q = np.take_along_axis(
+            top_tfs_slot,
+            np.broadcast_to(slot_of[:, :, None], top_tfs_slot.shape), axis=1)
+        docs_f, score_f, n_valid = rescore_sorted_arrays(
+            top_docs, tf_q, idf64_q, self.packed.doc_len_code, self.cache64)
+        for i in range(n):
+            qi = int(qis[i])
+            cnt = min(int(ks[i]), int(n_valid[i]))
+            res = results[qi]
+            res.set_arrays(docs_f[i, :cnt], score_f[i, :cnt])
+            q = queries[qi]
+            if q.return_snippets and self.doc_bodies is not None:
+                pq = _PlannedQuery(qi, flat_rows[int(members[i])], q)
+                entries = res.entries  # materialize
+                for e in entries:
+                    e.snippet = self._snippet(pq, e.doc_id)
 
     # -- grouping / assembly -------------------------------------------
 

@@ -42,6 +42,37 @@ def rescore_topk(
     return [(float(score[i]), int(docs[i])) for i in order]
 
 
+def rescore_sorted_arrays(
+    top_docs: np.ndarray,  # (B, M) int32, -1 = invalid
+    top_tfs_q: np.ndarray,  # (B, T, M) int32, QUERY-term order
+    idf64_q: np.ndarray,  # (B, T) float64, 0.0 on padded slots
+    doc_len_code: np.ndarray,
+    cache64: np.ndarray,
+) -> tuple:
+    """Exact f64 re-rank, fully array-valued: returns
+    (docs (B,M) int64 sorted by (score desc, doc asc),
+     scores (B,M) f64, n_valid (B,) int64). See rescore_topk_batch for
+    the bit-exactness argument (padded slots contribute exactly +0.0)."""
+    B, T, M = top_tfs_q.shape
+    valid = (top_docs >= 0) & (top_docs < doc_len_code.shape[0])
+    docs = np.where(valid, top_docs, 0).astype(np.int64)
+    cache_val = cache64[doc_len_code[docs] & 0xFF]
+    score = np.zeros((B, M), dtype=np.float64)
+    for t in range(T):
+        f = top_tfs_q[:, t, :].astype(np.float64)
+        score = score + idf64_q[:, t : t + 1] * ((f * (K1 + 1)) / (f + cache_val))
+    docs_sorted_idx = np.argsort(docs, axis=1, kind="stable")
+    score_d = np.take_along_axis(score, docs_sorted_idx, axis=1)
+    valid_d = np.take_along_axis(valid, docs_sorted_idx, axis=1)
+    score_d = np.where(valid_d, score_d, -np.inf)
+    final_idx = np.argsort(-score_d, axis=1, kind="stable")
+    order = np.take_along_axis(docs_sorted_idx, final_idx, axis=1)
+    docs_f = np.take_along_axis(docs, order, axis=1)
+    score_f = np.take_along_axis(score, order, axis=1)
+    n_valid = valid.sum(axis=1)
+    return docs_f, score_f, n_valid
+
+
 def rescore_topk_batch(
     top_docs: np.ndarray,  # (B, M) int32, -1 = invalid
     top_tfs: np.ndarray,  # (B, T, M) int32 (slot-major, query-term order)

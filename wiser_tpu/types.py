@@ -102,9 +102,35 @@ class SearchResultEntry:
     snippet: str = ""
 
 
-@dataclass
 class SearchResult:
-    entries: List[SearchResultEntry] = field(default_factory=list)
+    """Top-k result. Backed either by an eager entry list or lazily by
+    (doc_ids, scores) arrays — the batched engine fills arrays to avoid
+    per-entry Python object churn on 32k-query batches; `.entries`
+    materializes on first access."""
+
+    __slots__ = ("_entries", "_docs", "_scores")
+
+    def __init__(self, entries: list = None):
+        self._entries = entries if entries is not None else []
+        self._docs = None
+        self._scores = None
+
+    def set_arrays(self, docs, scores) -> None:
+        self._docs = docs
+        self._scores = scores
+
+    @property
+    def entries(self) -> List[SearchResultEntry]:
+        if self._docs is not None:
+            self._entries = [
+                SearchResultEntry(int(d), float(s))
+                for d, s in zip(self._docs, self._scores)
+            ] + self._entries
+            self._docs = None
+            self._scores = None
+        return self._entries
 
     def size(self) -> int:
-        return len(self.entries)
+        if self._docs is not None:
+            return len(self._docs) + len(self._entries)
+        return len(self._entries)
