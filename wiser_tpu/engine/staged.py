@@ -1,0 +1,260 @@
+"""StagedEngine — host↔HBM posting staging for indexes larger than HBM.
+
+The reference's core idea is "read as needed": keep the term index and doc
+lengths in RAM and read posting bytes from flash on demand with adaptive
+prefetch (vacuum_engine.h:144-166,221-236; madvise in flash_iterators.h).
+The TPU translation:
+
+- a HOT TIER of posting columns lives in HBM, chosen greedily by df until
+  a device-memory budget is filled (head terms are both most of the bytes
+  and most of the accesses under Zipf query loads);
+- queries whose terms are all hot run on the resident TpuEngine unchanged;
+- COLD queries have their full posting runs staged per batch: the host
+  copies the needed (deduplicated) term runs into a scratch column,
+  ships it with an async device_put, and dispatches the same search
+  kernels against the scratch arrays. The async submit API overlaps the
+  next batch's staging transfer with current compute — the prefetch
+  analog.
+
+Phrase queries currently require the resident engine (positions are not
+staged yet); StagedEngine routes them to the hot tier and raises if a
+cold term is involved.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from wiser_tpu.engine import kernels as K
+from wiser_tpu.engine.device import (
+    B_BUCKETS,
+    B_CHUNK,
+    L_BUCKETS,
+    T_BUCKETS,
+    TpuEngine,
+    _bucket,
+)
+from wiser_tpu.index.format import BLOCK, PackedIndex, SENTINEL_DOC
+from wiser_tpu.scoring import Bm25Similarity
+from wiser_tpu.types import SearchQuery, SearchResult
+
+SCRATCH_BUCKETS = [1 << 15, 1 << 17, 1 << 19, 1 << 21, 1 << 23]
+BYTES_PER_POSTING = 12  # doc + tf + score columns
+
+
+def _hot_view(packed: PackedIndex, hbm_budget_bytes: int
+              ) -> Tuple[PackedIndex, np.ndarray]:
+    """Build a PackedIndex whose posting columns contain only the hottest
+    terms (greedy by df desc within budget); cold terms keep their real df
+    (global stats must stay global) but point at an empty run."""
+    lens = np.diff(packed.term_starts)
+    order = np.argsort(packed.df)[::-1]
+    budget = hbm_budget_bytes // BYTES_PER_POSTING
+    hot = np.zeros(packed.n_terms, dtype=bool)
+    used = 0
+    for r in order:
+        run = int(lens[r])
+        if used + run > budget:
+            continue
+        used += run
+        hot[r] = True
+
+    new_starts = np.zeros(packed.n_terms + 1, dtype=np.int64)
+    np.cumsum(np.where(hot, lens, 0), out=new_starts[1:])
+    P_hot = int(new_starts[-1])
+    doc = np.full(P_hot, SENTINEL_DOC, dtype=np.int32)
+    tf = np.zeros(P_hot, dtype=np.int32)
+    for r in np.nonzero(hot)[0]:
+        s_old, e_old = int(packed.term_starts[r]), int(packed.term_starts[r + 1])
+        s_new = int(new_starts[r])
+        doc[s_new : s_new + (e_old - s_old)] = packed.postings_doc[s_old:e_old]
+        tf[s_new : s_new + (e_old - s_old)] = packed.postings_tf[s_old:e_old]
+    # cold rows get zero-length runs (monotone CSR preserved); they are
+    # never dispatched to the hot engine by construction
+    view = replace(
+        packed,
+        term_starts=new_starts,
+        postings_doc=doc,
+        postings_tf=tf,
+        term_to_row=packed.term_to_row,
+        idf64=packed.idf64,
+        max_tf=packed.max_tf,
+    )
+    return view, hot
+
+
+class StagedEngine:
+    def __init__(self, packed: PackedIndex, hbm_budget_bytes: int,
+                 doc_bodies=None, margin: int = 54):
+        self.packed = packed
+        hot_view, self.hot_mask = _hot_view(packed, hbm_budget_bytes)
+        # NOTE: the hot view reuses packed's positions/offsets arrays
+        # (host-side); only posting columns were subset
+        self.hot = TpuEngine(hot_view, doc_bodies=doc_bodies, margin=margin)
+        self.margin = margin
+        self.doc_bodies = doc_bodies
+        self.similarity = Bm25Similarity(packed.avg_len)
+        self.cache64 = self.similarity.cache
+        self._scores32 = packed.partial_scores(self.cache64).astype(np.float32)
+        self._starts32 = packed.term_starts.astype(np.int32)
+        self._df32 = packed.df.astype(np.int32)
+        self._lens = np.diff(packed.term_starts).astype(np.int64)
+        self._max_df = int(packed.df.max(initial=1))
+
+    @property
+    def hot_fraction(self) -> float:
+        return float(self.hot_mask.mean()) if len(self.hot_mask) else 0.0
+
+    def search(self, query: SearchQuery) -> SearchResult:
+        return self.search_batch([query])[0]
+
+    def search_batch(self, queries: List[SearchQuery]) -> List[SearchResult]:
+        results, pending = self.submit_batch(queries)
+        for f in pending:
+            f(results)
+        return results
+
+    def submit_batch(self, queries: List[SearchQuery]):
+        results = [SearchResult() for _ in queries]
+        lookup = self.packed.term_to_row.get
+        hot_q: List[SearchQuery] = []
+        hot_qi: List[int] = []
+        cold: List[Tuple[int, List[int], SearchQuery]] = []
+        for qi, q in enumerate(queries):
+            if q.n_results <= 0 or not q.terms:
+                continue
+            rows = [lookup(t, -1) for t in q.terms]
+            if min(rows) < 0:
+                continue
+            if all(self.hot_mask[r] for r in rows):
+                hot_q.append(q)
+                hot_qi.append(qi)
+            else:
+                if q.is_phrase and len(rows) >= 2:
+                    raise NotImplementedError(
+                        "phrase queries over cold (staged) terms")
+                cold.append((qi, rows, q))
+
+        hot_results, hot_pending = self.hot.submit_batch(hot_q)
+        for j, qi in enumerate(hot_qi):
+            results[qi] = hot_results[j]  # shared objects, filled below
+
+        # inner finalizers index by the INNER batch numbering: bind them to
+        # hot_results, not the outer list
+        pending = [
+            (lambda res_list, f=f: f(hot_results)) for f in hot_pending
+        ]
+        pending += self._submit_cold(cold, queries, results)
+        return results, pending
+
+    # -- cold path -----------------------------------------------------
+
+    def _submit_cold(self, cold, queries, results):
+        if not cold:
+            return []
+        # stage every involved term's padded run once
+        staged_terms = sorted({r for _, rows, _ in cold for r in rows})
+        run_lens = self._lens[staged_terms]
+        offs = np.zeros(len(staged_terms) + 1, dtype=np.int64)
+        np.cumsum(run_lens, out=offs[1:])
+        total = int(offs[-1])
+        lmax = _bucket(int(self._df32[staged_terms].max(initial=1)), L_BUCKETS)
+        cap = _bucket(total + lmax, SCRATCH_BUCKETS)
+        s_doc = np.full(cap, SENTINEL_DOC, dtype=np.int32)
+        s_tf = np.zeros(cap, dtype=np.int32)
+        s_sc = np.zeros(cap, dtype=np.float32)
+        scratch_start: Dict[int, int] = {}
+        for i, r in enumerate(staged_terms):
+            a, n = int(offs[i]), int(run_lens[i])
+            src = int(self._starts32[r])
+            s_doc[a : a + n] = self.packed.postings_doc[src : src + n]
+            s_tf[a : a + n] = self.packed.postings_tf[src : src + n]
+            s_sc[a : a + n] = self._scores32[src : src + n]
+            scratch_start[r] = a
+        d_doc = jnp.asarray(s_doc)  # async host->device staging transfer
+        d_tf = jnp.asarray(s_tf)
+        d_sc = jnp.asarray(s_sc)
+
+        # group/assemble (python loop — the cold tail is small)
+        groups: Dict[tuple, list] = {}
+        for qi, rows, q in cold:
+            dfs = [int(self._df32[r]) for r in rows]
+            cslot = int(np.argmin(dfs))
+            T = _bucket(len(rows), T_BUCKETS)
+            L = _bucket(dfs[cslot], L_BUCKETS)
+            groups.setdefault((T, L), []).append((qi, rows, q, cslot))
+
+        pending = []
+        for (T, L), group in groups.items():
+            for ci in range(0, len(group), B_CHUNK):
+                chunk = group[ci : ci + B_CHUNK]
+                B = _bucket(len(chunk), B_BUCKETS)
+                starts = np.zeros((B, T), dtype=np.int32)
+                ends = np.zeros((B, T), dtype=np.int32)
+                use_score = np.zeros((B, T), dtype=np.float32)
+                idf64_q = np.zeros((B, T), dtype=np.float64)
+                slot_of = np.zeros((B, T), dtype=np.int64)
+                ks = np.zeros(B, dtype=np.int32)
+                qis = np.zeros(B, dtype=np.int64)
+                rows_of = []
+                for i, (qi, rows, q, cslot) in enumerate(chunk):
+                    ks[i] = q.n_results
+                    qis[i] = qi
+                    rows_of.append(rows)
+                    order = [cslot] + [t for t in range(len(rows)) if t != cslot]
+                    for slot in range(T):
+                        t = order[slot] if slot < len(order) else order[0]
+                        r = rows[t]
+                        starts[i, slot] = scratch_start[r]
+                        ends[i, slot] = scratch_start[r] + self._df32[r]
+                        if slot < len(order):
+                            use_score[i, slot] = 1.0
+                    for slot, t in enumerate(order):
+                        slot_of[i, t] = slot
+                    for t, r in enumerate(rows):
+                        idf64_q[i, t] = self.packed.idf64[r]
+                M = min(L, int(ks.max(initial=1)) + self.margin)
+                kern = K.make_search_kernel(T, L, M, K.n_iters_for(self._max_df))
+                out = kern(d_doc, d_sc, d_tf, jnp.asarray(starts),
+                           jnp.asarray(ends), jnp.asarray(use_score))
+
+                def finalize(res_list, out=out, T=T, n=len(chunk), qis=qis,
+                             slot_of=slot_of, idf64_q=idf64_q, ks=ks,
+                             rows_of=rows_of, queries=queries):
+                    from wiser_tpu.engine.topk import rescore_sorted_arrays
+
+                    packed_out = np.asarray(out)
+                    top_docs = packed_out[:, 0, :]
+                    tfs_slot = packed_out[:, 1 : T + 1, :]
+                    tf_q = np.take_along_axis(
+                        tfs_slot,
+                        np.broadcast_to(slot_of[:, :, None], tfs_slot.shape),
+                        axis=1)
+                    docs_f, score_f, n_valid = rescore_sorted_arrays(
+                        top_docs, tf_q, idf64_q, self.packed.doc_len_code,
+                        self.cache64)
+                    for i in range(n):
+                        qi = int(qis[i])
+                        cnt = min(int(ks[i]), int(n_valid[i]))
+                        res = res_list[qi]
+                        res.set_arrays(docs_f[i, :cnt], score_f[i, :cnt])
+                        q = queries[qi]
+                        if q.return_snippets and self.doc_bodies is not None:
+                            from wiser_tpu.engine.device import _PlannedQuery
+
+                            # snippets resolve posting bags via the FULL
+                            # host index (cold rows aren't in the hot view)
+                            pq = _PlannedQuery(qi, rows_of[i], q)
+                            saved, self.hot.packed = self.hot.packed, self.packed
+                            try:
+                                for e in res.entries:
+                                    e.snippet = self.hot._snippet(pq, e.doc_id)
+                            finally:
+                                self.hot.packed = saved
+
+                pending.append(finalize)
+        return pending
