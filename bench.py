@@ -80,7 +80,9 @@ def main():
     os.makedirs(CACHE_DIR, exist_ok=True)
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(CACHE_DIR, "jaxcache"))
+    from wiser_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     log(f"devices: {jax.devices()}")
 
     packed = get_index()

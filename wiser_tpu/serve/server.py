@@ -63,17 +63,48 @@ class BatchingExecutor:
         return items
 
     def _loop(self) -> None:
+        # pipelined: dispatch batch N+1 before finalizing batch N, so the
+        # device->host fetch latency of one batch overlaps the dispatch
+        # and device compute of the next (the completion-queue analog)
+        in_flight = None  # (items, results, pending)
         while not self._stop:
             items = self._drain()
-            if not items:
-                continue
-            queries = [q for q, _ in items]
+            submitted = None
+            if items:
+                queries = [q for q, _ in items]
+                try:
+                    if hasattr(self.engine, "submit_batch"):
+                        results, pending = self.engine.submit_batch(queries)
+                        submitted = (items, results, pending)
+                    else:
+                        results = self.engine.search_batch(queries)
+                        for (_, fut), res in zip(items, results):
+                            fut.set_result(res)
+                except Exception as e:
+                    for _, fut in items:
+                        if not fut.done():
+                            fut.set_exception(e)
+            if in_flight is not None:
+                f_items, f_results, f_pending = in_flight
+                try:
+                    for f in f_pending:
+                        f(f_results)
+                    for (_, fut), res in zip(f_items, f_results):
+                        fut.set_result(res)
+                except Exception as e:
+                    for _, fut in f_items:
+                        if not fut.done():
+                            fut.set_exception(e)
+            in_flight = submitted
+        if in_flight is not None:  # flush on shutdown
+            f_items, f_results, f_pending = in_flight
             try:
-                results = self.engine.search_batch(queries)
-                for (_, fut), res in zip(items, results):
+                for f in f_pending:
+                    f(f_results)
+                for (_, fut), res in zip(f_items, f_results):
                     fut.set_result(res)
-            except Exception as e:  # fulfil futures even on engine errors
-                for _, fut in items:
+            except Exception as e:
+                for _, fut in f_items:
                     if not fut.done():
                         fut.set_exception(e)
 
@@ -115,9 +146,45 @@ class WiserServicer:
         return pb.EchoData(message=request.message)
 
 
+def warmup_engine(engine, batch_sizes=(16, 128, 1024), seed: int = 0) -> int:
+    """Pre-compile the common shape buckets before serving traffic —
+    first-compile on this stack takes tens of seconds and would otherwise
+    land on live requests (the analog of the reference loading the whole
+    index before accepting connections, grpc_server_impl.h:169-205).
+
+    Exercises 1..4-term queries over low/high-df terms at several batch
+    widths. Returns the number of warmup queries executed."""
+    import numpy as np
+
+    packed = getattr(engine, "packed", None)
+    if packed is None or not getattr(packed, "terms", None):
+        return 0
+    rng = np.random.default_rng(seed)
+    by_df = np.argsort(packed.df)
+    probe_rows = np.unique(np.concatenate([
+        by_df[-8:], by_df[: 8], by_df[len(by_df) // 2 : len(by_df) // 2 + 8]
+    ]))
+    probe_terms = [packed.terms[r] for r in probe_rows]
+    total = 0
+    for B in batch_sizes:
+        queries = []
+        for _ in range(B):
+            nt = int(rng.integers(1, 5))
+            terms = [probe_terms[rng.integers(0, len(probe_terms))]
+                     for _ in range(nt)]
+            queries.append(SearchQuery(terms, n_results=10))
+        engine.search_batch(queries)
+        total += len(queries)
+    return total
+
+
 def create_server(engine, port: int, n_threads: int = 16,
                   max_batch: int = 4096, max_wait_ms: float = 2.0,
-                  mutable_engine=None):
+                  mutable_engine=None, warmup: bool = False):
+    if warmup:
+        t0 = time.time()
+        n = warmup_engine(engine)
+        print(f"warmed {n} queries in {time.time()-t0:.1f}s", file=sys.stderr)
     executor = BatchingExecutor(engine, max_batch, max_wait_ms)
     server = grpc.server(futures.ThreadPoolExecutor(max_workers=n_threads))
     protocol.add_service(server, WiserServicer(executor, mutable_engine))
@@ -145,7 +212,20 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--n-threads", type=int, default=16)
     ap.add_argument("--max-batch", type=int, default=4096)
     ap.add_argument("--max-wait-ms", type=float, default=2.0)
+    ap.add_argument("--warmup", action="store_true",
+                    help="pre-compile generic shape buckets before serving")
+    ap.add_argument("--warmup-log",
+                    help="query log to replay at serving batch widths "
+                         "before accepting traffic (covers the exact "
+                         "compile shapes of the live workload)")
+    ap.add_argument("--warmup-batch", type=int, default=128,
+                    help="batch width for --warmup-log (should match the "
+                         "live batching width)")
     args = ap.parse_args(argv)
+
+    from wiser_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
 
     mutable = None
     if args.engine == "oracle" or args.index is None:
@@ -170,9 +250,19 @@ def main(argv: Optional[List[str]] = None) -> None:
 
         engine = TpuEngine(PackedIndex.load(args.index))
 
+    if args.warmup_log:
+        from wiser_tpu.bench.query_pool import QueryLogReader
+
+        qs = QueryLogReader(args.warmup_log).read_all(n_results=10)
+        t0 = time.time()
+        for i in range(0, len(qs), args.warmup_batch):
+            engine.search_batch(qs[i : i + args.warmup_batch])
+        print(f"warmup-log: {len(qs)} queries in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+
     server, executor = create_server(
         engine, args.port, args.n_threads, args.max_batch, args.max_wait_ms,
-        mutable_engine=mutable)
+        mutable_engine=mutable, warmup=args.warmup)
     server.start()
     print(f"wiser_tpu serving on :{args.port}", file=sys.stderr)
 

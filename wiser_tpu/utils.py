@@ -17,6 +17,25 @@ from collections import OrderedDict
 from typing import Dict, List
 
 
+def enable_compile_cache(cache_dir: str = None) -> str:
+    """Persistent XLA compilation cache — first-compile on this stack
+    costs tens of seconds per shape bucket; the cache makes that a
+    once-per-machine cost instead of once-per-process."""
+    import os
+
+    import jax
+
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "wiser_tpu_xla")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    try:
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    return cache_dir
+
+
 class PhaseTimer:
     def __init__(self):
         self.totals: "OrderedDict[str, float]" = OrderedDict()
