@@ -32,7 +32,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from wiser_tpu.engine import kernels as K
-from wiser_tpu.engine.topk import rescore_sorted_arrays, rescore_topk_batch
+from wiser_tpu.engine.topk import (
+    rescore_sorted_arrays,
+    rescore_topk_batch,
+    truncation_suspects,
+)
 from wiser_tpu.index.format import PackedIndex
 from wiser_tpu.scoring import Bm25Similarity
 from wiser_tpu.types import SearchQuery, SearchResult, SearchResultEntry
@@ -50,6 +54,63 @@ def _bucket(value: int, buckets: Sequence[int]) -> int:
         if value <= b:
             return b
     return buckets[-1]
+
+
+def host_exact_search(packed: PackedIndex, cache64: np.ndarray,
+                      rows: Sequence[int], k: int, is_phrase: bool = False):
+    """Exact host-side conjunctive/phrase search over the packed columns —
+    the fallback when the device's f32 candidate margin may have
+    truncated a tie class (engine/topk.py truncation_suspects), and the
+    reference semantics oracle for one-off queries.
+
+    Returns (docs int64[<=k], scores f64[<=k]) in final order."""
+    from wiser_tpu.scoring import K1
+
+    dfs = [int(packed.df[r]) for r in rows]
+    cand = int(np.argmin(dfs))
+    cs = int(packed.term_starts[rows[cand]])
+    docs = packed.postings_doc[cs : cs + dfs[cand]].astype(np.int64)
+    mask = np.ones(len(docs), dtype=bool)
+    tfs = np.zeros((len(rows), len(docs)), dtype=np.int64)
+    pidx = np.zeros((len(rows), len(docs)), dtype=np.int64)
+    for t, r in enumerate(rows):
+        st, n = int(packed.term_starts[r]), dfs[t]
+        arr = packed.postings_doc[st : st + n]
+        idx = np.searchsorted(arr, docs)
+        idc = np.minimum(idx, n - 1)
+        found = (idx < n) & (arr[idc] == docs)
+        mask &= found
+        tfs[t] = packed.postings_tf[st + idc]
+        pidx[t] = st + idc
+    if is_phrase and len(rows) >= 2:
+        for j in np.nonzero(mask)[0]:
+            base = set(
+                int(x)
+                for x in packed.positions[
+                    packed.pos_starts[pidx[0, j]] : packed.pos_starts[pidx[0, j] + 1]
+                ]
+            )
+            for t in range(1, len(rows)):
+                ps = packed.positions[
+                    packed.pos_starts[pidx[t, j]] : packed.pos_starts[pidx[t, j] + 1]
+                ]
+                base &= set(int(x) - t for x in ps)
+                if not base:
+                    break
+            if not base:
+                mask[j] = False
+    docs_m = docs[mask]
+    if docs_m.size == 0:
+        return docs_m, np.zeros(0, dtype=np.float64)
+    tfs_m = tfs[:, mask].astype(np.float64)
+    cache_val = cache64[packed.doc_len_code[docs_m] & 0xFF]
+    score = np.zeros(docs_m.size, dtype=np.float64)
+    for t, r in enumerate(rows):
+        idf = np.float64(packed.idf64[r])
+        f = tfs_m[t]
+        score = score + idf * ((f * (K1 + 1)) / (f + cache_val))
+    order = np.lexsort((docs_m, -score))[:k]
+    return docs_m[order], score[order]
 
 
 @dataclass
@@ -280,11 +341,20 @@ class TpuEngine:
             np.broadcast_to(slot_of[:, :, None], top_tfs_slot.shape), axis=1)
         docs_f, score_f, n_valid = rescore_sorted_arrays(
             top_docs, tf_q, idf64_q, self.packed.doc_len_code, self.cache64)
+        suspects = truncation_suspects(score_f, n_valid, ks)
         for i in range(n):
             qi = int(qis[i])
-            cnt = min(int(ks[i]), int(n_valid[i]))
             res = results[qi]
-            res.set_arrays(docs_f[i, :cnt], score_f[i, :cnt])
+            if suspects[i]:
+                # possible f32 tie-class truncation at the margin: exact
+                # host re-search (rare)
+                d, s = host_exact_search(
+                    self.packed, self.cache64,
+                    flat_rows[int(members[i])], int(ks[i]))
+                res.set_arrays(d, s)
+            else:
+                cnt = min(int(ks[i]), int(n_valid[i]))
+                res.set_arrays(docs_f[i, :cnt], score_f[i, :cnt])
             q = queries[qi]
             if q.return_snippets and self.doc_bodies is not None:
                 pq = _PlannedQuery(qi, flat_rows[int(members[i])], q)
@@ -335,13 +405,21 @@ class TpuEngine:
                                           (slot_of.shape[0], slot_of.shape[1], M)),
             axis=1,
         )
-        ranked_all = rescore_topk_batch(
-            top_docs, tf_q, idf64_q, self.packed.doc_len_code,
-            self.cache64, ks,
-        )
+        docs_f, score_f, n_valid = rescore_sorted_arrays(
+            top_docs, tf_q, idf64_q, self.packed.doc_len_code, self.cache64)
+        suspects = truncation_suspects(score_f, n_valid, ks)
         for i, pq in enumerate(group):
             res = results[pq.qi]
-            for score, doc in ranked_all[i]:
+            if suspects[i]:
+                d, s = host_exact_search(
+                    self.packed, self.cache64, pq.rows,
+                    int(ks[i]), is_phrase=pq.query.is_phrase)
+                pairs = list(zip(s.tolist(), d.tolist()))
+            else:
+                cnt = min(int(ks[i]), int(n_valid[i]))
+                pairs = [(float(score_f[i, m]), int(docs_f[i, m]))
+                         for m in range(cnt)]
+            for score, doc in pairs:
                 snippet = ""
                 if pq.query.return_snippets:
                     snippet = self._snippet(pq, doc)

@@ -225,7 +225,9 @@ class StagedEngine:
                 def finalize(res_list, out=out, T=T, n=len(chunk), qis=qis,
                              slot_of=slot_of, idf64_q=idf64_q, ks=ks,
                              rows_of=rows_of, queries=queries):
-                    from wiser_tpu.engine.topk import rescore_sorted_arrays
+                    from wiser_tpu.engine.device import host_exact_search
+                    from wiser_tpu.engine.topk import (
+                        rescore_sorted_arrays, truncation_suspects)
 
                     packed_out = np.asarray(out)
                     top_docs = packed_out[:, 0, :]
@@ -237,11 +239,18 @@ class StagedEngine:
                     docs_f, score_f, n_valid = rescore_sorted_arrays(
                         top_docs, tf_q, idf64_q, self.packed.doc_len_code,
                         self.cache64)
+                    suspects = truncation_suspects(score_f, n_valid, ks)
                     for i in range(n):
                         qi = int(qis[i])
-                        cnt = min(int(ks[i]), int(n_valid[i]))
                         res = res_list[qi]
-                        res.set_arrays(docs_f[i, :cnt], score_f[i, :cnt])
+                        if suspects[i]:
+                            d, s = host_exact_search(
+                                self.packed, self.cache64, rows_of[i],
+                                int(ks[i]))
+                            res.set_arrays(d, s)
+                        else:
+                            cnt = min(int(ks[i]), int(n_valid[i]))
+                            res.set_arrays(docs_f[i, :cnt], score_f[i, :cnt])
                         q = queries[qi]
                         if q.return_snippets and self.doc_bodies is not None:
                             from wiser_tpu.engine.device import _PlannedQuery

@@ -73,6 +73,30 @@ def rescore_sorted_arrays(
     return docs_f, score_f, n_valid
 
 
+def truncation_suspects(score_f: np.ndarray, n_valid: np.ndarray,
+                        ks: np.ndarray, rel_eps: float = 1e-6) -> np.ndarray:
+    """Detect queries whose device candidate set may have truncated an
+    f32 tie/near-tie class that extends past the margin.
+
+    The device selects top-M by f32 score (ties kept lowest-doc-first).
+    That set provably contains the true f64 top-k unless the candidate
+    buffer is FULL and distinct f64 scores collide in f32 across the
+    buffer boundary. EXACT f64 ties at the boundary are safe — the
+    device's lowest-doc-first kept set matches the (score desc, doc asc)
+    canon — so only near-but-not-equal boundary scores are flagged.
+    Returns a bool mask of such queries (rare; callers re-run them
+    exactly on host)."""
+    B, M = score_f.shape
+    full = n_valid >= M
+    if not full.any():
+        return full
+    k_idx = np.minimum(np.maximum(ks, 1) - 1, M - 1)
+    kth = np.take_along_axis(score_f, k_idx[:, None].astype(np.int64), 1)[:, 0]
+    last = score_f[:, M - 1]
+    near = np.abs(kth - last) <= rel_eps * np.maximum(np.abs(kth), 1e-30)
+    return full & near & (kth != last)
+
+
 def rescore_topk_batch(
     top_docs: np.ndarray,  # (B, M) int32, -1 = invalid
     top_tfs: np.ndarray,  # (B, T, M) int32 (slot-major, query-term order)
