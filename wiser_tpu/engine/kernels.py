@@ -335,9 +335,9 @@ def windowed_search_body(postings_doc, postings_score, postings_tf,
     cbmin = cblocks[:, :, 0]  # (B, I) first = min (sorted)
     cbmax = jnp.max(jnp.where(cblocks < INT32_MAX, cblocks, -1), axis=2)
 
-    total_found = []
+    tf_blocks = postings_tf.reshape(-1, 128)
     total_score = []
-    total_pidx = []
+    total_tf = []
     overflow = jnp.zeros((), dtype=bool)
     g = jnp.arange(G, dtype=jnp.int32)
 
@@ -349,14 +349,8 @@ def windowed_search_body(postings_doc, postings_score, postings_tf,
         gvalid = g[None, :] < nblocks[:, None]  # (B, G)
         rows_idx = sblock[:, None] + jnp.minimum(g[None, :], nblocks[:, None] - 1)
         rows_idx = jnp.maximum(rows_idx, 0)
-        # block summaries: first element of each other-block (row gather of
-        # only the summary lane would still be a gather; instead summarize
-        # from a row gather of the block firsts via one row gather of all
-        # G blocks' first columns — cheap: (B, G) rows? We only need one
-        # element per block, but row-gathering G blocks costs (B,G,128)
-        # which we also reuse below when G is small. For large G we gather
-        # the summary alone.)
-        obfirst = jnp.take(doc_blocks[:, 0], rows_idx, axis=0)  # (B, G) elem gather
+        # block summaries: first element of each other-block
+        obfirst = jnp.take(doc_blocks[:, 0], rows_idx, axis=0)  # (B, G)
         obfirst = jnp.where(gvalid, obfirst, INT32_MAX)
 
         # lower-bound block: last block whose first element <= cbmin;
@@ -369,32 +363,30 @@ def windowed_search_body(postings_doc, postings_score, postings_tf,
         has_cand = cbmax >= 0
         overflow = overflow | jnp.any((j_hi - j_lo + 1 > WIN) & has_cand)
 
-        found_t = jnp.zeros((B, I, 128), dtype=bool)
+        # partial scores are strictly positive (idf > 0, tf >= 1;
+        # sentinel pads score 0), so score_t > 0 IS the membership flag —
+        # no separate found reduce, no pidx reduce; tf rides as a second
+        # max-reduce for the host's exact f64 re-rank.
         score_t = jnp.zeros((B, I, 128), dtype=jnp.float32)
-        pidx_t = jnp.zeros((B, I, 128), dtype=jnp.int32)
-        col = jnp.arange(128, dtype=jnp.int32)
+        tf_t = jnp.zeros((B, I, 128), dtype=jnp.int32)
         for d in range(WIN):
             j = j_lo + d  # (B, I)
             wvalid = j < nblocks[:, None]
             wrow = sblock[:, None] + jnp.minimum(j, jnp.maximum(nblocks[:, None] - 1, 0))
             wdocs = jnp.take(doc_blocks, wrow, axis=0)  # (B, I, 128) row gather
             wscore = jnp.take(score_blocks, wrow, axis=0)
+            wtf = jnp.take(tf_blocks, wrow, axis=0)
             eq = (cblocks[:, :, :, None] == wdocs[:, :, None, :]) \
                 & wvalid[:, :, None, None]  # (B, I, 128, 128)
-            hit = jnp.any(eq, axis=3)
-            found_t = found_t | hit
             score_t = score_t + jnp.max(
                 jnp.where(eq, wscore[:, :, None, :], 0.0), axis=3)
-            widx = (wrow[:, :, None] << 7) + col[None, None, :]  # global pidx
-            pidx_t = pidx_t + jnp.max(
-                jnp.where(eq, widx[:, :, None, :], 0), axis=3)
-        total_found.append(found_t.reshape(B, L))
+            tf_t = tf_t + jnp.max(
+                jnp.where(eq, wtf[:, :, None, :], 0), axis=3)
         total_score.append(score_t.reshape(B, L))
-        total_pidx.append(pidx_t.reshape(B, L))
+        total_tf.append(tf_t.reshape(B, L))
 
-    found = jnp.stack(total_found, axis=1)  # (B, T-1, L)
-    match = jnp.all(found, axis=1) & cvalid
-    partial = jnp.stack(total_score, axis=1)
+    partial = jnp.stack(total_score, axis=1)  # (B, T-1, L)
+    match = jnp.all(partial > 0, axis=1) & cvalid
     score = cscore * use_score[:, 0:1] + jnp.sum(
         partial * use_score[:, 1:, None], axis=1)
     score = jnp.where(match, score, NEG_INF)
@@ -402,11 +394,15 @@ def windowed_search_body(postings_doc, postings_score, postings_tf,
     top_score, top_l = jax.lax.top_k(score, M)
     top_docs = jnp.take_along_axis(cdocs, top_l, axis=1)
     top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
-    pidx = jnp.concatenate(
-        [cpidx[:, None, :], jnp.stack(total_pidx, axis=1)], axis=1)  # (B,T,L)
-    top_pidx = jnp.take_along_axis(pidx, top_l[:, None, :].repeat(T, 1), axis=2)
-    top_tfs = jnp.where(
-        top_docs[:, None, :] >= 0, _gather1d(postings_tf, top_pidx), 0)
+    # candidate-slot tf via its own posting index; other slots from the
+    # accumulated tf lanes
+    top_cpidx = jnp.take_along_axis(cpidx, top_l, axis=1)
+    cand_tf = jnp.where(top_docs >= 0, _gather1d(postings_tf, top_cpidx), 0)
+    tfs_rest = jnp.stack(total_tf, axis=1)  # (B, T-1, L)
+    top_rest = jnp.take_along_axis(
+        tfs_rest, top_l[:, None, :].repeat(T - 1, 1), axis=2)
+    top_tfs = jnp.concatenate([cand_tf[:, None, :], top_rest], axis=1)
+    top_pidx = jnp.zeros_like(top_tfs)  # not tracked on this path
     return top_docs, top_score, top_tfs, top_pidx, overflow
 
 
