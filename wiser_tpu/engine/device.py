@@ -41,6 +41,12 @@ from wiser_tpu.index.format import PackedIndex
 from wiser_tpu.scoring import Bm25Similarity
 from wiser_tpu.types import SearchQuery, SearchResult, SearchResultEntry
 
+# Every (T, L) combo is a separate compiled program AND a separate
+# dispatch+fetch roundtrip per batch (~60-130ms each on the tunneled
+# backend) — fewer groups is better, BUT coarsening L to 4 buckets +
+# merging T=3 into 4 provoked nondeterministic TPU-worker crashes under
+# sustained 32k-query batches (2026-08-16); this set is the proven-stable
+# compromise.
 L_BUCKETS = [128, 512, 2048, 8192, 32768, 131072, 524288, 2097152]
 B_BUCKETS = [128, 1024, 4096]
 B_CHUNK = 4096
@@ -153,15 +159,28 @@ class TpuEngine:
         scores64 = packed.partial_scores(self.cache64)
         # pad columns so any dynamic_slice starting inside the real data
         # stays in range: a candidate list may start near the very end,
-        # so the tail needs a full L-bucket of slack
+        # so the tail needs a full L-bucket of slack. Host copies are kept
+        # so a crashed/restarted device worker can be re-provisioned
+        # (_upload), the elastic-recovery path the reference lacks
+        # (SURVEY.md §5: "no retries, no replication").
         pad = _bucket(int(packed.df.max(initial=1)), L_BUCKETS)
-        self.d_postings_score = jnp.asarray(
-            np.pad(scores64.astype(np.float32), (0, pad)))
-        self.d_postings_doc = jnp.asarray(
-            np.pad(packed.postings_doc, (0, pad),
-                   constant_values=K.INT32_MAX), dtype=jnp.int32)
-        self.d_postings_tf = jnp.asarray(
-            np.pad(packed.postings_tf, (0, pad)), dtype=jnp.int32)
+        self._h_score = np.pad(scores64.astype(np.float32), (0, pad))
+        self._h_doc = np.pad(packed.postings_doc, (0, pad),
+                             constant_values=K.INT32_MAX).astype(np.int32)
+        self._h_tf = np.pad(packed.postings_tf, (0, pad)).astype(np.int32)
+        self._upload()
+
+        self._max_df = int(packed.df.max(initial=1))
+        self._starts32 = packed.term_starts.astype(np.int32)
+        self._df32 = packed.df.astype(np.int32)
+
+    def _upload(self) -> None:
+        """(Re)provision device-resident columns — called at init and
+        after a device worker restart."""
+        packed = self.packed
+        self.d_postings_score = jnp.asarray(self._h_score)
+        self.d_postings_doc = jnp.asarray(self._h_doc)
+        self.d_postings_tf = jnp.asarray(self._h_tf)
         self.d_pos_starts = jnp.asarray(packed.pos_starts, dtype=jnp.int32)
         self.d_positions = jnp.asarray(packed.positions, dtype=jnp.int32)
         if packed.bloom_ends is not None:
@@ -172,9 +191,34 @@ class TpuEngine:
             self.d_bloom_ends = jnp.zeros((1, w), dtype=jnp.uint32)
             self.d_bloom_begins = jnp.zeros((1, w), dtype=jnp.uint32)
 
-        self._max_df = int(packed.df.max(initial=1))
-        self._starts32 = packed.term_starts.astype(np.int32)
-        self._df32 = packed.df.astype(np.int32)
+    MAX_DEVICE_RETRIES = 2
+
+    def _run_with_recovery(self, run):
+        """Execute run() (dispatch + fetch); on a device-loss error,
+        re-upload the index columns and retry."""
+        for attempt in range(self.MAX_DEVICE_RETRIES + 1):
+            try:
+                return run()
+            except Exception as e:  # jaxlib errors vary by version
+                msg = str(e)
+                retriable = ("UNAVAILABLE" in msg or "restarted" in msg
+                             or "DATA_LOSS" in msg or "INTERNAL" in msg)
+                if not retriable or attempt == self.MAX_DEVICE_RETRIES:
+                    raise
+                import sys as _sys
+                import time as _time
+
+                print(f"wiser_tpu: device lost ({msg[:80]}...); "
+                      f"re-provisioning (attempt {attempt + 1})",
+                      file=_sys.stderr)
+                _time.sleep(3.0 * (attempt + 1))  # let the worker restart
+                try:
+                    import jax as _jax
+
+                    _jax.clear_caches()
+                except Exception:
+                    pass
+                self._upload()
 
     # ------------------------------------------------------------------
 
@@ -285,8 +329,20 @@ class TpuEngine:
             L = int(lb[(T_i % 1000) // 10])
             w_code = T_i % 10
             L2 = int(lb[w_code - 1]) if w_code else 0
-            for ci in range(0, len(members_all), B_CHUNK):
-                m = members_all[ci : ci + B_CHUNK]
+            # windowed kernels hold (B, L/128, 128) f32/i32 accumulators
+            # per non-candidate slot; cap their batch width to bound HBM
+            # (B=4096 at T=4, L=32768 peaks at several GB and can crash
+            # the worker)
+            chunk = B_CHUNK
+            if L2:
+                lanes = (T - 1) * L
+                fit = (1 << 27) // max(lanes, 1)
+                chunk = 128
+                for b in B_BUCKETS:  # largest bucket within the memory cap
+                    if b <= fit:
+                        chunk = b
+            for ci in range(0, len(members_all), chunk):
+                m = members_all[ci : ci + chunk]
                 B = _bucket(len(m), B_BUCKETS)
                 slot_rows = np.zeros((B, T), dtype=np.int32)
                 slot_rows[: len(m)] = slot_rows_all[m, :T]
@@ -311,21 +367,34 @@ class TpuEngine:
     def _dispatch_flat(self, T, L, L2, starts, ends, use_score, idf64_q,
                        slot_of, ks, qis, flat_rows, members, queries, results):
         M = min(L, int(ks.max(initial=1)) + self.margin)
-        args = (
-            self.d_postings_doc, self.d_postings_score, self.d_postings_tf,
-            jnp.asarray(starts), jnp.asarray(ends), jnp.asarray(use_score),
-        )
+
+        def make_args():
+            return (
+                self.d_postings_doc, self.d_postings_score,
+                self.d_postings_tf,
+                jnp.asarray(starts), jnp.asarray(ends), jnp.asarray(use_score),
+            )
+
         if L2:
             kern = K.make_windowed_search_kernel(T, L, L2 // 128, M)
         else:
             kern = K.make_search_kernel(T, L, M, K.n_iters_for(self._max_df))
-        out = kern(*args)
+        out = kern(*make_args())
 
         def finalize(res_list):
-            packed = np.asarray(out)
-            if L2 and bool(packed[0, T + 1, 0]):
-                fb = K.make_search_kernel(T, L, M, K.n_iters_for(self._max_df))
-                packed = np.asarray(fb(*args))
+            def run(first=[True]):
+                nonlocal out
+                if not first[0]:
+                    out = kern(*make_args())  # re-dispatch after recovery
+                first[0] = False
+                packed = np.asarray(out)
+                if L2 and bool(packed[0, T + 1, 0]):
+                    fb = K.make_search_kernel(
+                        T, L, M, K.n_iters_for(self._max_df))
+                    packed = np.asarray(fb(*make_args()))
+                return packed
+
+            packed = self._run_with_recovery(run)
             self._finalize_arrays(
                 packed[:, 0, :], packed[:, 1 : T + 1, :], slot_of, idf64_q,
                 ks, qis, flat_rows, members, queries, res_list)
@@ -495,32 +564,47 @@ class TpuEngine:
         for (T, L, PP), group in self._chunked_groups(planned, keyfn):
             starts, ends, use_score, idf64_q, slot_of, ks = self._assemble(group, T)
             B = starts.shape[0]
-            probes = self._assemble_bloom_probes(group, T, B)
+            probes_np = self._assemble_bloom_probes(group, T, B)
 
-            match_kern = K.make_match_kernel(T, L, K.n_iters_for(self._max_df))
-            match, bloom_pass, cdocs, pidx, score = match_kern(
-                self.d_postings_doc, self.d_postings_score,
-                jnp.asarray(starts), jnp.asarray(ends), jnp.asarray(use_score),
-                self.d_bloom_ends, self.d_bloom_begins, *probes,
-            )
+            def chain(T=T, L=L, PP=PP, starts=starts, ends=ends,
+                      use_score=use_score, slot_of=slot_of, ks=ks,
+                      probes_np=probes_np):
+                match_kern = K.make_match_kernel(
+                    T, L, K.n_iters_for(self._max_df))
+                match, bloom_pass, cdocs, pidx, score = match_kern(
+                    self.d_postings_doc, self.d_postings_score,
+                    jnp.asarray(starts), jnp.asarray(ends),
+                    jnp.asarray(use_score),
+                    self.d_bloom_ends, self.d_bloom_begins,
+                    *(jnp.asarray(p) for p in probes_np),
+                )
+                active = match & bloom_pass
+                n_pos_iters = K.n_iters_for(
+                    int(self.packed.max_tf.max(initial=1)))
+                verify = K.make_phrase_verify_kernel(T, L, PP, n_pos_iters)
+                # verify wants pidx in query-term order
+                pidx_q = jnp.take_along_axis(
+                    pidx, jnp.asarray(slot_of.astype(np.int32))[:, :, None]
+                    .repeat(L, 2), axis=1)
+                n_matches = verify(
+                    self.d_positions, self.d_pos_starts, pidx_q, active)
+                final = active & (n_matches > 0)
+                M = min(L, int(ks.max(initial=1)) + self.margin)
+                select = K.make_select_topk_kernel(T, L, M)
+                return select(self.d_postings_tf, cdocs, pidx, score, final)
 
-            active = match & bloom_pass
-            n_pos_iters = K.n_iters_for(int(self.packed.max_tf.max(initial=1)))
-            verify = K.make_phrase_verify_kernel(T, L, PP, n_pos_iters)
-            # verify wants pidx in query-term order
-            pidx_q = jnp.take_along_axis(
-                pidx, jnp.asarray(slot_of.astype(np.int32))[:, :, None]
-                .repeat(L, 2), axis=1)
-            n_matches = verify(self.d_positions, self.d_pos_starts, pidx_q, active)
+            out = chain()
 
-            final = active & (n_matches > 0)
-            M = min(L, int(ks.max(initial=1)) + self.margin)
-            select = K.make_select_topk_kernel(T, L, M)
-            out = select(self.d_postings_tf, cdocs, pidx, score, final)
+            def finalize(results, group=group, out=out, chain=chain,
+                         slot_of=slot_of, idf64_q=idf64_q, ks=ks, T=T):
+                def run(first=[True]):
+                    nonlocal out
+                    if not first[0]:
+                        out = chain()
+                    first[0] = False
+                    return np.asarray(out)
 
-            def finalize(results, group=group, out=out, slot_of=slot_of,
-                         idf64_q=idf64_q, ks=ks, T=T):
-                packed = np.asarray(out)
+                packed = self._run_with_recovery(run)
                 self._finalize_group(group, packed[:, 0, :],
                                      packed[:, 1 : T + 1, :], slot_of,
                                      idf64_q, ks, results)
@@ -564,9 +648,7 @@ class TpuEngine:
                         probe_word[i, c], probe_mask[i, c] = w, m
                         probe_active[i, c] = True
 
-        return (jnp.asarray(probe_slot), jnp.asarray(probe_begins),
-                jnp.asarray(probe_word), jnp.asarray(probe_mask),
-                jnp.asarray(probe_active))
+        return (probe_slot, probe_begins, probe_word, probe_mask, probe_active)
 
     # -- snippets ------------------------------------------------------
 
