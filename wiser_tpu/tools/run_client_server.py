@@ -1,0 +1,84 @@
+"""Spawn a server, wait for readiness, run the benchmark client, report —
+reference: tools/run_client_server2.py (and the two-node runners; pass
+--server-host to drive a remote server instead of spawning one).
+
+Run: python -m wiser_tpu.tools.run_client_server --index <dir> \
+       --query-log q.txt [--port 50931] [--n-threads 16] [--duration 15]
+     python -m wiser_tpu.tools.run_client_server --server-host node2:50051 \
+       --query-log q.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+
+
+def wait_ready(target: str, timeout_s: float = 900.0) -> bool:
+    import grpc
+
+    from wiser_tpu.serve import wiser_pb2 as pb
+    from wiser_tpu.serve.protocol import WiserEngineStub
+
+    deadline = time.time() + timeout_s
+    stub = WiserEngineStub(grpc.insecure_channel(target))
+    while time.time() < deadline:
+        try:
+            stub.Echo(pb.EchoData(message="ping"), timeout=2)
+            return True
+        except Exception:
+            time.sleep(1.0)
+    return False
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index")
+    ap.add_argument("--query-log", required=True)
+    ap.add_argument("--server-host", help="use an already-running server")
+    ap.add_argument("--port", type=int, default=50931)
+    ap.add_argument("--n-threads", type=int, default=16)
+    ap.add_argument("--duration", type=float, default=15.0)
+    ap.add_argument("--warmup-log", default=None)
+    args = ap.parse_args(argv)
+
+    proc = None
+    if args.server_host:
+        target = args.server_host
+    else:
+        target = f"localhost:{args.port}"
+        cmd = [sys.executable, "-m", "wiser_tpu.serve.server",
+               "--index", args.index, "--port", str(args.port),
+               "--n-threads", str(max(args.n_threads * 2, 32)),
+               "--max-wait-ms", "20"]
+        if args.warmup_log or args.query_log:
+            cmd += ["--warmup-log", args.warmup_log or args.query_log]
+        proc = subprocess.Popen(cmd, stderr=subprocess.DEVNULL)
+        print(f"spawned server pid {proc.pid}", file=sys.stderr)
+
+    try:
+        if not wait_ready(target):
+            print("server never became ready", file=sys.stderr)
+            sys.exit(1)
+        from wiser_tpu.bench.query_pool import QueryLogReader, QueryProducer
+        from wiser_tpu.serve.client import Client
+
+        queries = QueryLogReader(args.query_log).read_all(n_results=10)
+        client = Client(target, QueryProducer(queries, args.n_threads),
+                        n_threads=args.n_threads, duration_s=args.duration)
+        stats = client.run()
+        h = stats.pop("histogram")
+        stats["latency_us"] = {f"p{p}": round(h.percentile(p) / 1e3, 1)
+                               for p in (50, 90, 95, 99)}
+        print(json.dumps(stats))
+    finally:
+        if proc is not None:
+            proc.terminate()
+            proc.wait(timeout=10)
+
+
+if __name__ == "__main__":
+    main()
