@@ -271,6 +271,9 @@ class TpuEngine:
         pending = self._submit_flat_vec(flat_qi, flat_rows, queries, results)
         pending += self._submit_flat(long_tail)
         pending += self._submit_phrase(phrase)
+        # NOTE: copy_to_host_async() on every pending output was tried to
+        # overlap fetch RTTs and made things 7x WORSE on the tunneled
+        # backend (serializes transfers ahead of compute) — don't.
         return results, pending
 
     def _submit_flat_vec(self, flat_qi, flat_rows, queries, results):
@@ -399,6 +402,7 @@ class TpuEngine:
                 packed[:, 0, :], packed[:, 1 : T + 1, :], slot_of, idf64_q,
                 ks, qis, flat_rows, members, queries, res_list)
 
+        finalize.out = out  # exposes the device buffer for async host copy
         return finalize
 
     def _finalize_arrays(self, top_docs, top_tfs_slot, slot_of, idf64_q, ks,
@@ -549,6 +553,7 @@ class TpuEngine:
                 self._finalize_group(group, top_docs, top_tfs, slot_of,
                                      idf64_q, ks, results)
 
+            finalize.out = out
             pending.append(finalize)
         return pending
 
@@ -609,6 +614,7 @@ class TpuEngine:
                                      packed[:, 1 : T + 1, :], slot_of,
                                      idf64_q, ks, results)
 
+            finalize.out = out
             pending.append(finalize)
         return pending
 
