@@ -32,11 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from wiser_tpu.engine import kernels as K
-from wiser_tpu.engine.topk import (
-    rescore_sorted_arrays,
-    rescore_topk_batch,
-    truncation_suspects,
-)
+from wiser_tpu.engine.topk import rescore_sorted_arrays, truncation_suspects
 from wiser_tpu.index.format import PackedIndex
 from wiser_tpu.scoring import Bm25Similarity
 from wiser_tpu.types import SearchQuery, SearchResult, SearchResultEntry

@@ -16,9 +16,9 @@ it vectorizes on the VPU. Provided in two forms:
 
 - unpack_blocks_xla: plain jitted jnp (usable everywhere today)
 - unpack_blocks_pallas: a Pallas kernel (VMEM-resident, grid over block
-  tiles); `interpret=True` runs it on CPU for tests. On this machine's
-  tunneled TPU backend Mosaic compiles take minutes, so the engine
-  integration of the compressed column is staged for a later round.
+  tiles); `interpret=True` runs it on CPU for tests. Validated bit-exact
+  on real TPU hardware (v5e, 2026-08-16; Mosaic requires the dynamic
+  gather as a shape-matched take_along_axis over 128-lane rows).
 """
 
 from __future__ import annotations
@@ -74,14 +74,19 @@ def unpack_blocks_xla(words: jnp.ndarray, width: int) -> jnp.ndarray:
     return _xla_unpack(width)(words)
 
 
-def _pallas_kernel(width: int):
+def _pallas_kernel(width: int, tile: int):
     mask = np.uint32(0xFFFFFFFF) if width == 32 else np.uint32((1 << width) - 1)
 
     def kernel(words_ref, lo_idx_ref, hi_idx_ref, off_ref, hishift_ref,
                needhi_ref, out_ref):
+        # Mosaic's dynamic gather wants input/indices/output shape-matched,
+        # so blocks ride as 128-lane rows (4*width <= 128 always) and the
+        # per-lane source column is a take_along_axis over the lane dim.
         words = words_ref[:]
-        lo_w = jnp.take(words, lo_idx_ref[0], axis=-1)
-        hi_w = jnp.take(words, hi_idx_ref[0], axis=-1)
+        lo_idx = jnp.broadcast_to(lo_idx_ref[0][None, :], (tile, BLOCK))
+        hi_idx = jnp.broadcast_to(hi_idx_ref[0][None, :], (tile, BLOCK))
+        lo_w = jnp.take_along_axis(words, lo_idx, axis=1)
+        hi_w = jnp.take_along_axis(words, hi_idx, axis=1)
         lo = lo_w >> off_ref[0][None, :]
         hi = jnp.where(needhi_ref[0][None, :] != 0,
                        hi_w << hishift_ref[0][None, :], jnp.uint32(0))
@@ -92,7 +97,7 @@ def _pallas_kernel(width: int):
 
 @lru_cache(maxsize=40)
 def _pallas_unpack(width: int, tile: int, interpret: bool):
-    kern = _pallas_kernel(width)
+    kern = _pallas_kernel(width, tile)
     word_idx, bit_off, needs_hi = _static_layout(width)
     hi_idx = np.minimum(word_idx + 1, 4 * width - 1)
     hi_shift = ((32 - bit_off) % 32).astype(np.uint32)
@@ -107,6 +112,8 @@ def _pallas_unpack(width: int, tile: int, interpret: bool):
 
     def f(words):  # (G, 4*width) uint32, G % tile == 0
         G = words.shape[0]
+        if words.shape[1] < BLOCK:  # pad block rows to full 128 lanes
+            words = jnp.pad(words, ((0, 0), (0, BLOCK - words.shape[1])))
         const_specs = [
             pl.BlockSpec((1, BLOCK), lambda g: (0, 0), memory_space=pltpu.VMEM)
             for _ in consts
@@ -114,7 +121,7 @@ def _pallas_unpack(width: int, tile: int, interpret: bool):
         return pl.pallas_call(
             kern,
             grid=(G // tile,),
-            in_specs=[pl.BlockSpec((tile, 4 * width), lambda g: (g, 0),
+            in_specs=[pl.BlockSpec((tile, BLOCK), lambda g: (g, 0),
                                    memory_space=pltpu.VMEM)] + const_specs,
             out_specs=pl.BlockSpec((tile, BLOCK), lambda g: (g, 0),
                                    memory_space=pltpu.VMEM),
