@@ -328,13 +328,15 @@ class TpuEngine:
             L = int(lb[(T_i % 1000) // 10])
             w_code = T_i % 10
             L2 = int(lb[w_code - 1]) if w_code else 0
-            # windowed kernels hold (B, L/128, 128) f32/i32 accumulators
-            # per non-candidate slot; cap their batch width to bound HBM
-            # (B=4096 at T=4, L=32768 peaks at several GB and can crash
-            # the worker)
+            # windowed kernels materialize (B, L/128, WIN, 128) window
+            # tensors per non-candidate slot (the row-gathered docs/score/
+            # tf payloads); cap the batch width so the largest live tensor
+            # stays ~0.5GB — WIN=10 shapes at B=4096 hit 8GB and OOM the
+            # 16GB device (observed on the 100k-doc corpus)
             chunk = B_CHUNK
             if L2:
-                lanes = (T - 1) * L
+                win = K.default_win(L, L2 // 128)
+                lanes = (T - 1) * L * win
                 fit = (1 << 27) // max(lanes, 1)
                 chunk = 128
                 for b in B_BUCKETS:  # largest bucket within the memory cap
