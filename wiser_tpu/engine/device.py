@@ -304,6 +304,38 @@ class TpuEngine:
         tb = np.asarray(T_BUCKETS, dtype=np.int64)
         T_idx = np.minimum(np.searchsorted(tb, n_terms), len(tb) - 1)
 
+        # mega-pair routing: multi-term queries over extremely long
+        # candidate lists run exactly on host (cheap merge) instead of the
+        # dense device compare
+        host_merge = (n_terms > 1) & (Lval >= self.HOST_MERGE_MIN_L)
+        pending = []
+        if host_merge.any():
+            hm = np.nonzero(host_merge)[0]
+
+            # bind originals: qi_arr/flat_rows/ks are re-filtered below
+            def run_host_merge(res_list, hm=hm, qi_arr=qi_arr,
+                               flat_rows=flat_rows, ks=ks):
+                for i in hm:
+                    qi = int(qi_arr[i])
+                    d, s = host_exact_search(
+                        self.packed, self.cache64, flat_rows[i], int(ks[i]))
+                    res_list[qi].set_arrays(d, s)
+
+            pending.append(run_host_merge)
+            keep = ~host_merge
+            if not keep.any():
+                return pending
+            # drop routed queries from the device plan
+            (qi_arr, n_terms, rows_pad, ks, valid, dfs, cand, Lval, L2val,
+             windowed, T_idx) = (
+                qi_arr[keep], n_terms[keep], rows_pad[keep], ks[keep],
+                valid[keep], dfs[keep], cand[keep], Lval[keep], L2val[keep],
+                windowed[keep], T_idx[keep])
+            L_idx = L_idx[keep]
+            L2_idx = L2_idx[keep]
+            flat_rows = [flat_rows[i] for i in np.nonzero(keep)[0]]
+            N = len(flat_rows)
+
         key = (T_idx.astype(np.int64) * 1000 + L_idx * 10
                + np.where(windowed, L2_idx + 1, 0))
         uniq_keys, inverse = np.unique(key, return_inverse=True)
@@ -320,7 +352,6 @@ class TpuEngine:
         slot_of_all = np.argsort(order, axis=1, kind="stable")  # query t -> slot
         idf64_all = self.packed.idf64[rows_pad] * valid  # query-term order
 
-        pending = []
         for gi, gkey in enumerate(uniq_keys):
             members_all = np.nonzero(inverse == gi)[0]
             T_i = int(key[members_all[0]])  # decode from any member
@@ -503,6 +534,12 @@ class TpuEngine:
     # fallback)
     WINDOWED_MIN_L = 1024
     WINDOWED_MAX_RATIO = 4
+    # multi-term queries whose candidate list exceeds this go to the exact
+    # host merge: the dense windowed compare does ~WIN*128 lane-ops per
+    # candidate (vs the merge's ~2), which stops paying off for very long
+    # similar lists on this gather-poor backend. A Pallas staircase merge
+    # (work ~ df1+df2 at full VPU width) is the planned replacement.
+    HOST_MERGE_MIN_L = 131072
 
     def _flat_key(self, pq: _PlannedQuery):
         T = _bucket(len(pq.rows), T_BUCKETS)
