@@ -63,6 +63,26 @@ class TestShardedParity:
             s = [(e.doc_id, e.doc_score) for e in engine.search(q).entries]
             assert o == s, f"terms={terms}"
 
+    def test_phrase_queries(self, sharded_setup):
+        _, oracle, _, engine = sharded_setup
+        for terms in synth_query_terms(20, 30, n_terms=2, seed=17):
+            q = SearchQuery(terms, n_results=10, is_phrase=True)
+            o = [(e.doc_id, e.doc_score) for e in oracle.search(q).entries]
+            s = [(e.doc_id, e.doc_score) for e in engine.search(q).entries]
+            assert o == s, f"PHRASE {terms}"
+
+    def test_three_term_phrase_sharded(self, sharded_setup):
+        _, oracle, _, engine = sharded_setup
+        # mine an actually-occurring phrase so the positive path is hit
+        from wiser_tpu.data.synth_log import mine_phrases_from_index
+
+        pairs = mine_phrases_from_index(oracle, max_phrases=5, seed=2)
+        for pair in pairs:
+            q = SearchQuery(list(pair), n_results=10, is_phrase=True)
+            o = [(e.doc_id, e.doc_score) for e in oracle.search(q).entries]
+            s = [(e.doc_id, e.doc_score) for e in engine.search(q).entries]
+            assert o == s and len(o) > 0, f"PHRASE {pair}"
+
     def test_matches_single_device_engine(self, sharded_setup):
         _, _, single, engine = sharded_setup
         queries = [SearchQuery(t, n_results=10)

@@ -259,6 +259,65 @@ def make_phrase_verify_kernel(T: int, L: int, PP: int, n_pos_iters: int):
     return jax.jit(kernel)
 
 
+def phrase_body(postings_doc, postings_score, postings_tf, positions,
+                pos_starts, starts, ends, use_score, slot_of,
+                *, T, L, PP, M, n_bs_iters, n_pos_iters):
+    """Self-contained phrase pipeline (intersect -> adjusted-position
+    verify -> top-k), bloom-less — used by the sharded engine inside
+    shard_map (per-shard bloom columns aren't materialized; the bloom
+    gate is a pruning optimization and never changes results).
+
+    slot_of: (B, T) query-term order -> kernel slot (slot 0 = candidate).
+    Returns (packed (B, T+1, M) int32 [docs; slot tfs], top_score (B, M)).
+    """
+    B = starts.shape[0]
+    cdocs, cscore, cvalid, cs = _candidates(
+        postings_doc, postings_score, starts, ends, L)
+    lane = jnp.arange(L, dtype=jnp.int32)
+    cpidx = cs[:, None] + lane[None, :]
+
+    targets = jnp.broadcast_to(cdocs[:, None, :], (B, T - 1, L))
+    lo = _binary_search(postings_doc, targets,
+                        starts[:, 1:, None], ends[:, 1:, None], n_bs_iters)
+    hit = _gather1d(postings_doc, lo)
+    found = (lo < ends[:, 1:, None]) & (hit == targets)
+    match = jnp.all(found, axis=1) & cvalid
+    pidx = jnp.concatenate([cpidx[:, None, :], lo], axis=1)  # (B, T, L)
+    partial = jnp.where(found, _gather1d(postings_score, lo), 0.0)
+    score = cscore * use_score[:, 0:1] + jnp.sum(
+        partial * use_score[:, 1:, None], axis=1)
+
+    # position verify in query-term order
+    pidx_q = jnp.take_along_axis(
+        pidx, slot_of[:, :, None].astype(jnp.int32).repeat(L, 2), axis=1)
+    ps = _gather1d(pos_starts, pidx_q.reshape(B, -1)).reshape(B, T, L)
+    pe = _gather1d(pos_starts, pidx_q.reshape(B, -1) + 1).reshape(B, T, L)
+    plane = jnp.arange(PP, dtype=jnp.int32)
+    base_idx = ps[:, 0, :, None] + plane[None, None, :]
+    base_valid = base_idx < pe[:, 0, :, None]
+    base_pos = jnp.where(base_valid, _gather1d(positions, base_idx),
+                         INT32_MAX - T)
+    ok = base_valid
+    for t in range(1, T):
+        tgt = base_pos + t
+        plo = _binary_search(positions, tgt, ps[:, t, :, None],
+                             pe[:, t, :, None], n_pos_iters)
+        phit = _gather1d(positions, plo)
+        ok = ok & (plo < pe[:, t, :, None]) & (phit == tgt)
+    n_matches = jnp.sum(ok & match[:, :, None], axis=2)
+
+    final = match & (n_matches > 0)
+    score = jnp.where(final, score, NEG_INF)
+    top_score, top_l = jax.lax.top_k(score, M)
+    top_docs = jnp.take_along_axis(cdocs, top_l, axis=1)
+    top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
+    top_pidx = jnp.take_along_axis(pidx, top_l[:, None, :].repeat(T, 1), axis=2)
+    top_tfs = jnp.where(
+        top_docs[:, None, :] >= 0, _gather1d(postings_tf, top_pidx), 0)
+    packed = jnp.concatenate([top_docs[:, None, :], top_tfs], axis=1)
+    return packed, top_score
+
+
 @lru_cache(maxsize=64)
 def make_select_topk_kernel(T: int, L: int, M: int):
     """Top-k over precomputed (score, match) lanes — phase 2 of phrase

@@ -54,6 +54,8 @@ class ShardedIndex:
     postings_score: np.ndarray  # f32[D, P_pad] partial scores (global stats)
     term_starts: np.ndarray  # int32[D, T+1] 128-aligned per-shard CSR
     df_shard: np.ndarray  # int32[D, T] real per-shard posting counts
+    pos_starts: np.ndarray  # int32[D, P_pad+1] per-shard position bags
+    positions: np.ndarray  # int32[D, PP_pad]
     # global (replicated) metadata
     terms: List[str]
     df: np.ndarray
@@ -61,6 +63,7 @@ class ShardedIndex:
     n_docs: int
     avg_len: float
     doc_len_code: np.ndarray  # uint8[N]
+    max_tf: np.ndarray = None  # int32[T] global (phrase PP bucketing)
 
     @classmethod
     def from_packed(cls, packed: PackedIndex, n_shards: int) -> "ShardedIndex":
@@ -98,6 +101,9 @@ class ShardedIndex:
         out_tf = np.zeros((D, p_pad), dtype=np.int32)
         out_sc = np.zeros((D, p_pad), dtype=np.float32)
         df_shard = np.zeros((D, T), dtype=np.int32)
+        pos_counts_global = np.diff(packed.pos_starts)
+        shard_positions = []
+        shard_pos_counts = []
         for s, (sel, cnt, ts) in enumerate(per):
             t_sel = term_of[sel]
             # rank of each selected posting within its term run
@@ -109,6 +115,24 @@ class ShardedIndex:
             out_tf[s, dest] = packed.postings_tf[sel]
             out_sc[s, dest] = scores[sel]
             df_shard[s] = cnt
+            # ragged gather of each selected posting's position bag
+            sel_idx = np.nonzero(sel)[0]
+            cnts = pos_counts_global[sel_idx]
+            csum2 = np.zeros(len(cnts) + 1, dtype=np.int64)
+            np.cumsum(cnts, out=csum2[1:])
+            total = int(csum2[-1])
+            src = (np.repeat(packed.pos_starts[sel_idx], cnts)
+                   + np.arange(total) - np.repeat(csum2[:-1], cnts))
+            shard_positions.append(packed.positions[src])
+            counts_padded = np.zeros(p_pad, dtype=np.int64)
+            counts_padded[dest] = cnts
+            shard_pos_counts.append(counts_padded)
+        pp_pad = max(1, max(len(x) for x in shard_positions))
+        out_pos = np.zeros((D, pp_pad), dtype=np.int32)
+        out_ps = np.zeros((D, p_pad + 1), dtype=np.int32)
+        for s in range(D):
+            out_pos[s, : len(shard_positions[s])] = shard_positions[s]
+            out_ps[s, 1:] = np.cumsum(shard_pos_counts[s]).astype(np.int32)
         return cls(
             n_shards=D,
             doc_bounds=bounds,
@@ -117,6 +141,9 @@ class ShardedIndex:
             postings_score=out_sc,
             term_starts=np.stack([ts for _, _, ts in per]).astype(np.int32),
             df_shard=df_shard,
+            pos_starts=out_ps,
+            positions=out_pos,
+            max_tf=packed.max_tf.copy(),
             terms=packed.terms,
             df=packed.df.copy(),
             idf64=packed.idf64.copy(),
@@ -166,9 +193,48 @@ def make_sharded_kernel(T: int, L: int, M: int, n_bs_iters: int, mesh: Mesh):
     return jax.jit(step)
 
 
+@lru_cache(maxsize=64)
+def make_sharded_phrase_kernel(T: int, L: int, PP: int, M: int,
+                               n_bs_iters: int, n_pos_iters: int, mesh: Mesh):
+    """Sharded phrase step: full local phrase pipeline per shard
+    (kernels.phrase_body; positional verification is doc-local so each
+    shard is independent), then all-gather + score merge."""
+
+    def local(pd, psc, pt, ts, dfs, pos, pstarts, rows, use_score, slot_of):
+        pd, psc, pt, ts, dfs = pd[0], psc[0], pt[0], ts[0], dfs[0]
+        pos, pstarts = pos[0], pstarts[0]
+        starts = ts[rows]
+        ends = starts + dfs[rows]
+        packed, tsc = K.phrase_body(
+            pd, psc, pt, pos, pstarts, starts, ends, use_score, slot_of,
+            T=T, L=L, PP=PP, M=M,
+            n_bs_iters=n_bs_iters, n_pos_iters=n_pos_iters)
+        g_p = jax.lax.all_gather(packed, "d")  # (D, B, T+1, M)
+        g_s = jax.lax.all_gather(tsc, "d")  # (D, B, M)
+        D = g_p.shape[0]
+        B = packed.shape[0]
+        gp = jnp.transpose(g_p, (1, 2, 0, 3)).reshape(B, T + 1, D * M)
+        gs = jnp.transpose(g_s, (1, 0, 2)).reshape(B, D * M)
+        s2, i2 = jax.lax.top_k(gs, M)
+        merged = jnp.take_along_axis(gp, i2[:, None, :].repeat(T + 1, 1), axis=2)
+        return merged
+
+    step = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("d"), P("d"), P("d"), P("d"), P("d"), P("d"), P("d"),
+                  P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
 class ShardedEngine:
-    """Search over a ShardedIndex on a device mesh (single + AND queries;
-    phrase execution stays on the single-device engine for now)."""
+    """Search over a ShardedIndex on a device mesh: single-term, AND, and
+    phrase queries (phrase runs the full local pipeline per shard —
+    positional verification is doc-local — then merges; the bi-bloom gate
+    is skipped on the sharded path, which never changes results)."""
 
     def __init__(
         self,
@@ -197,7 +263,11 @@ class ShardedEngine:
         self.d_postings_tf = jax.device_put(sharded.postings_tf, shard_spec)
         self.d_term_starts = jax.device_put(sharded.term_starts, shard_spec)
         self.d_df_shard = jax.device_put(sharded.df_shard, shard_spec)
+        self.d_positions = jax.device_put(sharded.positions, shard_spec)
+        self.d_pos_starts = jax.device_put(sharded.pos_starts, shard_spec)
         self._max_df = int(sharded.df.max(initial=1))
+        self._max_tf = int(sharded.max_tf.max(initial=1)) \
+            if sharded.max_tf is not None else 1
 
     def lookup(self, term: str) -> int:
         return self.term_to_row.get(term, -1)
@@ -205,16 +275,78 @@ class ShardedEngine:
     def search(self, query: SearchQuery) -> SearchResult:
         return self.search_batch([query])[0]
 
+    def _run_phrase(self, phrase, results) -> None:
+        if not phrase:
+            return
+        from wiser_tpu.engine.device import PP_BUCKETS
+        from wiser_tpu.engine.topk import rescore_sorted_arrays
+
+        repl = NamedSharding(self.mesh, P())
+        groups: Dict[Tuple[int, int, int], list] = {}
+        for qi, rows, q in phrase:
+            T = len(rows)  # exact T (no slot padding for phrase)
+            L = _bucket(min(int(self.sharded.df[r]) for r in rows), L_BUCKETS)
+            PP = _bucket(int(self.sharded.max_tf[rows[0]]), PP_BUCKETS)
+            groups.setdefault((T, L, PP), []).append((qi, rows, q))
+
+        for (T, L, PP), group in groups.items():
+            B = _bucket(len(group), B_BUCKETS)
+            rows_arr = np.zeros((B, T), dtype=np.int32)
+            use_score = np.zeros((B, T), dtype=np.float32)
+            idf64_q = np.zeros((B, T), dtype=np.float64)
+            slot_of = np.zeros((B, T), dtype=np.int32)
+            ks = np.zeros(B, dtype=np.int32)
+            for i, (qi, rows, q) in enumerate(group):
+                dfs = [int(self.sharded.df[r]) for r in rows]
+                cand = int(np.argmin(dfs))
+                order = [cand] + [t for t in range(len(rows)) if t != cand]
+                ks[i] = q.n_results
+                for slot, t in enumerate(order):
+                    rows_arr[i, slot] = rows[t]
+                    use_score[i, slot] = 1.0
+                    slot_of[i, t] = slot
+                for t, r in enumerate(rows):
+                    idf64_q[i, t] = self.sharded.idf64[r]
+            M = min(L, int(ks.max(initial=1)) + self.margin)
+            kern = make_sharded_phrase_kernel(
+                T, L, PP, M, K.n_iters_for(self._max_df),
+                K.n_iters_for(self._max_tf), self.mesh)
+            merged = np.asarray(kern(
+                self.d_postings_doc, self.d_postings_score,
+                self.d_postings_tf, self.d_term_starts, self.d_df_shard,
+                self.d_positions, self.d_pos_starts,
+                jax.device_put(rows_arr, repl),
+                jax.device_put(use_score, repl),
+                jax.device_put(slot_of, repl),
+            ))
+            docs = merged[:, 0, :]
+            tfs_slot = merged[:, 1 : T + 1, :]
+            tf_q = np.take_along_axis(
+                tfs_slot,
+                np.broadcast_to(slot_of[:, :, None].astype(np.int64),
+                                tfs_slot.shape), axis=1)
+            docs_f, score_f, n_valid = rescore_sorted_arrays(
+                docs, tf_q, idf64_q, self.sharded.doc_len_code, self.cache64)
+            for i, (qi, rows, q) in enumerate(group):
+                cnt = min(int(ks[i]), int(n_valid[i]))
+                results[qi].set_arrays(docs_f[i, :cnt], score_f[i, :cnt])
+
     def search_batch(self, queries: List[SearchQuery]) -> List[SearchResult]:
         results = [SearchResult() for _ in queries]
         planned = []
+        phrase = []
         for qi, q in enumerate(queries):
             if q.n_results <= 0 or not q.terms:
                 continue
             rows = [self.lookup(t) for t in q.terms]
             if any(r < 0 for r in rows):
                 continue
-            planned.append((qi, rows, q))
+            if q.is_phrase and len(rows) >= 2:
+                phrase.append((qi, rows, q))
+            else:
+                planned.append((qi, rows, q))
+
+        self._run_phrase(phrase, results)
 
         groups: Dict[Tuple[int, int], list] = {}
         for item in planned:
