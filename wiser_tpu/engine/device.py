@@ -165,7 +165,9 @@ class TpuEngine:
         # so a crashed/restarted device worker can be re-provisioned
         # (_upload), the elastic-recovery path the reference lacks
         # (SURVEY.md §5: "no retries, no replication").
-        pad = _bucket(int(packed.df.max(initial=1)), L_BUCKETS)
+        # slack must cover both the largest candidate dynamic_slice AND the
+        # staircase-merge chunk DMA overreach (CHUNK_ROWS rows past a run)
+        pad = _bucket(int(packed.df.max(initial=1)), L_BUCKETS) + 4096
         self._h_score = np.pad(scores64.astype(np.float32), (0, pad))
         self._h_doc = np.pad(packed.postings_doc, (0, pad),
                              constant_values=K.INT32_MAX).astype(np.int32)
@@ -421,7 +423,9 @@ class TpuEngine:
         pending = []
         groups: Dict[tuple, list] = {}
         for i in hm:
-            groups.setdefault((int(n_terms[i]), int(Lval[i])), []).append(int(i))
+            # merge kernel lane space is 512-aligned (candidate super-blocks)
+            groups.setdefault(
+                (int(n_terms[i]), max(512, int(Lval[i]))), []).append(int(i))
         for (T, L), members in groups.items():
             for ci in range(0, len(members), self.MERGE_CHUNK):
                 m = members[ci : ci + self.MERGE_CHUNK]

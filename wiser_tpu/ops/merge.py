@@ -34,13 +34,19 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLK = 128  # candidate block (one posting pack)
-CHUNK_ROWS = 8  # other-list chunk = 8 x 128 postings per DMA
+BLK = 128  # posting pack width (row width of the (P/128, 128) views)
+# Measured on v5e (C=1024 cells, L=32768, 20k-doc head pairs):
+#   CB_ROWS=1, CHUNK_ROWS=8:  835 ms   <- best; loop overhead ~4.6us/iter
+#   CB_ROWS=4, CHUNK_ROWS=16: 1501 ms  (the unrolled 64x (128,128) compare
+#                                       costs more than the iterations saved
+#                                       — Mosaic's broadcast eq is ~35G ops/s)
+CB_ROWS = 1  # candidate rows per iteration
+CHUNK_ROWS = 8  # other-list chunk rows per DMA
 SENTINEL = np.int32(2**31 - 1)
 
 
 def _merge_kernel(L: int):
-    NB = L // BLK  # candidate blocks per cell
+    NB = L // (BLK * CB_ROWS)  # candidate super-blocks per cell
 
     def kernel(meta_ref,  # scalar prefetch: (C, 4) int32
                doc_rows, score_rows, tf_rows,  # HBM (P/128, 128) views
@@ -50,14 +56,15 @@ def _merge_kernel(L: int):
                sems):
         c = pl.program_id(0)
         cand_row0 = meta_ref[c, 0] >> 7  # candidate start block row
-        nb_c = (meta_ref[c, 1] + BLK - 1) // BLK  # candidate blocks (real)
+        nb_c_rows = (meta_ref[c, 1] + BLK - 1) // BLK  # real+pad 128-rows
+        nb_c = (nb_c_rows + CB_ROWS - 1) // CB_ROWS  # candidate super-blocks
         o_row0 = meta_ref[c, 2] >> 7
         nb_o_rows = (meta_ref[c, 3] + BLK - 1) // BLK  # other 128-rows
         n_chunks = (nb_o_rows + CHUNK_ROWS - 1) // CHUNK_ROWS
 
         def dma_cand(i, slot):
             return pltpu.make_async_copy(
-                doc_rows.at[pl.ds(cand_row0 + i, 1), :],
+                doc_rows.at[pl.ds(cand_row0 + i * CB_ROWS, CB_ROWS), :],
                 cand_buf.at[slot], sems.at[slot])
 
         def dma_chunk(j, slot):
@@ -75,8 +82,8 @@ def _merge_kernel(L: int):
             )
 
         # zero the whole output block first
-        score_out[...] = jnp.zeros((1, NB, BLK), jnp.float32)
-        tf_out[...] = jnp.zeros((1, NB, BLK), jnp.int32)
+        score_out[...] = jnp.zeros((1, NB, CB_ROWS, BLK), jnp.float32)
+        tf_out[...] = jnp.zeros((1, NB, CB_ROWS, BLK), jnp.int32)
 
         d = dma_cand(0, 0)
         d.start()
@@ -85,37 +92,47 @@ def _merge_kernel(L: int):
             dd.start()
         for dd in dma_chunk(0, 0):
             dd.wait()
-        acc_sc[...] = jnp.zeros((1, BLK), jnp.float32)
-        acc_tf[...] = jnp.zeros((1, BLK), jnp.int32)
+        acc_sc[...] = jnp.zeros((CB_ROWS, BLK), jnp.float32)
+        acc_tf[...] = jnp.zeros((CB_ROWS, BLK), jnp.int32)
 
         def compare_accumulate(j, cslot, oslot):
             # rows past the other list's padded run belong to the NEXT
-            # term — mask them so they can never match
-            cand = cand_buf[cslot, 0, :]  # (128,) int32
-            eqs_sc = acc_sc[0, :]
-            eqs_tf = acc_tf[0, :]
-            for r in range(CHUNK_ROWS):
-                row_ok = (j * CHUNK_ROWS + r) < nb_o_rows
-                eq = (cand[:, None] == odoc_buf[oslot, r, :][None, :]) & row_ok
-                eqs_sc = eqs_sc + jnp.max(
-                    jnp.where(eq, osc_buf[oslot, r, :][None, :], 0.0), axis=1)
-                eqs_tf = eqs_tf + jnp.max(
-                    jnp.where(eq, otf_buf[oslot, r, :][None, :], 0), axis=1)
-            acc_sc[0, :] = eqs_sc
-            acc_tf[0, :] = eqs_tf
+            # term — mask them so they can never match. Unrolled over
+            # (cand row x chunk row) pairs: Mosaic handles (128,128)
+            # broadcasts but rejects lane-crossing reshapes.
+            for cr in range(CB_ROWS):
+                cand_r = cand_buf[cslot, cr, :]  # (128,)
+                acc_s = acc_sc[cr, :]
+                acc_t = acc_tf[cr, :]
+                for r in range(CHUNK_ROWS):
+                    row_ok = (j * CHUNK_ROWS + r) < nb_o_rows
+                    eq = (cand_r[:, None] == odoc_buf[oslot, r, :][None, :]) \
+                        & row_ok
+                    acc_s = acc_s + jnp.max(
+                        jnp.where(eq, osc_buf[oslot, r, :][None, :], 0.0),
+                        axis=1)
+                    acc_t = acc_t + jnp.max(
+                        jnp.where(eq, otf_buf[oslot, r, :][None, :], 0),
+                        axis=1)
+                acc_sc[cr, :] = acc_s
+                acc_tf[cr, :] = acc_t
 
         def flush(i):
-            score_out[0, i, :] = acc_sc[0, :]
-            tf_out[0, i, :] = acc_tf[0, :]
-            acc_sc[...] = jnp.zeros((1, BLK), jnp.float32)
-            acc_tf[...] = jnp.zeros((1, BLK), jnp.int32)
+            score_out[0, i, :, :] = acc_sc[...]
+            tf_out[0, i, :, :] = acc_tf[...]
+            acc_sc[...] = jnp.zeros((CB_ROWS, BLK), jnp.float32)
+            acc_tf[...] = jnp.zeros((CB_ROWS, BLK), jnp.int32)
 
         def body(state):
             # double-buffered staircase: decide the advance direction from
             # the resident buffers' maxima, START the next DMA into the
             # alternate slot, overlap it with the compare, then wait.
             i, j, cslot, oslot = state
-            cand_max = cand_buf[cslot, 0, BLK - 1]
+            # last valid candidate row of this super-block (later rows may
+            # bleed into the next term's run — never trust their values)
+            c_last = jnp.minimum(
+                jnp.int32(CB_ROWS), nb_c_rows - i * CB_ROWS) - 1
+            cand_max = cand_buf[cslot, c_last, BLK - 1]
             last_valid = jnp.minimum(
                 jnp.int32(CHUNK_ROWS), nb_o_rows - j * CHUNK_ROWS) - 1
             chunk_max = odoc_buf[oslot, last_valid, BLK - 1]
@@ -180,7 +197,8 @@ def make_merge_intersect(L: int, interpret: bool = False):
     Chunks may read up to CHUNK_ROWS-1 rows past a list's end — the
     engine pads device columns with a full L-bucket of sentinel slack.
     """
-    NB = L // BLK
+    assert L % (BLK * CB_ROWS) == 0, "L must be a multiple of CB_ROWS*128"
+    NB = L // (BLK * CB_ROWS)
     kern = _merge_kernel(L)
 
     def f(meta, doc_rows, score_rows, tf_rows):
@@ -194,18 +212,18 @@ def make_merge_intersect(L: int, interpret: bool = False):
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=(
-                pl.BlockSpec((1, NB, BLK), lambda c, s: (c, 0, 0),
+                pl.BlockSpec((1, NB, CB_ROWS, BLK), lambda c, s: (c, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, NB, BLK), lambda c, s: (c, 0, 0),
+                pl.BlockSpec((1, NB, CB_ROWS, BLK), lambda c, s: (c, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, 1, BLK), jnp.int32),            # cand docs x2
+                pltpu.VMEM((2, CB_ROWS, BLK), jnp.int32),      # cand docs x2
                 pltpu.VMEM((2, CHUNK_ROWS, BLK), jnp.int32),   # other docs x2
                 pltpu.VMEM((2, CHUNK_ROWS, BLK), jnp.float32),
                 pltpu.VMEM((2, CHUNK_ROWS, BLK), jnp.int32),
-                pltpu.VMEM((1, BLK), jnp.float32),             # score accum
-                pltpu.VMEM((1, BLK), jnp.int32),               # tf accum
+                pltpu.VMEM((CB_ROWS, BLK), jnp.float32),       # score accum
+                pltpu.VMEM((CB_ROWS, BLK), jnp.int32),         # tf accum
                 pltpu.SemaphoreType.DMA((8,)),
             ],
         )
@@ -213,8 +231,8 @@ def make_merge_intersect(L: int, interpret: bool = False):
             kern,
             grid_spec=grid_spec,
             out_shape=(
-                jax.ShapeDtypeStruct((C, NB, BLK), jnp.float32),
-                jax.ShapeDtypeStruct((C, NB, BLK), jnp.int32),
+                jax.ShapeDtypeStruct((C, NB, CB_ROWS, BLK), jnp.float32),
+                jax.ShapeDtypeStruct((C, NB, CB_ROWS, BLK), jnp.int32),
             ),
             interpret=interpret,
         )(meta, doc_rows, score_rows, tf_rows)
