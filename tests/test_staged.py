@@ -90,3 +90,61 @@ class TestStagedParity:
         eng = StagedEngine(packed, hbm_budget_bytes=0)
         with pytest.raises(NotImplementedError):
             eng.search(SearchQuery(["t0", "t1"], n_results=5, is_phrase=True))
+
+
+class TestHotTierBags:
+    """The hot view compacts posting columns, so every per-posting bag
+    (positions, offsets, blooms) must be remapped — a cold low-df term
+    earlier in the dictionary shifts every hot posting index after it.
+    Regression for the silent wrong-bag bug (ADVICE r1, high)."""
+
+    @pytest.fixture(scope="class")
+    def engine(self):
+        docs = synth_docinfos(n_docs=300, vocab_size=90, mean_len=35,
+                              seed=33, with_blooms=True)
+        packed, oracle = build_index(docs, with_blooms=True)
+        eng = StagedEngine(packed, hbm_budget_bytes=packed.n_postings * 12 // 2,
+                           doc_bodies=oracle.doc_bodies)
+        return packed, oracle, eng
+
+    def _hot_pair(self, packed, oracle, eng):
+        """An all-hot term pair with a non-empty oracle phrase result."""
+        hot = np.nonzero(eng.hot_mask)[0]
+        # prefer rows whose posting indices actually shifted under
+        # compaction — those are the ones a bag-remap bug corrupts
+        shifted = [int(r) for r in hot
+                   if int(packed.term_starts[r]) != int(eng.hot.packed.term_starts[r])]
+        ordered = shifted + [int(r) for r in hot if int(r) not in set(shifted)]
+        hot_terms = [packed.terms[r] for r in ordered]
+        for a in hot_terms[:20]:
+            for b in hot_terms[:20]:
+                if a == b:
+                    continue
+                q = SearchQuery([a, b], n_results=1, is_phrase=True)
+                if oracle.search(q).size() > 0:
+                    return [a, b]
+        pytest.skip("no all-hot adjacent pair in corpus")
+
+    def test_phrase_on_hot_matches_oracle(self, engine):
+        packed, oracle, eng = engine
+        assert 0.0 < eng.hot_fraction < 1.0, "need a real hot/cold split"
+        terms = self._hot_pair(packed, oracle, eng)
+        q = SearchQuery(terms, n_results=10, is_phrase=True)
+        o = oracle.search(q)
+        assert o.size() > 0
+        assert_same(o, eng.search(q), f"hot phrase {terms}")
+
+    def test_snippets_on_hot_match_oracle(self, engine):
+        packed, oracle, eng = engine
+        hot = np.nonzero(eng.hot_mask)[0]
+        # pick a hot term that is NOT the first dictionary row so the
+        # compaction actually shifted its posting indices
+        shifted = [r for r in hot
+                   if int(packed.term_starts[r]) != int(eng.hot.packed.term_starts[r])]
+        if not shifted:
+            pytest.skip("no shifted hot rows")
+        term = packed.terms[shifted[0]]
+        q = SearchQuery([term], n_results=3, return_snippets=True)
+        o = oracle.search(q)
+        s = eng.search(q)
+        assert [e.snippet for e in o.entries] == [e.snippet for e in s.entries]

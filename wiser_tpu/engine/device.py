@@ -319,25 +319,43 @@ class TpuEngine:
         # mega-pair routing: multi-term queries over extremely long
         # candidate lists run either through the Pallas staircase merge
         # (device_merge=True) or exactly on host, instead of the dense
-        # windowed device compare
-        host_merge = (n_terms > 1) & (Lval >= self.HOST_MERGE_MIN_L)
+        # windowed device compare. Queries whose candidate list exceeds the
+        # largest L bucket (bucket saturation would silently scan only the
+        # first L postings) are ALWAYS routed to the exact host path —
+        # including single-term ones.
+        saturated = cand_df.astype(np.int64) > int(lb[-1])
+        host_merge = ((n_terms > 1) & (Lval >= self.HOST_MERGE_MIN_L)) | saturated
         pending = []
         if host_merge.any():
             hm = np.nonzero(host_merge)[0]
-            if self.device_merge:
-                pending += self._submit_device_merge(
-                    hm, qi_arr, flat_rows, rows_pad, n_terms, cand, ks,
-                    Lval, queries, results)
-            else:
-                # bind originals: qi_arr/flat_rows/ks are re-filtered below
-                def run_host_merge(res_list, hm=hm, qi_arr=qi_arr,
-                                   flat_rows=flat_rows, ks=ks):
-                    for i in hm:
-                        qi = int(qi_arr[i])
-                        d, s = host_exact_search(
-                            self.packed, self.cache64, flat_rows[i], int(ks[i]))
-                        res_list[qi].set_arrays(d, s)
 
+            # bind originals: qi_arr/flat_rows/ks are re-filtered below
+            def run_host_merge(res_list, hm=hm, qi_arr=qi_arr,
+                               flat_rows=flat_rows, ks=ks):
+                for i in hm:
+                    qi = int(qi_arr[i])
+                    d, s = host_exact_search(
+                        self.packed, self.cache64, flat_rows[i], int(ks[i]))
+                    res = res_list[qi]
+                    res.set_arrays(d, s)
+                    q = queries[qi]
+                    if q.return_snippets and self.doc_bodies is not None:
+                        pq = _PlannedQuery(qi, flat_rows[i], q)
+                        for e in res.entries:
+                            e.snippet = self._snippet(pq, e.doc_id)
+
+            if self.device_merge:
+                dm = hm[~saturated[hm]]
+                hh = hm[saturated[hm]]
+                if len(dm):
+                    pending += self._submit_device_merge(
+                        dm, qi_arr, flat_rows, rows_pad, n_terms, cand, ks,
+                        Lval, queries, results)
+                if len(hh):
+                    pending.append(
+                        lambda res_list, f=run_host_merge, hh=hh: f(
+                            res_list, hm=hh))
+            else:
                 pending.append(run_host_merge)
             keep = ~host_merge
             if not keep.any():
@@ -414,6 +432,11 @@ class TpuEngine:
         return pending
 
     MERGE_CHUNK = 256  # merge cells are ~1ms each; keep dispatches modest
+    # merge batches are padded to these widths: the pallas_call grid
+    # (C = B*(T-1)) and the combine kernel are shape-specialized, and each
+    # distinct shape is a minutes-long Mosaic compile — zero-length meta
+    # rows are near-free cells, so padding is the cheap side of the trade
+    MERGE_B_BUCKETS = [8, 32, 128, 256]
 
     def _submit_device_merge(self, hm, qi_arr, flat_rows, rows_pad, n_terms,
                              cand, ks, Lval, queries, results):
@@ -429,10 +452,11 @@ class TpuEngine:
         for (T, L), members in groups.items():
             for ci in range(0, len(members), self.MERGE_CHUNK):
                 m = members[ci : ci + self.MERGE_CHUNK]
-                B = len(m)
+                B = _bucket(len(m), self.MERGE_B_BUCKETS)
                 starts = np.zeros((B, T), dtype=np.int32)
                 ends = np.zeros((B, T), dtype=np.int32)
-                use = np.ones((B, T), dtype=np.float32)
+                use = np.zeros((B, T), dtype=np.float32)
+                use[: len(m)] = 1.0
                 idf64_q = np.zeros((B, T), dtype=np.float64)
                 slot_of = np.zeros((B, T), dtype=np.int64)
                 meta = np.zeros((B * (T - 1), 4), dtype=np.int32)
@@ -467,11 +491,12 @@ class TpuEngine:
                 def finalize(res_list, out=out, T=T, m=m, slot_of=slot_of,
                              idf64_q=idf64_q, qi_arr=qi_arr, ks=ks,
                              flat_rows=flat_rows, queries=queries):
-                    packed_out = np.asarray(out)
+                    n = len(m)  # drop B-bucket padding rows
+                    packed_out = np.asarray(out)[:n]
                     qis = np.asarray([qi_arr[i] for i in m], dtype=np.int64)
                     self._finalize_arrays(
                         packed_out[:, 0, :], packed_out[:, 1 : T + 1, :],
-                        slot_of, idf64_q, np.asarray([ks[i] for i in m]),
+                        slot_of[:n], idf64_q[:n], np.asarray([ks[i] for i in m]),
                         qis, flat_rows, np.asarray(m), queries, res_list)
 
                 pending.append(finalize)
@@ -634,8 +659,35 @@ class TpuEngine:
         # groups too finely (more dispatches than the iterations save)
         return (T, L, l2 if windowed else 0, 0)
 
+    def _route_saturated(self, planned: List[_PlannedQuery], is_phrase: bool):
+        """Split off queries whose candidate list exceeds the largest L
+        bucket — the kernels would silently scan only the first L
+        candidates. They run exactly on host instead."""
+        keep: List[_PlannedQuery] = []
+        over: List[_PlannedQuery] = []
+        for pq in planned:
+            if int(self.packed.df[pq.slot_rows[0]]) > L_BUCKETS[-1]:
+                over.append(pq)
+            else:
+                keep.append(pq)
+        if not over:
+            return planned, []
+
+        def run_host(res_list, over=over, is_phrase=is_phrase):
+            for pq in over:
+                d, s = host_exact_search(
+                    self.packed, self.cache64, pq.rows,
+                    pq.query.n_results, is_phrase=is_phrase)
+                res = res_list[pq.qi]
+                res.set_arrays(d, s)
+                if pq.query.return_snippets and self.doc_bodies is not None:
+                    for e in res.entries:
+                        e.snippet = self._snippet(pq, e.doc_id)
+
+        return keep, [run_host]
+
     def _submit_flat(self, planned: List[_PlannedQuery]):
-        pending = []
+        planned, pending = self._route_saturated(planned, is_phrase=False)
         for (T, L, L2, iters), group in self._chunked_groups(planned, self._flat_key):
             starts, ends, use_score, idf64_q, slot_of, ks = self._assemble(group, T)
             M = min(L, int(ks.max(initial=1)) + self.margin)
@@ -676,7 +728,7 @@ class TpuEngine:
     # -- phrase --------------------------------------------------------
 
     def _submit_phrase(self, planned: List[_PlannedQuery]):
-        pending = []
+        planned, pending = self._route_saturated(planned, is_phrase=True)
         keyfn = lambda pq: (
             len(pq.rows),  # exact T; phrase adjacency needs true slots
             _bucket(int(self.packed.df[pq.slot_rows[0]]), L_BUCKETS),

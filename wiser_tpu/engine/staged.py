@@ -66,13 +66,36 @@ def _hot_view(packed: PackedIndex, hbm_budget_bytes: int
     new_starts = np.zeros(packed.n_terms + 1, dtype=np.int64)
     np.cumsum(np.where(hot, lens, 0), out=new_starts[1:])
     P_hot = int(new_starts[-1])
-    doc = np.full(P_hot, SENTINEL_DOC, dtype=np.int32)
-    tf = np.zeros(P_hot, dtype=np.int32)
+    # global-posting-index gather map for the compacted view: every
+    # per-posting column (docs, tfs, position bags, offset bags, bloom
+    # rows) must be remapped through it — the bags are CSRs addressed by
+    # posting index, so keeping the originals would silently read another
+    # term's positions/offsets/filters on the hot tier.
+    gather = np.empty(P_hot, dtype=np.int64)
     for r in np.nonzero(hot)[0]:
-        s_old, e_old = int(packed.term_starts[r]), int(packed.term_starts[r + 1])
+        s_old, n = int(packed.term_starts[r]), int(lens[r])
         s_new = int(new_starts[r])
-        doc[s_new : s_new + (e_old - s_old)] = packed.postings_doc[s_old:e_old]
-        tf[s_new : s_new + (e_old - s_old)] = packed.postings_tf[s_old:e_old]
+        gather[s_new : s_new + n] = np.arange(s_old, s_old + n)
+    doc = packed.postings_doc[gather].astype(np.int32, copy=False)
+    tf = packed.postings_tf[gather].astype(np.int32, copy=False)
+
+    def _regather_csr(starts: np.ndarray, *payloads):
+        seg_lens = np.diff(starts)[gather]
+        new_csr = np.zeros(P_hot + 1, dtype=np.int64)
+        np.cumsum(seg_lens, out=new_csr[1:])
+        total = int(new_csr[-1])
+        # ragged element gather: absolute source index per payload element
+        idx = (np.repeat(starts[gather], seg_lens)
+               + np.arange(total) - np.repeat(new_csr[:-1], seg_lens))
+        return (new_csr,) + tuple(p[idx] for p in payloads)
+
+    pos_starts, positions = _regather_csr(packed.pos_starts, packed.positions)
+    off_starts, off_begin, off_end = _regather_csr(
+        packed.off_starts, packed.off_begin, packed.off_end)
+    bloom_ends = (packed.bloom_ends[gather]
+                  if packed.bloom_ends is not None else None)
+    bloom_begins = (packed.bloom_begins[gather]
+                    if packed.bloom_begins is not None else None)
     # cold rows get zero-length runs (monotone CSR preserved); they are
     # never dispatched to the hot engine by construction
     view = replace(
@@ -80,6 +103,13 @@ def _hot_view(packed: PackedIndex, hbm_budget_bytes: int
         term_starts=new_starts,
         postings_doc=doc,
         postings_tf=tf,
+        pos_starts=pos_starts,
+        positions=positions,
+        off_starts=off_starts,
+        off_begin=off_begin,
+        off_end=off_end,
+        bloom_ends=bloom_ends,
+        bloom_begins=bloom_begins,
         term_to_row=packed.term_to_row,
         idf64=packed.idf64,
         max_tf=packed.max_tf,
@@ -92,8 +122,6 @@ class StagedEngine:
                  doc_bodies=None, margin: int = 54):
         self.packed = packed
         hot_view, self.hot_mask = _hot_view(packed, hbm_budget_bytes)
-        # NOTE: the hot view reuses packed's positions/offsets arrays
-        # (host-side); only posting columns were subset
         self.hot = TpuEngine(hot_view, doc_bodies=doc_bodies, margin=margin)
         self.margin = margin
         self.doc_bodies = doc_bodies

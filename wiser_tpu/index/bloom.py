@@ -95,7 +95,11 @@ class BloomConfig:
         a = murmur2(data, MURMUR_SEED)
         b = murmur2(data, a)
         i = np.arange(self.n_hashes, dtype=np.uint64)
-        x = (np.uint64(a) + i * np.uint64(b)) % np.uint64(self.bits)
+        # libbloom does `x = (a + i*b) % bits` in 32-bit unsigned arithmetic
+        # (bloom.c:59-64): a+i*b wraps mod 2^32 BEFORE the modulo. Match it
+        # so filters interop with reference-serialized bit arrays.
+        x = ((np.uint64(a) + i * np.uint64(b)) & np.uint64(_U32)) % np.uint64(
+            self.bits)
         return x.astype(np.int32)
 
     def probe_word_masks(self, key: str) -> tuple[np.ndarray, np.ndarray]:
