@@ -27,10 +27,13 @@ import numpy as np
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 REFERENCE_QPS_ESTIMATE = 10_000.0
 
-N_DOCS = 20_000
-VOCAB = 20_000
-MEAN_LEN = 120
-N_QUERIES = 131_072
+# Scale knobs (env-overridable so the same driver runs the 100k/1M-doc
+# scale ladder: WISER_BENCH_DOCS=100000 WISER_BENCH_VOCAB=50000 python
+# bench.py). Defaults = the headline 20k-doc config.
+N_DOCS = int(os.environ.get("WISER_BENCH_DOCS", 20_000))
+VOCAB = int(os.environ.get("WISER_BENCH_VOCAB", 20_000))
+MEAN_LEN = int(os.environ.get("WISER_BENCH_MEAN_LEN", 120))
+N_QUERIES = int(os.environ.get("WISER_BENCH_QUERIES", 131_072))
 BATCH = 32_768
 K = 10
 

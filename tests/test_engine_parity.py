@@ -50,6 +50,35 @@ class TestSingleTerm:
         *_, engine = corpus
         assert engine.search(SearchQuery(["nope"], n_results=5)).size() == 0
 
+    def test_impact_table_depth_boundaries(self, corpus):
+        """The single-term impact table serves k <= depth (or whole-list
+        terms) bit-exactly; deeper k falls back to the device path. Probe
+        k around the table depth on a head term (df > depth) and a tail
+        term (df < depth)."""
+        _, packed, oracle, engine = corpus
+        depth = engine._st_depth
+        head = packed.terms[int(np.argmax(packed.df))]
+        assert packed.postinglist_size(head) > depth
+        for k in (1, depth - 1, depth, depth + 1, depth + 50):
+            q = SearchQuery([head], n_results=k)
+            assert_same(oracle.search(q), engine.search(q), f"head k={k}")
+        tail_rows = np.nonzero((packed.df > 0) & (packed.df < depth))[0]
+        if len(tail_rows):
+            tail = packed.terms[int(tail_rows[0])]
+            for k in (1, int(packed.postinglist_size(tail)), depth + 5):
+                q = SearchQuery([tail], n_results=k)
+                assert_same(oracle.search(q), engine.search(q), f"tail k={k}")
+
+    def test_impact_table_disabled_matches(self, corpus):
+        """single_term_depth=0 must agree with the table path."""
+        _, packed, oracle, _ = corpus
+        eng = TpuEngine(packed, single_term_depth=0)
+        for t in ["t0", "t5", "t50"]:
+            if packed.lookup(t) < 0:
+                continue
+            q = SearchQuery([t], n_results=10)
+            assert_same(oracle.search(q), eng.search(q), f"no-table {t}")
+
 
 class TestConjunctive:
     def test_two_term(self, corpus):

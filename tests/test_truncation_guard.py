@@ -52,12 +52,13 @@ class TestGuardWiring:
         monkeypatch.setattr(device_mod, "host_exact_search",
                             lambda *a, **kw: calls.append(1) or orig(*a, **kw))
         q = SearchQuery(["w"], n_results=10)
-        r = engine.search(q)
-        assert not calls  # exact tie class: fast path stays correct
-        o = oracle.search(q)
-        assert [(e.doc_id, e.doc_score) for e in r.entries] == \
-               [(e.doc_id, e.doc_score) for e in o.entries]
-        assert [e.doc_id for e in r.entries] == list(range(10))
+        for eng in (engine, TpuEngine(packed, single_term_depth=0)):
+            r = eng.search(q)
+            assert not calls  # exact tie class: fast path stays correct
+            o = oracle.search(q)
+            assert [(e.doc_id, e.doc_score) for e in r.entries] == \
+                   [(e.doc_id, e.doc_score) for e in o.entries]
+            assert [e.doc_id for e in r.entries] == list(range(10))
 
     def test_flag_routes_to_host_exact(self, tied_corpus, monkeypatch):
         packed, oracle = tied_corpus
@@ -73,7 +74,9 @@ class TestGuardWiring:
         monkeypatch.setattr(
             device_mod, "truncation_suspects",
             lambda s, n, k: np.ones(len(s), dtype=bool))
-        q = SearchQuery(["w"], n_results=10)
+        # multi-term: single-term queries are served from the exact impact
+        # table and never reach the guard
+        q = SearchQuery(["w", "q"], n_results=10)
         r = engine.search(q)
         assert calls, "forced suspect flag must route to the exact path"
         o = oracle.search(q)

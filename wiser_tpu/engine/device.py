@@ -140,6 +140,7 @@ class TpuEngine:
         bloom_enable_factor: Optional[int] = 1,
         margin: int = DEFAULT_MARGIN,
         device_merge: bool = False,
+        single_term_depth: int = 64,
     ):
         # device_merge: route mega-pair queries through the Pallas
         # staircase merge (ops/merge.py) instead of the host merge.
@@ -177,6 +178,59 @@ class TpuEngine:
         self._max_df = int(packed.df.max(initial=1))
         self._starts32 = packed.term_starts.astype(np.int32)
         self._df32 = packed.df.astype(np.int32)
+
+        self._st_depth = single_term_depth
+        if single_term_depth:
+            self._build_single_term_table(scores64, single_term_depth)
+
+    def _build_single_term_table(self, scores64: np.ndarray, depth: int):
+        """Impact-ordered per-term top table: a single-term query's top-k
+        depends only on the index (score = idf * lossy tfnorm — exactly
+        the f64 partial score), so the answer is precomputable. Serving a
+        single-term query becomes a host array slice — no device work.
+        This generalizes the reference's 256-entry BM25 cache idea
+        (scoring.h:85-90) to the full per-term answer; the reference
+        cannot afford it because it re-reads postings from flash, we can
+        because the table is (n_terms x depth x 2) ints in host RAM.
+
+        Table rows are sorted by the exact oracle canon (f64 score desc,
+        doc asc), so any k <= depth (or k >= df) is served bit-exactly."""
+        packed = self.packed
+        lens = np.diff(packed.term_starts)
+        term_of = np.repeat(np.arange(packed.n_terms, dtype=np.int64), lens)
+        # sentinel pads score exactly 0.0 < any real score -> sorted last
+        order = np.lexsort((packed.postings_doc, -scores64, term_of))
+        # cap by actual run length too: a staged hot view keeps global df
+        # for cold rows but gives them zero-length runs
+        cnt = np.minimum(np.minimum(packed.df, lens), depth).astype(np.int64)
+        tt_starts = np.zeros(packed.n_terms + 1, dtype=np.int64)
+        np.cumsum(cnt, out=tt_starts[1:])
+        total = int(tt_starts[-1])
+        seg = packed.term_starts.astype(np.int64)
+        idx = order[np.repeat(seg[:-1], cnt)
+                    + np.arange(total) - np.repeat(tt_starts[:-1], cnt)]
+        self._tt_starts = tt_starts
+        self._tt_docs = packed.postings_doc[idx].astype(np.int64)
+        self._tt_scores = scores64[idx]
+
+    def _serve_single_term(self, qi: int, row: int, q: SearchQuery,
+                           results: List[SearchResult]) -> bool:
+        """Answer a single-term query from the impact table; returns False
+        if the query needs more depth than the table holds."""
+        k = q.n_results
+        s, e = int(self._tt_starts[row]), int(self._tt_starts[row + 1])
+        cnt = e - s
+        if k > cnt and int(self.packed.df[row]) > cnt:
+            return False  # deeper than the table: device/host path
+        take = min(k, cnt)
+        res = results[qi]
+        res.set_arrays(self._tt_docs[s : s + take],
+                       self._tt_scores[s : s + take])
+        if q.return_snippets and self.doc_bodies is not None:
+            pq = _PlannedQuery(qi, [row], q)
+            for entry in res.entries:
+                entry.snippet = self._snippet(pq, entry.doc_id)
+        return True
 
     def _upload(self) -> None:
         """(Re)provision device-resident columns — called at init and
@@ -264,6 +318,9 @@ class TpuEngine:
             rows = [lookup(t, -1) for t in terms]
             if min(rows) < 0:
                 continue  # missing term -> empty result
+            if (len(rows) == 1 and self._st_depth
+                    and self._serve_single_term(qi, rows[0], q, results)):
+                continue  # answered from the impact table, zero device work
             if q.is_phrase and len(rows) >= 2:
                 pq = _PlannedQuery(qi, rows, q)
                 pq.plan_slots(self.packed.df)
@@ -316,15 +373,18 @@ class TpuEngine:
         tb = np.asarray(T_BUCKETS, dtype=np.int64)
         T_idx = np.minimum(np.searchsorted(tb, n_terms), len(tb) - 1)
 
-        # mega-pair routing: multi-term queries over extremely long
-        # candidate lists run either through the Pallas staircase merge
-        # (device_merge=True) or exactly on host, instead of the dense
-        # windowed device compare. Queries whose candidate list exceeds the
-        # largest L bucket (bucket saturation would silently scan only the
-        # first L postings) are ALWAYS routed to the exact host path —
-        # including single-term ones.
+        # mega-pair routing: WINDOWED-ELIGIBLE mega pairs run the windowed
+        # device kernel (measured 2.1k QPS vs the host merge's 48 QPS at
+        # L=131072 on the 100k corpus — the round-1 scale cliff was
+        # routing these to host); only ineligible ones (length ratio > 4,
+        # where WIN would blow up) go to the Pallas staircase merge
+        # (device_merge=True) or the exact host merge. Queries whose
+        # candidate list exceeds the largest L bucket (bucket saturation
+        # would silently scan only the first L postings) are ALWAYS routed
+        # to the exact host path — including single-term ones.
         saturated = cand_df.astype(np.int64) > int(lb[-1])
-        host_merge = ((n_terms > 1) & (Lval >= self.HOST_MERGE_MIN_L)) | saturated
+        host_merge = ((n_terms > 1) & (Lval >= self.HOST_MERGE_MIN_L)
+                      & ~windowed) | saturated
         pending = []
         if host_merge.any():
             hm = np.nonzero(host_merge)[0]
@@ -525,23 +585,23 @@ class TpuEngine:
                 if not first[0]:
                     out = kern(*make_args())  # re-dispatch after recovery
                 first[0] = False
-                packed = np.asarray(out)
-                if L2 and bool(packed[0, T + 1, 0]):
-                    fb = K.make_search_kernel(
-                        T, L, M, K.n_iters_for(self._max_df))
-                    packed = np.asarray(fb(*make_args()))
-                return packed
+                return np.asarray(out)
 
             packed = self._run_with_recovery(run)
+            # per-query window overflow (skewed doc distribution): only
+            # the flagged queries take the exact host fallback
+            force_host = packed[:, T + 1, 0] != 0 if L2 else None
             self._finalize_arrays(
                 packed[:, 0, :], packed[:, 1 : T + 1, :], slot_of, idf64_q,
-                ks, qis, flat_rows, members, queries, res_list)
+                ks, qis, flat_rows, members, queries, res_list,
+                force_host=force_host)
 
         finalize.out = out  # exposes the device buffer for async host copy
         return finalize
 
     def _finalize_arrays(self, top_docs, top_tfs_slot, slot_of, idf64_q, ks,
-                         qis, flat_rows, members, queries, results):
+                         qis, flat_rows, members, queries, results,
+                         force_host=None):
         n = len(qis)
         M = top_tfs_slot.shape[2]
         tf_q = np.take_along_axis(
@@ -550,6 +610,8 @@ class TpuEngine:
         docs_f, score_f, n_valid = rescore_sorted_arrays(
             top_docs, tf_q, idf64_q, self.packed.doc_len_code, self.cache64)
         suspects = truncation_suspects(score_f, n_valid, ks)
+        if force_host is not None:
+            suspects = suspects | force_host[: len(suspects)]
         for i in range(n):
             qi = int(qis[i])
             res = results[qi]
@@ -605,7 +667,7 @@ class TpuEngine:
         return starts, ends, use_score, idf64_q, slot_of, ks
 
     def _finalize_group(self, group, top_docs, top_tfs_slot, slot_of,
-                        idf64_q, ks, results):
+                        idf64_q, ks, results, force_host=None):
         # slot order -> query-term order for the exact f64 sum
         M = top_tfs_slot.shape[2]
         tf_q = np.take_along_axis(
@@ -616,6 +678,8 @@ class TpuEngine:
         docs_f, score_f, n_valid = rescore_sorted_arrays(
             top_docs, tf_q, idf64_q, self.packed.doc_len_code, self.cache64)
         suspects = truncation_suspects(score_f, n_valid, ks)
+        if force_host is not None:
+            suspects = suspects | force_host[: len(suspects)]
         for i, pq in enumerate(group):
             res = results[pq.qi]
             if suspects[i]:
@@ -709,17 +773,13 @@ class TpuEngine:
                          slot_of=slot_of, idf64_q=idf64_q, ks=ks,
                          args=args, T=T, L=L, M=M):
                 packed = np.asarray(out)  # ONE device->host roundtrip
-                if windowed:
-                    overflow = bool(packed[0, T + 1, 0])
-                    if overflow:
-                        # skewed doc distribution: exact fallback
-                        kern = K.make_search_kernel(
-                            T, L, M, K.n_iters_for(self._max_df))
-                        packed = np.asarray(kern(*args))
+                # skewed doc distribution: per-query exact host fallback
+                force_host = (packed[:, T + 1, 0] != 0) if windowed else None
                 top_docs = packed[:, 0, :]
                 top_tfs = packed[:, 1 : T + 1, :]
                 self._finalize_group(group, top_docs, top_tfs, slot_of,
-                                     idf64_q, ks, results)
+                                     idf64_q, ks, results,
+                                     force_host=force_host)
 
             finalize.out = out
             pending.append(finalize)

@@ -392,8 +392,9 @@ def make_merge_combine(T: int, L: int, M: int):
 #
 # Exactness: a candidate block's true overlap in the other list can exceed
 # the fixed window width WIN when doc distributions are skewed; the kernel
-# detects that (overflow flag) and the host re-runs the group through the
-# binary-search kernel. With similarly-sized lists overflow is rare.
+# flags the affected QUERIES (per-row overflow bit) and the host re-runs
+# just those through the exact host search. With similarly-sized lists
+# overflow is rare.
 # ---------------------------------------------------------------------------
 
 def default_win(L: int, G: int) -> int:
@@ -408,7 +409,8 @@ def windowed_search_body(postings_doc, postings_score, postings_tf,
 
     G = other-list block-count bucket (covers the longest non-candidate
     list in the group: G*128 >= max df). Returns search_body's outputs
-    plus an `overflow` bool scalar.
+    plus a PER-QUERY `overflow` bool (B,) — only the skewed queries pay
+    the exact fallback, not the whole dispatch group.
     """
     assert T >= 2
     B = starts.shape[0]
@@ -427,7 +429,7 @@ def windowed_search_body(postings_doc, postings_score, postings_tf,
     tf_blocks = postings_tf.reshape(-1, 128)
     total_score = []
     total_tf = []
-    overflow = jnp.zeros((), dtype=bool)
+    overflow = jnp.zeros((B,), dtype=bool)
     g = jnp.arange(G, dtype=jnp.int32)
 
     for t in range(1, T):
@@ -450,7 +452,8 @@ def windowed_search_body(postings_doc, postings_score, postings_tf,
         cmp_hi = (obfirst[:, None, :] <= cbmax[:, :, None]) & gvalid[:, None, :]
         j_hi = jnp.maximum(jnp.sum(cmp_hi, axis=2, dtype=jnp.int32) - 1, 0)
         has_cand = cbmax >= 0
-        overflow = overflow | jnp.any((j_hi - j_lo + 1 > WIN) & has_cand)
+        overflow = overflow | jnp.any((j_hi - j_lo + 1 > WIN) & has_cand,
+                                      axis=1)
 
         # partial scores are strictly positive (idf > 0, tf >= 1;
         # sentinel pads score 0), so score_t > 0 IS the membership flag.
@@ -508,8 +511,10 @@ def make_windowed_search_kernel(T: int, L: int, G: int, M: int):
             postings_doc, postings_score, postings_tf, starts, ends,
             use_score, T=T, L=L, G=G, M=M, WIN=win)
         packed = jnp.concatenate([top_docs[:, None, :], top_tfs], axis=1)
-        # overflow rides in an extra int32 lane to keep one fetch
-        flag = jnp.broadcast_to(overflow.astype(jnp.int32), (packed.shape[0], 1, packed.shape[2]))
+        # per-query overflow rides in an extra int32 row to keep one fetch
+        flag = jnp.broadcast_to(
+            overflow.astype(jnp.int32)[:, None, None],
+            (packed.shape[0], 1, packed.shape[2]))
         return jnp.concatenate([packed, flag], axis=1)
 
     return jax.jit(kernel)
