@@ -91,14 +91,14 @@ class PackedIndex:
 
             self.idf64 = np.asarray(calc_es_idf(self.n_docs, self.df), dtype=np.float64)
         if self.max_tf is None:
-            self.max_tf = np.zeros(len(self.terms), dtype=np.int32)
-            lens = np.diff(self.term_starts)
-            if len(self.postings_tf):
-                np.maximum.at(
-                    self.max_tf,
-                    np.repeat(np.arange(len(self.terms)), lens),
-                    self.postings_tf.astype(np.int32),
-                )
+            if len(self.postings_tf) and len(self.terms):
+                # segmented max via reduceat (runs are never empty: padded
+                # to >=1 block) — ufunc.at was 100x slower at 20M postings
+                self.max_tf = np.maximum.reduceat(
+                    self.postings_tf, self.term_starts[:-1].astype(np.int64)
+                ).astype(np.int32)
+            else:
+                self.max_tf = np.zeros(len(self.terms), dtype=np.int32)
 
     # -- introspection ----------------------------------------------------
 

@@ -64,6 +64,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.wiser_murmur2_batch.restype = None
         lib.wiser_murmur2_batch.argtypes = [u8p, i64p, i64p, ctypes.c_int64,
                                             ctypes.c_uint32, u32p]
+        lib.wiser_murmur2_batch_seeded.restype = None
+        lib.wiser_murmur2_batch_seeded.argtypes = [u8p, i64p, i64p,
+                                                   ctypes.c_int64, u32p, u32p]
         lib.wiser_varint_encode.restype = ctypes.c_int64
         lib.wiser_varint_encode.argtypes = [u32p, ctypes.c_int64, u8p]
         lib.wiser_varint_decode.restype = ctypes.c_int64
@@ -97,6 +100,35 @@ def available() -> bool:
 
 
 # -- high-level wrappers ---------------------------------------------------
+
+
+def murmur2_batch_seeded(blob: bytes, starts: np.ndarray, ends: np.ndarray,
+                         seeds) -> np.ndarray:
+    """Batch murmur2 of keys blob[starts[i]:ends[i]]. seeds may be None
+    (uses the libbloom MURMUR_SEED for every key) or a uint32 array of
+    per-key seeds (the double-hash second pass)."""
+    from wiser_tpu.index.bloom import MURMUR_SEED
+
+    n = len(starts)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    out = np.empty(n, dtype=np.uint32)
+    lib = get_lib()
+    if lib is None:
+        from wiser_tpu.index.bloom import murmur2 as py_murmur2
+        for i in range(n):
+            seed = MURMUR_SEED if seeds is None else int(seeds[i])
+            out[i] = py_murmur2(blob[starts[i]:ends[i]], seed)
+        return out
+    src = np.frombuffer(blob, dtype=np.uint8)
+    if seeds is None:
+        lib.wiser_murmur2_batch(_u8(src), _i64(starts), _i64(ends), n,
+                                ctypes.c_uint32(MURMUR_SEED), _u32(out))
+    else:
+        seeds = np.ascontiguousarray(seeds, dtype=np.uint32)
+        lib.wiser_murmur2_batch_seeded(_u8(src), _i64(starts), _i64(ends), n,
+                                       _u32(seeds), _u32(out))
+    return out
 
 
 def murmur2(key: bytes, seed: int) -> int:

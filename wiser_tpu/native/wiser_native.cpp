@@ -60,6 +60,17 @@ void wiser_murmur2_batch(const uint8_t* blob, const int64_t* starts,
   }
 }
 
+// Per-key seeds variant: the libbloom double-hash needs b = murmur(key, a)
+// where a is the first hash of the same key (bloom.c:57-58).
+void wiser_murmur2_batch_seeded(const uint8_t* blob, const int64_t* starts,
+                                const int64_t* ends, int64_t n,
+                                const uint32_t* seeds, uint32_t* out) {
+  for (int64_t i = 0; i < n; i++) {
+    out[i] = wiser_murmur2(blob + starts[i], (int)(ends[i] - starts[i]),
+                           seeds[i]);
+  }
+}
+
 // ---------------------------------------------------------------------------
 // varint (LEB128) codec over uint32 arrays
 // ---------------------------------------------------------------------------

@@ -17,23 +17,37 @@ import time
 
 
 def build(linedoc: str, fmt: str, out: str, n_rows=None, with_blooms=False,
-          bloom_entries=5, bloom_ratio=0.0009, store_docs=True):
+          bloom_entries=5, bloom_ratio=0.0009, store_docs=True, fast=False):
     from wiser_tpu.index.bloom import BloomConfig
     from wiser_tpu.index.builder import build_index_from_linedoc
     from wiser_tpu.index.doc_store import ChunkedDocStoreWriter
 
     t0 = time.time()
-    packed, oracle = build_index_from_linedoc(
-        linedoc, fmt, n_rows=n_rows,
-        bloom_cfg=BloomConfig(bloom_entries, bloom_ratio),
-        with_blooms=with_blooms,
-    )
+    oracle = None
+    if fast:
+        from wiser_tpu.index.fast_builder import build_packed_fast
+
+        packed = build_packed_fast(
+            linedoc, fmt, n_rows=n_rows, with_blooms=with_blooms,
+            bloom_cfg=BloomConfig(bloom_entries, bloom_ratio), verbose=True)
+    else:
+        packed, oracle = build_index_from_linedoc(
+            linedoc, fmt, n_rows=n_rows,
+            bloom_cfg=BloomConfig(bloom_entries, bloom_ratio),
+            with_blooms=with_blooms,
+        )
     t1 = time.time()
     packed.save(out)
     if store_docs:
         w = ChunkedDocStoreWriter(out + "/docs")
-        for body in oracle.doc_bodies:
-            w.add(body)
+        if oracle is not None:
+            for body in oracle.doc_bodies:
+                w.add(body)
+        else:
+            from wiser_tpu.linedoc import parse_linedoc
+
+            for d in parse_linedoc(linedoc, fmt, n_rows):
+                w.add(d.body)
         w.close()
     t2 = time.time()
     print(
@@ -55,9 +69,12 @@ def main(argv=None):
     ap.add_argument("--bloom-entries", type=int, default=5)
     ap.add_argument("--bloom-ratio", type=float, default=0.0009)
     ap.add_argument("--no-doc-store", action="store_true")
+    ap.add_argument("--fast", action="store_true",
+                    help="vectorized chunked builder (reference-scale path)")
     args = ap.parse_args(argv)
     build(args.linedoc, args.format, args.out, args.n_rows, args.with_blooms,
-          args.bloom_entries, args.bloom_ratio, store_docs=not args.no_doc_store)
+          args.bloom_entries, args.bloom_ratio,
+          store_docs=not args.no_doc_store, fast=args.fast)
 
 
 if __name__ == "__main__":
