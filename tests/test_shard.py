@@ -92,3 +92,101 @@ class TestShardedParity:
         for qa, qb in zip(a, b):
             assert [(e.doc_id, e.doc_score) for e in qa.entries] == \
                    [(e.doc_id, e.doc_score) for e in qb.entries]
+
+
+class TestShardedGuardAndSnippets:
+    """Round-2 hardening: tie-class truncation guard, saturation routing,
+    pipelined submit, and snippets on the sharded path (VERDICT r1 #6)."""
+
+    def test_tie_fuzz_guard(self, monkeypatch):
+        """A giant exact tie class + forced suspect flag must route to the
+        exact host path and stay bit-identical (mirrors
+        test_truncation_guard on the 8-device mesh)."""
+        from wiser_tpu.data.synth import make_docinfo
+        import wiser_tpu.engine.shard as shard_mod
+
+        docs = [make_docinfo("w w q".split()) for _ in range(200)]
+        docs += [make_docinfo(["q", f"u{i}"]) for i in range(24)]
+        packed, oracle = build_index(docs)
+        sharded = ShardedIndex.from_packed(packed, n_shards=8)
+        engine = ShardedEngine(sharded)
+        q = SearchQuery(["w", "q"], n_results=10)
+        o = oracle.search(q)
+        r = engine.search(q)
+        assert [(e.doc_id, e.doc_score) for e in r.entries] == \
+               [(e.doc_id, e.doc_score) for e in o.entries]
+        # force the suspect flag: results must still be exact (host path)
+        calls = []
+        orig = engine._host_exact
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(engine, "_host_exact", spy)
+        monkeypatch.setattr(
+            shard_mod, "truncation_suspects",
+            lambda s, n, k: np.ones(len(s), dtype=bool), raising=False)
+        import wiser_tpu.engine.topk as topk_mod
+        monkeypatch.setattr(
+            topk_mod, "truncation_suspects",
+            lambda s, n, k: np.ones(len(s), dtype=bool))
+        r2 = engine.search(q)
+        assert calls, "forced suspect flag must route to the host path"
+        assert [(e.doc_id, e.doc_score) for e in r2.entries] == \
+               [(e.doc_id, e.doc_score) for e in o.entries]
+
+    def test_host_exact_sharded_matches(self, sharded_setup):
+        from wiser_tpu.engine.shard import host_exact_search_sharded
+
+        packed, oracle, _, engine = sharded_setup
+        rows = [packed.lookup("t0"), packed.lookup("t1")]
+        d, s = host_exact_search_sharded(
+            engine.sharded, engine.cache64, rows, 10)
+        o = oracle.search(SearchQuery(["t0", "t1"], n_results=10))
+        assert list(d) == [e.doc_id for e in o.entries]
+        np.testing.assert_array_equal(s, [e.doc_score for e in o.entries])
+        dp, sp = host_exact_search_sharded(
+            engine.sharded, engine.cache64, rows, 10, is_phrase=True)
+        op = oracle.search(SearchQuery(["t0", "t1"], n_results=10,
+                                       is_phrase=True))
+        assert list(dp) == [e.doc_id for e in op.entries]
+
+    def test_saturation_routes_to_host(self, monkeypatch):
+        import wiser_tpu.engine.shard as shard_mod
+
+        docs = synth_docinfos(n_docs=600, vocab_size=60, mean_len=30, seed=5)
+        packed, oracle = build_index(docs)
+        sharded = ShardedIndex.from_packed(packed, n_shards=8)
+        monkeypatch.setattr(shard_mod, "L_BUCKETS", [16])
+        engine = ShardedEngine(sharded)
+        head = packed.terms[int(np.argmax(packed.df))]
+        for terms, phr in ([[head, "t1"], False], [[head, "t1"], True]):
+            q = SearchQuery(terms, n_results=10, is_phrase=phr)
+            o = oracle.search(q)
+            r = engine.search(q)
+            assert [(e.doc_id, e.doc_score) for e in r.entries] == \
+                   [(e.doc_id, e.doc_score) for e in o.entries], (terms, phr)
+
+    def test_sharded_snippets(self, sharded_setup):
+        packed, oracle, _, _ = sharded_setup
+        sharded = ShardedIndex.from_packed(packed, n_shards=8)
+        engine = ShardedEngine(sharded, doc_bodies=oracle.doc_bodies)
+        q = SearchQuery(["t0", "t1"], n_results=3, return_snippets=True)
+        o = oracle.search(q)
+        r = engine.search(q)
+        assert [e.snippet for e in r.entries] == [e.snippet for e in o.entries]
+        assert any(e.snippet for e in r.entries)
+
+    def test_submit_batch_pipelining(self, sharded_setup):
+        _, oracle, _, engine = sharded_setup
+        queries = [SearchQuery(t, n_results=10)
+                   for t in synth_query_terms(20, 100, n_terms=2, seed=17)]
+        queries += [SearchQuery(["t0", "t1"], n_results=5, is_phrase=True)]
+        results, pending = engine.submit_batch(queries)
+        for f in pending:
+            f(results)
+        for q, r in zip(queries, results):
+            o = oracle.search(q)
+            assert [(e.doc_id, e.doc_score) for e in r.entries] == \
+                   [(e.doc_id, e.doc_score) for e in o.entries], q.terms

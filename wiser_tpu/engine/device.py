@@ -886,43 +886,50 @@ class TpuEngine:
 
     # -- snippets ------------------------------------------------------
 
-    def _posting_index(self, row: int, doc: int) -> int:
-        ts, te = int(self.packed.term_starts[row]), int(self.packed.term_starts[row + 1])
-        j = int(np.searchsorted(self.packed.postings_doc[ts:te], doc))
-        return ts + j
-
     def _snippet(self, pq: _PlannedQuery, doc: int) -> str:
         if self.doc_bodies is None:
             return ""
-        from wiser_tpu.highlighter import SimpleHighlighter
+        return snippet_for(self.packed, self.doc_bodies, pq.rows, pq.query, doc)
 
-        pk = self.packed
-        offset_table = []
-        pidxs = [self._posting_index(r, doc) for r in pq.rows]
-        if pq.query.is_phrase and len(pq.rows) >= 2:
-            # keep only offsets at phrase-match positions
-            # (ResultDocEntry::FilterOffsetByPosition, query_processing.h:469-492)
-            pos_lists = [
-                pk.positions[pk.pos_starts[p] : pk.pos_starts[p + 1]] for p in pidxs
-            ]
-            base = set(int(x) for x in pos_lists[0])
-            for t in range(1, len(pos_lists)):
-                base &= set(int(x) - t for x in pos_lists[t])
-            for t, p in enumerate(pidxs):
-                pos_to_j = {int(x): j for j, x in enumerate(pos_lists[t])}
-                s = int(pk.off_starts[p])
-                pairs = []
-                for m in sorted(base):
-                    j = pos_to_j.get(m + t)
-                    if j is not None and s + j < int(pk.off_starts[p + 1]):
-                        pairs.append((int(pk.off_begin[s + j]), int(pk.off_end[s + j])))
-                offset_table.append(pairs)
-        else:
-            for p in pidxs:
-                s, e = int(pk.off_starts[p]), int(pk.off_starts[p + 1])
-                offset_table.append(
-                    list(zip(pk.off_begin[s:e].tolist(), pk.off_end[s:e].tolist()))
-                )
-        return SimpleHighlighter().highlight(
-            offset_table, pq.query.n_snippet_passages, self.doc_bodies[doc]
-        )
+
+def _posting_index(packed: PackedIndex, row: int, doc: int) -> int:
+    ts, te = int(packed.term_starts[row]), int(packed.term_starts[row + 1])
+    j = int(np.searchsorted(packed.postings_doc[ts:te], doc))
+    return ts + j
+
+
+def snippet_for(pk: PackedIndex, doc_bodies, rows: Sequence[int],
+                query: SearchQuery, doc: int) -> str:
+    """Host-side snippet for one result doc — shared by the single-device,
+    staged, and sharded engines (vacuum_engine.h:243-255 analog)."""
+    from wiser_tpu.highlighter import SimpleHighlighter
+
+    offset_table = []
+    pidxs = [_posting_index(pk, r, doc) for r in rows]
+    if query.is_phrase and len(rows) >= 2:
+        # keep only offsets at phrase-match positions
+        # (ResultDocEntry::FilterOffsetByPosition, query_processing.h:469-492)
+        pos_lists = [
+            pk.positions[pk.pos_starts[p] : pk.pos_starts[p + 1]] for p in pidxs
+        ]
+        base = set(int(x) for x in pos_lists[0])
+        for t in range(1, len(pos_lists)):
+            base &= set(int(x) - t for x in pos_lists[t])
+        for t, p in enumerate(pidxs):
+            pos_to_j = {int(x): j for j, x in enumerate(pos_lists[t])}
+            s = int(pk.off_starts[p])
+            pairs = []
+            for m in sorted(base):
+                j = pos_to_j.get(m + t)
+                if j is not None and s + j < int(pk.off_starts[p + 1]):
+                    pairs.append((int(pk.off_begin[s + j]), int(pk.off_end[s + j])))
+            offset_table.append(pairs)
+    else:
+        for p in pidxs:
+            s, e = int(pk.off_starts[p]), int(pk.off_starts[p + 1])
+            offset_table.append(
+                list(zip(pk.off_begin[s:e].tolist(), pk.off_end[s:e].tolist()))
+            )
+    return SimpleHighlighter().highlight(
+        offset_table, query.n_snippet_passages, doc_bodies[doc]
+    )

@@ -37,10 +37,9 @@ from wiser_tpu.engine.device import (
     _bucket,
     DEFAULT_MARGIN,
 )
-from wiser_tpu.engine.topk import rescore_topk_batch
 from wiser_tpu.index.format import PackedIndex
 from wiser_tpu.scoring import Bm25Similarity
-from wiser_tpu.types import SearchQuery, SearchResult, SearchResultEntry
+from wiser_tpu.types import SearchQuery, SearchResult
 
 
 @dataclass
@@ -64,6 +63,9 @@ class ShardedIndex:
     avg_len: float
     doc_len_code: np.ndarray  # uint8[N]
     max_tf: np.ndarray = None  # int32[T] global (phrase PP bucketing)
+    # host-only reference to the source index: exact-fallback re-searches
+    # and snippet offsets (never uploaded to devices)
+    source: Optional[PackedIndex] = None
 
     @classmethod
     def from_packed(cls, packed: PackedIndex, n_shards: int) -> "ShardedIndex":
@@ -150,6 +152,7 @@ class ShardedIndex:
             n_docs=N,
             avg_len=packed.avg_len,
             doc_len_code=packed.doc_len_code.copy(),
+            source=packed,
         )
 
 
@@ -230,17 +233,82 @@ def make_sharded_phrase_kernel(T: int, L: int, PP: int, M: int,
     return jax.jit(step)
 
 
+def host_exact_search_sharded(sh: ShardedIndex, cache64: np.ndarray,
+                              rows, k: int, is_phrase: bool = False):
+    """Exact host re-search over the sharded host columns (the fallback
+    when no source PackedIndex is retained). Shards hold contiguous
+    ascending doc ranges, so per-shard results concatenate in doc order
+    and the final lexsort reproduces the oracle tie canon."""
+    from wiser_tpu.scoring import K1
+
+    docs_parts, tf_parts = [], []
+    for s in range(sh.n_shards):
+        dfs = [int(sh.df_shard[s, r]) for r in rows]
+        if min(dfs) == 0:
+            continue
+        cand = int(np.argmin(dfs))
+        cs = int(sh.term_starts[s, rows[cand]])
+        docs = sh.postings_doc[s, cs : cs + dfs[cand]].astype(np.int64)
+        mask = np.ones(len(docs), dtype=bool)
+        tfs = np.zeros((len(rows), len(docs)), dtype=np.int64)
+        pidx = np.zeros((len(rows), len(docs)), dtype=np.int64)
+        for t, r in enumerate(rows):
+            st, n = int(sh.term_starts[s, r]), dfs[t]
+            arr = sh.postings_doc[s, st : st + n]
+            idx = np.searchsorted(arr, docs)
+            idc = np.minimum(idx, n - 1)
+            found = (idx < n) & (arr[idc] == docs)
+            mask &= found
+            tfs[t] = sh.postings_tf[s, st + idc]
+            pidx[t] = st + idc
+        if is_phrase and len(rows) >= 2:
+            ps = sh.pos_starts[s]
+            for j in np.nonzero(mask)[0]:
+                base = set(
+                    int(x) for x in
+                    sh.positions[s, ps[pidx[0, j]] : ps[pidx[0, j] + 1]])
+                for t in range(1, len(rows)):
+                    pp = sh.positions[s, ps[pidx[t, j]] : ps[pidx[t, j] + 1]]
+                    base &= set(int(x) - t for x in pp)
+                    if not base:
+                        break
+                if not base:
+                    mask[j] = False
+        docs_parts.append(docs[mask])
+        tf_parts.append(tfs[:, mask])
+    if not docs_parts:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    docs_m = np.concatenate(docs_parts)
+    tfs_m = np.concatenate(tf_parts, axis=1).astype(np.float64)
+    if docs_m.size == 0:
+        return docs_m, np.zeros(0, dtype=np.float64)
+    cache_val = cache64[sh.doc_len_code[docs_m] & 0xFF]
+    score = np.zeros(docs_m.size, dtype=np.float64)
+    for t, r in enumerate(rows):
+        idf = np.float64(sh.idf64[r])
+        f = tfs_m[t]
+        score = score + idf * ((f * (K1 + 1)) / (f + cache_val))
+    order = np.lexsort((docs_m, -score))[:k]
+    return docs_m[order], score[order]
+
+
 class ShardedEngine:
     """Search over a ShardedIndex on a device mesh: single-term, AND, and
     phrase queries (phrase runs the full local pipeline per shard —
     positional verification is doc-local — then merges; the bi-bloom gate
-    is skipped on the sharded path, which never changes results)."""
+    is skipped on the sharded path, which never changes results).
+
+    Bit-parity hardening mirrors TpuEngine: the f32 tie-class truncation
+    guard flags suspect queries for an exact host re-search; queries whose
+    per-shard candidate run exceeds the largest L bucket route to host;
+    snippets resolve offsets through the retained source index."""
 
     def __init__(
         self,
         sharded: ShardedIndex,
         mesh: Optional[Mesh] = None,
         margin: int = DEFAULT_MARGIN,
+        doc_bodies: Optional[List[str]] = None,
     ):
         if mesh is None:
             devs = np.array(jax.devices()[: sharded.n_shards])
@@ -268,6 +336,9 @@ class ShardedEngine:
         self._max_df = int(sharded.df.max(initial=1))
         self._max_tf = int(sharded.max_tf.max(initial=1)) \
             if sharded.max_tf is not None else 1
+        self.doc_bodies = doc_bodies
+        # per-shard max df per term: the tight L bucket + saturation check
+        self._df_shard_max = sharded.df_shard.max(axis=0).astype(np.int64)
 
     def lookup(self, term: str) -> int:
         return self.term_to_row.get(term, -1)
@@ -275,17 +346,62 @@ class ShardedEngine:
     def search(self, query: SearchQuery) -> SearchResult:
         return self.search_batch([query])[0]
 
-    def _run_phrase(self, phrase, results) -> None:
-        if not phrase:
-            return
-        from wiser_tpu.engine.device import PP_BUCKETS
-        from wiser_tpu.engine.topk import rescore_sorted_arrays
+    # -- exact host fallback -------------------------------------------
 
+    def _host_exact(self, rows, k: int, is_phrase: bool):
+        if self.sharded.source is not None:
+            from wiser_tpu.engine.device import host_exact_search
+
+            return host_exact_search(self.sharded.source, self.cache64,
+                                     rows, k, is_phrase=is_phrase)
+        return host_exact_search_sharded(self.sharded, self.cache64,
+                                         rows, k, is_phrase=is_phrase)
+
+    def _fill_result(self, res: SearchResult, docs, scores, rows,
+                     q: SearchQuery) -> None:
+        res.set_arrays(docs, scores)
+        if (q.return_snippets and self.doc_bodies is not None
+                and self.sharded.source is not None):
+            from wiser_tpu.engine.device import snippet_for
+
+            for e in res.entries:
+                e.snippet = snippet_for(self.sharded.source, self.doc_bodies,
+                                        rows, q, e.doc_id)
+
+    def _route_saturated(self, items, is_phrase: bool):
+        """Queries whose per-shard candidate run exceeds the largest L
+        bucket would silently scan only the first L postings: exact host
+        path instead (mirrors TpuEngine._route_saturated)."""
+        keep, over = [], []
+        for item in items:
+            _, rows, _ = item
+            cand = rows[int(np.argmin([self.sharded.df[r] for r in rows]))]
+            (over if int(self._df_shard_max[cand]) > L_BUCKETS[-1]
+             else keep).append(item)
+        if not over:
+            return items, []
+
+        def run_host(res_list, over=over, is_phrase=is_phrase):
+            for qi, rows, q in over:
+                d, s = self._host_exact(rows, q.n_results, is_phrase)
+                self._fill_result(res_list[qi], d, s, rows, q)
+
+        return keep, [run_host]
+
+    def _run_phrase(self, phrase, results) -> list:
+        if not phrase:
+            return []
+        from wiser_tpu.engine.device import PP_BUCKETS
+
+        phrase, pending = self._route_saturated(phrase, is_phrase=True)
         repl = NamedSharding(self.mesh, P())
         groups: Dict[Tuple[int, int, int], list] = {}
         for qi, rows, q in phrase:
             T = len(rows)  # exact T (no slot padding for phrase)
-            L = _bucket(min(int(self.sharded.df[r]) for r in rows), L_BUCKETS)
+            # slot 0 scans the global-min-df term; L covers its longest
+            # per-shard run (not the global df — ~n_shards x tighter)
+            cand = rows[int(np.argmin([self.sharded.df[r] for r in rows]))]
+            L = _bucket(int(self._df_shard_max[cand]), L_BUCKETS)
             PP = _bucket(int(self.sharded.max_tf[rows[0]]), PP_BUCKETS)
             groups.setdefault((T, L, PP), []).append((qi, rows, q))
 
@@ -311,27 +427,58 @@ class ShardedEngine:
             kern = make_sharded_phrase_kernel(
                 T, L, PP, M, K.n_iters_for(self._max_df),
                 K.n_iters_for(self._max_tf), self.mesh)
-            merged = np.asarray(kern(
+            out = kern(
                 self.d_postings_doc, self.d_postings_score,
                 self.d_postings_tf, self.d_term_starts, self.d_df_shard,
                 self.d_positions, self.d_pos_starts,
                 jax.device_put(rows_arr, repl),
                 jax.device_put(use_score, repl),
                 jax.device_put(slot_of, repl),
-            ))
-            docs = merged[:, 0, :]
-            tfs_slot = merged[:, 1 : T + 1, :]
-            tf_q = np.take_along_axis(
-                tfs_slot,
-                np.broadcast_to(slot_of[:, :, None].astype(np.int64),
-                                tfs_slot.shape), axis=1)
-            docs_f, score_f, n_valid = rescore_sorted_arrays(
-                docs, tf_q, idf64_q, self.sharded.doc_len_code, self.cache64)
-            for i, (qi, rows, q) in enumerate(group):
+            )
+
+            def finalize(res_list, out=out, group=group, T=T,
+                         slot_of=slot_of, idf64_q=idf64_q, ks=ks):
+                merged = np.asarray(out)
+                self._finalize_group(res_list, merged[:, 0, :],
+                                     merged[:, 1 : T + 1, :], group,
+                                     slot_of, idf64_q, ks, is_phrase=True)
+
+            pending.append(finalize)
+        return pending
+
+    def _finalize_group(self, results, docs, tfs_slot, group, slot_of,
+                        idf64_q, ks, is_phrase: bool) -> None:
+        """Exact f64 re-rank + tie-class truncation guard + snippets —
+        the sharded mirror of TpuEngine._finalize_arrays."""
+        from wiser_tpu.engine.topk import (rescore_sorted_arrays,
+                                           truncation_suspects)
+
+        tf_q = np.take_along_axis(
+            tfs_slot,
+            np.broadcast_to(slot_of[:, :, None].astype(np.int64),
+                            tfs_slot.shape), axis=1)
+        docs_f, score_f, n_valid = rescore_sorted_arrays(
+            docs, tf_q, idf64_q, self.sharded.doc_len_code, self.cache64)
+        suspects = truncation_suspects(score_f, n_valid, ks)
+        for i, (qi, rows, q) in enumerate(group):
+            if suspects[i]:
+                d, s = self._host_exact(rows, int(ks[i]), is_phrase)
+                self._fill_result(results[qi], d, s, rows, q)
+            else:
                 cnt = min(int(ks[i]), int(n_valid[i]))
-                results[qi].set_arrays(docs_f[i, :cnt], score_f[i, :cnt])
+                self._fill_result(results[qi], docs_f[i, :cnt],
+                                  score_f[i, :cnt], rows, q)
 
     def search_batch(self, queries: List[SearchQuery]) -> List[SearchResult]:
+        results, pending = self.submit_batch(queries)
+        for f in pending:
+            f(results)
+        return results
+
+    def submit_batch(self, queries: List[SearchQuery]):
+        """Dispatch every group before fetching any result (one roundtrip
+        per group instead of a sync fetch after each dispatch) — the same
+        pipelined contract as TpuEngine.submit_batch."""
         results = [SearchResult() for _ in queries]
         planned = []
         phrase = []
@@ -346,13 +493,16 @@ class ShardedEngine:
             else:
                 planned.append((qi, rows, q))
 
-        self._run_phrase(phrase, results)
+        pending = self._run_phrase(phrase, results)
+        planned, host_pending = self._route_saturated(planned, is_phrase=False)
+        pending += host_pending
 
         groups: Dict[Tuple[int, int], list] = {}
         for item in planned:
             _, rows, _ = item
             T = _bucket(len(rows), T_BUCKETS)
-            Lb = _bucket(min(int(self.sharded.df[r]) for r in rows), L_BUCKETS)
+            cand = rows[int(np.argmin([self.sharded.df[r] for r in rows]))]
+            Lb = _bucket(int(self._df_shard_max[cand]), L_BUCKETS)
             groups.setdefault((T, Lb), []).append(item)
 
         repl = NamedSharding(self.mesh, P())
@@ -385,16 +535,12 @@ class ShardedEngine:
                 self.d_term_starts, self.d_df_shard,
                 jax.device_put(rows_arr, repl), jax.device_put(use_score, repl),
             )
-            tfs_slot = np.asarray(tfs)
-            tf_q = np.take_along_axis(
-                tfs_slot,
-                np.broadcast_to(slot_of[:, :, None], (B, T, M)), axis=1,
-            )
-            ranked_all = rescore_topk_batch(
-                np.asarray(docs), tf_q, idf64_q,
-                self.sharded.doc_len_code, self.cache64, ks,
-            )
-            for i, (qi, rows, q) in enumerate(group):
-                for s, d in ranked_all[i]:
-                    results[qi].entries.append(SearchResultEntry(d, s))
-        return results
+
+            def finalize(res_list, docs=docs, tfs=tfs, group=group,
+                         slot_of=slot_of, idf64_q=idf64_q, ks=ks, T=T):
+                self._finalize_group(res_list, np.asarray(docs),
+                                     np.asarray(tfs), group, slot_of,
+                                     idf64_q, ks, is_phrase=False)
+
+            pending.append(finalize)
+        return results, pending
