@@ -85,11 +85,31 @@ class TestStagedParity:
         s = eng.search(q)
         assert [e.snippet for e in o.entries] == [e.snippet for e in s.entries]
 
-    def test_phrase_on_cold_raises(self, corpus):
-        packed, _ = corpus
+    def test_phrase_on_cold_matches_oracle(self, corpus):
+        """Cold-tier phrases run against staged position bags (r2: the
+        NotImplementedError edge is gone)."""
+        packed, oracle = corpus
         eng = StagedEngine(packed, hbm_budget_bytes=0)
-        with pytest.raises(NotImplementedError):
-            eng.search(SearchQuery(["t0", "t1"], n_results=5, is_phrase=True))
+        assert eng.hot_fraction == 0.0
+        hits = 0
+        for a, b in [("t0", "t1"), ("t1", "t0"), ("t2", "t0"), ("t0", "t3")]:
+            q = SearchQuery([a, b], n_results=10, is_phrase=True)
+            o = oracle.search(q)
+            hits += o.size()
+            assert_same(o, eng.search(q), f"cold phrase {a} {b}")
+        assert hits > 0, "need at least one matching phrase in corpus"
+
+    def test_phrase_mixed_hot_cold_batch(self, corpus):
+        packed, oracle = corpus
+        eng = StagedEngine(packed,
+                           hbm_budget_bytes=packed.n_postings * 12 // 3)
+        queries = [SearchQuery([f"t{i}", f"t{j}"], n_results=10,
+                               is_phrase=True)
+                   for i in range(6) for j in range(6) if i != j]
+        queries += [SearchQuery([f"t{i}"], n_results=10) for i in range(4)]
+        batch = eng.search_batch(queries)
+        for q, r in zip(queries, batch):
+            assert_same(oracle.search(q), r, f"{q.terms} phrase={q.is_phrase}")
 
 
 class TestHotTierBags:

@@ -60,6 +60,29 @@ class TestGuardWiring:
                    [(e.doc_id, e.doc_score) for e in o.entries]
             assert [e.doc_id for e in r.entries] == list(range(10))
 
+    def test_strict_parity_flags_truncated_class(self, tied_corpus,
+                                                 monkeypatch):
+        """strict_parity=True: the device's boundary-class-truncation flag
+        routes >buffer tie classes to the exact host path (covers the
+        f32-collision hole the default mode accepts as negligible)."""
+        packed, oracle = tied_corpus
+        engine = TpuEngine(packed, single_term_depth=0, strict_parity=True)
+        calls = []
+        orig = device_mod.host_exact_search
+
+        def spy(*a, **kw):
+            calls.append(1)
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(device_mod, "host_exact_search", spy)
+        # 200-doc exact tie class > M=64 buffer -> device flag -> host
+        q = SearchQuery(["w", "q"], n_results=10)
+        r = engine.search(q)
+        assert calls, "strict mode must re-run truncated-class queries"
+        o = oracle.search(q)
+        assert [(e.doc_id, e.doc_score) for e in r.entries] == \
+               [(e.doc_id, e.doc_score) for e in o.entries]
+
     def test_flag_routes_to_host_exact(self, tied_corpus, monkeypatch):
         packed, oracle = tied_corpus
         engine = TpuEngine(packed)

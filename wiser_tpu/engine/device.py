@@ -85,22 +85,8 @@ def host_exact_search(packed: PackedIndex, cache64: np.ndarray,
         tfs[t] = packed.postings_tf[st + idc]
         pidx[t] = st + idc
     if is_phrase and len(rows) >= 2:
-        for j in np.nonzero(mask)[0]:
-            base = set(
-                int(x)
-                for x in packed.positions[
-                    packed.pos_starts[pidx[0, j]] : packed.pos_starts[pidx[0, j] + 1]
-                ]
-            )
-            for t in range(1, len(rows)):
-                ps = packed.positions[
-                    packed.pos_starts[pidx[t, j]] : packed.pos_starts[pidx[t, j] + 1]
-                ]
-                base &= set(int(x) - t for x in ps)
-                if not base:
-                    break
-            if not base:
-                mask[j] = False
+        mask &= _host_phrase_mask(packed.positions, packed.pos_starts,
+                                  docs, pidx, mask, len(rows))
     docs_m = docs[mask]
     if docs_m.size == 0:
         return docs_m, np.zeros(0, dtype=np.float64)
@@ -113,6 +99,45 @@ def host_exact_search(packed: PackedIndex, cache64: np.ndarray,
         score = score + idf * ((f * (K1 + 1)) / (f + cache_val))
     order = np.lexsort((docs_m, -score))[:k]
     return docs_m[order], score[order]
+
+
+def _host_phrase_mask(positions: np.ndarray, pos_starts: np.ndarray,
+                      docs: np.ndarray, pidx: np.ndarray, mask: np.ndarray,
+                      n_terms: int) -> np.ndarray:
+    """Vectorized adjusted-position phrase verification over the matched
+    candidates: term t's positions are keyed as doc*SHIFT + (pos - t);
+    a phrase match is a key present in every term's key set, computed by
+    iterative sorted intersection (np.intersect1d) — no per-doc Python.
+    (The per-doc set-ops version was minutes per query on "of the"-style
+    mega pairs.)"""
+    sel = np.nonzero(mask)[0]
+    if sel.size == 0:
+        return mask
+    shift = np.int64(positions.max(initial=0)) + np.int64(n_terms) + 1
+
+    def keys(t: int) -> np.ndarray:
+        p = pidx[t, sel]
+        s = pos_starts[p].astype(np.int64)
+        e = pos_starts[p + 1].astype(np.int64)
+        cnt = e - s
+        total = int(cnt.sum())
+        out_starts = np.zeros(len(sel) + 1, dtype=np.int64)
+        np.cumsum(cnt, out=out_starts[1:])
+        idx = (np.repeat(s, cnt)
+               + np.arange(total) - np.repeat(out_starts[:-1], cnt))
+        pos = positions[idx].astype(np.int64)
+        doc_of = np.repeat(docs[sel], cnt)
+        return doc_of * shift + (pos - t)
+
+    base = keys(0)
+    for t in range(1, n_terms):
+        base = np.intersect1d(base, keys(t), assume_unique=False)
+        if base.size == 0:
+            break
+    ok_docs = np.unique(base // shift)
+    out = np.zeros_like(mask)
+    out[sel] = np.isin(docs[sel], ok_docs)
+    return out
 
 
 @dataclass
@@ -141,12 +166,15 @@ class TpuEngine:
         margin: int = DEFAULT_MARGIN,
         device_merge: bool = False,
         single_term_depth: int = 64,
+        dense_budget_bytes: int = 2 << 30,
+        strict_parity: bool = False,
     ):
         # device_merge: route mega-pair queries through the Pallas
         # staircase merge (ops/merge.py) instead of the host merge.
         # Validated bit-exact on TPU; ~5x the windowed path at wiki-scale
         # lists, but Mosaic compiles take minutes per L bucket — opt-in.
         self.device_merge = device_merge
+        self.strict_parity = strict_parity
         if packed.n_postings >= 2**31 or len(packed.positions) >= 2**31:
             raise ValueError("index too large for int32 device addressing")
         self.packed = packed
@@ -182,6 +210,54 @@ class TpuEngine:
         self._st_depth = single_term_depth
         if single_term_depth:
             self._build_single_term_table(scores64, single_term_depth)
+
+        self._dense_H = 0
+        if dense_budget_bytes:
+            self._build_dense_rows(dense_budget_bytes)
+
+    # -- dense head-term rows --------------------------------------------
+
+    # terms with df >= n_docs/32 get dense rows: the cutover point where
+    # the dense scan's T*N lane-ops beat list intersection, and low enough
+    # that every (cand, other) pair past the windowed kernel's memory
+    # ceiling is all-dense (measured at 1M docs: host-merge fallbacks at
+    # fraction 8 capped two-term throughput at 57 QPS)
+    DENSE_MIN_DF_FRACTION = 32
+
+    def _build_dense_rows(self, budget_bytes: int) -> None:
+        """Dense (N_pad,) score/tf vectors for head terms, so all-head
+        conjunctions run the doc-space dense kernel (kernels.py
+        make_dense_search_kernel) instead of list intersection. At
+        reference scale ~25% of an AOL-shaped workload is all-head
+        multi-term — the windowed/merge paths do Omega(df*512) work and
+        OOM at L-buckets past 131072; the dense scan is T*N lane-ops."""
+        packed = self.packed
+        n = packed.n_docs
+        self._dense_slot = np.full(packed.n_terms, -1, dtype=np.int32)
+        dense_min = max(1024, n // self.DENSE_MIN_DF_FRACTION)
+        rows = np.nonzero(packed.df >= dense_min)[0]
+        if len(rows) == 0:
+            return
+        self._n_pad_docs = (n + 127) // 128 * 128
+        cap = max(1, int(budget_bytes // (self._n_pad_docs * 8)))
+        if len(rows) > cap:
+            rows = rows[np.argsort(packed.df[rows])[::-1][:cap]]
+        H = len(rows)
+        lens = np.diff(packed.term_starts)
+        dense_sc = np.zeros((H, self._n_pad_docs), dtype=np.float32)
+        dense_tf = np.zeros((H, self._n_pad_docs), dtype=np.int32)
+        for slot, r in enumerate(rows.tolist()):
+            s = int(packed.term_starts[r])
+            m = min(int(packed.df[r]), int(lens[r]))  # staged hot views
+            docs = packed.postings_doc[s : s + m]
+            dense_sc[slot, docs] = self._h_score[s : s + m]
+            dense_tf[slot, docs] = self._h_tf[s : s + m]
+            self._dense_slot[r] = slot
+        self._dense_H = H
+        self._h_dense_sc = dense_sc  # kept for device-loss re-provision
+        self._h_dense_tf = dense_tf
+        self.d_dense_sc = jnp.asarray(dense_sc)
+        self.d_dense_tf = jnp.asarray(dense_tf)
 
     def _build_single_term_table(self, scores64: np.ndarray, depth: int):
         """Impact-ordered per-term top table: a single-term query's top-k
@@ -245,6 +321,9 @@ class TpuEngine:
         self.d_tf_rows = self.d_postings_tf.reshape(-1, 128)
         self.d_pos_starts = jnp.asarray(packed.pos_starts, dtype=jnp.int32)
         self.d_positions = jnp.asarray(packed.positions, dtype=jnp.int32)
+        if getattr(self, "_dense_H", 0):
+            self.d_dense_sc = jnp.asarray(self._h_dense_sc)
+            self.d_dense_tf = jnp.asarray(self._h_dense_tf)
         if packed.bloom_ends is not None:
             self.d_bloom_ends = jnp.asarray(packed.bloom_ends)
             self.d_bloom_begins = jnp.asarray(packed.bloom_begins)
@@ -368,10 +447,34 @@ class TpuEngine:
         L2_idx = np.minimum(np.searchsorted(lb, l2), len(lb) - 1)
         Lval = lb[L_idx]
         L2val = lb[L2_idx]
-        windowed = (n_terms > 1) & (Lval >= self.WINDOWED_MIN_L) & (
-            L2val // Lval <= self.WINDOWED_MAX_RATIO)
+        windowed = ((n_terms > 1) & (Lval >= self.WINDOWED_MIN_L)
+                    & (Lval <= self.WINDOWED_MAX_L)
+                    & (L2val // Lval <= self.WINDOWED_MAX_RATIO))
         tb = np.asarray(T_BUCKETS, dtype=np.int64)
         T_idx = np.minimum(np.searchsorted(tb, n_terms), len(tb) - 1)
+
+        pending = []
+        # all-head-term conjunctions -> doc-space dense kernel (work
+        # independent of df; the only memory-safe route for mega L buckets)
+        if self._dense_H:
+            slot_dense = self._dense_slot[rows_pad] >= 0
+            all_dense = np.all(slot_dense | ~valid, axis=1) & (n_terms > 1)
+            if all_dense.any():
+                dm = np.nonzero(all_dense)[0]
+                pending += self._submit_dense(
+                    dm, qi_arr, flat_rows, rows_pad, n_terms, ks, queries,
+                    results)
+                keep = ~all_dense
+                if not keep.any():
+                    return pending
+                (qi_arr, n_terms, rows_pad, ks, valid, dfs, cand, cand_df,
+                 Lval, L2val, windowed, T_idx, L_idx, L2_idx) = (
+                    qi_arr[keep], n_terms[keep], rows_pad[keep], ks[keep],
+                    valid[keep], dfs[keep], cand[keep], cand_df[keep],
+                    Lval[keep], L2val[keep], windowed[keep], T_idx[keep],
+                    L_idx[keep], L2_idx[keep])
+                flat_rows = [flat_rows[i] for i in np.nonzero(keep)[0]]
+                N = len(flat_rows)
 
         # mega-pair routing: WINDOWED-ELIGIBLE mega pairs run the windowed
         # device kernel (measured 2.1k QPS vs the host merge's 48 QPS at
@@ -383,9 +486,24 @@ class TpuEngine:
         # would silently scan only the first L postings) are ALWAYS routed
         # to the exact host path — including single-term ones.
         saturated = cand_df.astype(np.int64) > int(lb[-1])
+        # tail-candidate x all-dense-others -> semi-dense kernel (one
+        # doc-indexed gather per lane instead of log2(df) probes); beats
+        # both the bs kernel and the host merge whenever the big sides
+        # are head terms
+        semi = np.zeros(len(qi_arr), dtype=bool)
+        if self._dense_H:
+            slot_dense = self._dense_slot[rows_pad] >= 0
+            idxs = np.arange(rows_pad.shape[1], dtype=np.int32)[None, :]
+            others_dense = np.all(
+                slot_dense | ~valid | (idxs == cand[:, None]), axis=1)
+            semi = (n_terms > 1) & others_dense & ~windowed & ~saturated
+            if semi.any():
+                sm = np.nonzero(semi)[0]
+                pending += self._submit_semidense(
+                    sm, qi_arr, flat_rows, n_terms, cand, ks, Lval, queries,
+                    results)
         host_merge = ((n_terms > 1) & (Lval >= self.HOST_MERGE_MIN_L)
-                      & ~windowed) | saturated
-        pending = []
+                      & ~windowed & ~semi) | saturated
         if host_merge.any():
             hm = np.nonzero(host_merge)[0]
 
@@ -417,7 +535,9 @@ class TpuEngine:
                             res_list, hm=hh))
             else:
                 pending.append(run_host_merge)
-            keep = ~host_merge
+        routed = host_merge | semi
+        if routed.any():
+            keep = ~routed
             if not keep.any():
                 return pending
             # drop routed queries from the device plan
@@ -491,6 +611,125 @@ class TpuEngine:
                     ks_g, qi_arr[m], flat_rows, m, queries, results))
         return pending
 
+    # (B, N_pad) f32 tensors: 128 x 1M docs = 512MB per live tensor; the
+    # tunnel RTT per dispatch (~30-60ms) dominated at chunk 32
+    DENSE_CHUNK = 128
+
+    def _submit_dense(self, dm, qi_arr, flat_rows, rows_pad, n_terms, ks,
+                      queries, results):
+        """All-head conjunctions via the doc-space dense kernel."""
+        pending = []
+        groups: Dict[int, list] = {}
+        for i in dm:
+            groups.setdefault(int(_bucket(int(n_terms[i]), T_BUCKETS)),
+                              []).append(int(i))
+        for T, members in groups.items():
+            for ci in range(0, len(members), self.DENSE_CHUNK):
+                m = members[ci : ci + self.DENSE_CHUNK]
+                B = _bucket(len(m), [8, self.DENSE_CHUNK])
+                slots = np.zeros((B, T), dtype=np.int32)
+                use = np.zeros((B, T), dtype=np.float32)
+                idf64_q = np.zeros((B, T), dtype=np.float64)
+                slot_of = np.tile(np.arange(T, dtype=np.int64), (B, 1))
+                ks_g = np.zeros(B, dtype=np.int32)
+                for bi, i in enumerate(m):
+                    rows = flat_rows[i]
+                    ks_g[bi] = ks[i]
+                    for t in range(T):
+                        r = rows[t] if t < len(rows) else rows[0]
+                        slots[bi, t] = self._dense_slot[r]
+                        if t < len(rows):
+                            use[bi, t] = 1.0
+                            idf64_q[bi, t] = self.packed.idf64[r]
+                M = min(int(ks_g.max(initial=1)) + self.margin,
+                        self._n_pad_docs)
+                kern = K.make_dense_search_kernel(T, self._n_pad_docs, M)
+                out = kern(self.d_dense_sc, self.d_dense_tf,
+                           jnp.asarray(slots), jnp.asarray(use))
+
+                def finalize(res_list, out=out, T=T, m=m, slot_of=slot_of,
+                             idf64_q=idf64_q, ks_g=ks_g, qi_arr=qi_arr,
+                             flat_rows=flat_rows, queries=queries):
+                    n = len(m)
+                    packed_out = np.asarray(out)[:n]
+                    qis = np.asarray([qi_arr[i] for i in m], dtype=np.int64)
+                    self._finalize_arrays(
+                        packed_out[:, 0, :], packed_out[:, 1 : T + 1, :],
+                        slot_of[:n], idf64_q[:n], ks_g[:n], qis, flat_rows,
+                        np.asarray(m), queries, res_list,
+                        force_host=self._flags_to_force(packed_out[:, T + 1, 0]))
+
+                pending.append(finalize)
+        return pending
+
+    def _submit_semidense(self, sm, qi_arr, flat_rows, n_terms, cand, ks,
+                          Lval, queries, results):
+        """Tail-candidate x all-dense-others via the semi-dense kernel."""
+        pending = []
+        groups: Dict[tuple, list] = {}
+        for i in sm:
+            T = int(_bucket(int(n_terms[i]), T_BUCKETS))
+            groups.setdefault((T, int(Lval[i])), []).append(int(i))
+        for (T, L), members in groups.items():
+            # (B, L) gather tensors per non-candidate slot: cap the chunk
+            chunk = B_BUCKETS[0]
+            fit = (1 << 27) // max((T - 1) * L, 1)
+            for b in B_BUCKETS:
+                if b <= fit:
+                    chunk = b
+            for ci in range(0, len(members), chunk):
+                m = members[ci : ci + chunk]
+                B = _bucket(len(m), B_BUCKETS)
+                starts = np.zeros((B, T), dtype=np.int32)
+                ends = np.zeros((B, T), dtype=np.int32)
+                use = np.zeros((B, T), dtype=np.float32)
+                slots = np.zeros((B, T), dtype=np.int32)
+                idf64_q = np.zeros((B, T), dtype=np.float64)
+                slot_of = np.zeros((B, T), dtype=np.int64)
+                ks_g = np.zeros(B, dtype=np.int32)
+                for bi, i in enumerate(m):
+                    rows = flat_rows[i]
+                    cslot = int(cand[i])
+                    order = [cslot] + [t for t in range(len(rows))
+                                       if t != cslot]
+                    ks_g[bi] = ks[i]
+                    for slot, t in enumerate(order):
+                        r = rows[t]
+                        if slot == 0:
+                            starts[bi, 0] = self._starts32[r]
+                            ends[bi, 0] = self._starts32[r] + self._df32[r]
+                        else:
+                            slots[bi, slot] = self._dense_slot[r]
+                        use[bi, slot] = 1.0
+                        slot_of[bi, t] = slot
+                    for slot in range(len(order), T):  # padded slots
+                        slots[bi, slot] = slots[bi, 1] if T > 1 else 0
+                    for t, r in enumerate(rows):
+                        idf64_q[bi, t] = self.packed.idf64[r]
+                M = min(L, int(ks_g.max(initial=1)) + self.margin)
+                kern = K.make_semidense_kernel(T, L, M, self._n_pad_docs)
+                out = kern(self.d_postings_doc, self.d_postings_score,
+                           self.d_postings_tf, self.d_dense_sc,
+                           self.d_dense_tf, jnp.asarray(starts),
+                           jnp.asarray(ends), jnp.asarray(use),
+                           jnp.asarray(slots))
+
+                def finalize(res_list, out=out, T=T, m=m, slot_of=slot_of,
+                             idf64_q=idf64_q, ks_g=ks_g, qi_arr=qi_arr,
+                             flat_rows=flat_rows, queries=queries):
+                    n = len(m)
+                    packed_out = np.asarray(out)[:n]
+                    qis = np.asarray([qi_arr[i] for i in m], dtype=np.int64)
+                    self._finalize_arrays(
+                        packed_out[:, 0, :], packed_out[:, 1 : T + 1, :],
+                        slot_of[:n], idf64_q[:n], ks_g[:n], qis, flat_rows,
+                        np.asarray(m), queries, res_list,
+                        force_host=self._flags_to_force(
+                            packed_out[:, T + 1, 0]))
+
+                pending.append(finalize)
+        return pending
+
     MERGE_CHUNK = 256  # merge cells are ~1ms each; keep dispatches modest
     # merge batches are padded to these widths: the pallas_call grid
     # (C = B*(T-1)) and the combine kernel are shape-specialized, and each
@@ -557,7 +796,8 @@ class TpuEngine:
                     self._finalize_arrays(
                         packed_out[:, 0, :], packed_out[:, 1 : T + 1, :],
                         slot_of[:n], idf64_q[:n], np.asarray([ks[i] for i in m]),
-                        qis, flat_rows, np.asarray(m), queries, res_list)
+                        qis, flat_rows, np.asarray(m), queries, res_list,
+                        force_host=self._flags_to_force(packed_out[:, T + 1, 0]))
 
                 pending.append(finalize)
         return pending
@@ -588,9 +828,9 @@ class TpuEngine:
                 return np.asarray(out)
 
             packed = self._run_with_recovery(run)
-            # per-query window overflow (skewed doc distribution): only
-            # the flagged queries take the exact host fallback
-            force_host = packed[:, T + 1, 0] != 0 if L2 else None
+            # per-query flags (boundary-class truncation / window
+            # overflow): only flagged queries take the exact host fallback
+            force_host = self._flags_to_force(packed[:, T + 1, 0])
             self._finalize_arrays(
                 packed[:, 0, :], packed[:, 1 : T + 1, :], slot_of, idf64_q,
                 ks, qis, flat_rows, members, queries, res_list,
@@ -598,6 +838,20 @@ class TpuEngine:
 
         finalize.out = out  # exposes the device buffer for async host copy
         return finalize
+
+    def _flags_to_force(self, flags: np.ndarray) -> np.ndarray:
+        """Kernel flag word -> host-fallback mask. Bit 1 (window overflow:
+        lanes genuinely missing) always forces the exact path. Bit 0
+        (f32 boundary-CLASS truncated) forces only under strict_parity:
+        a truncated class breaks parity only in the astronomically rare
+        event that an excluded class member f32-collides with a distinct
+        f64 score (see topk.truncation_suspects); ~80% of all-head
+        queries have >buffer tie classes, so defaulting this on would put
+        most of the mega workload on the host path."""
+        force = (flags & 2) != 0
+        if self.strict_parity:
+            force = force | ((flags & 1) != 0)
+        return force
 
     def _finalize_arrays(self, top_docs, top_tfs_slot, slot_of, idf64_q, ks,
                          qis, flat_rows, members, queries, results,
@@ -634,18 +888,31 @@ class TpuEngine:
 
     # -- grouping / assembly -------------------------------------------
 
-    def _chunked_groups(self, planned: List[_PlannedQuery], keyfn):
+    def _chunked_groups(self, planned: List[_PlannedQuery], keyfn,
+                        lanes_of=None, lane_budget: int = None,
+                        buckets: Sequence[int] = B_BUCKETS):
+        """Group by shape key, then chunk. With lane_budget, the chunk
+        width shrinks so B * lanes_of(key) stays under it — the per-group
+        tensors must fit device memory."""
         groups: Dict[tuple, List[_PlannedQuery]] = {}
         for pq in planned:
             groups.setdefault(keyfn(pq), []).append(pq)
         for key, group in groups.items():
-            for i in range(0, len(group), B_CHUNK):
-                yield key, group[i : i + B_CHUNK]
+            chunk = B_CHUNK
+            if lane_budget is not None:
+                fit = max(1, lane_budget // max(int(lanes_of(key)), 1))
+                chunk = buckets[0]
+                for b in buckets:
+                    if b <= fit:
+                        chunk = b
+            for i in range(0, len(group), chunk):
+                yield key, group[i : i + chunk]
 
-    def _assemble(self, group: List[_PlannedQuery], T: int):
+    def _assemble(self, group: List[_PlannedQuery], T: int,
+                  buckets: Sequence[int] = B_BUCKETS):
         """Slot-ordered (starts, ends, use_score) + query-order f64
         metadata for the re-rank."""
-        B = _bucket(len(group), B_BUCKETS)
+        B = _bucket(len(group), buckets)
         starts = np.zeros((B, T), dtype=np.int32)
         ends = np.zeros((B, T), dtype=np.int32)
         use_score = np.zeros((B, T), dtype=np.float32)
@@ -704,6 +971,10 @@ class TpuEngine:
     # fallback)
     WINDOWED_MIN_L = 1024
     WINDOWED_MAX_RATIO = 4
+    # above this L the window payload tensors ((B, L/128, WIN, 128) x3)
+    # exceed device memory even at B=128; all-head queries that big take
+    # the dense path, the rest go to the host merge
+    WINDOWED_MAX_L = 131072
     # multi-term queries whose candidate list exceeds this go to the exact
     # host merge: the dense windowed compare does ~WIN*128 lane-ops per
     # candidate (vs the merge's ~2), which stops paying off for very long
@@ -717,20 +988,23 @@ class TpuEngine:
         if T == 1:
             return (T, L, 0, 0)
         l2 = _bucket(max(int(self.packed.df[r]) for r in pq.slot_rows), L_BUCKETS)
-        windowed = (L >= self.WINDOWED_MIN_L
+        windowed = (self.WINDOWED_MIN_L <= L <= self.WINDOWED_MAX_L
                     and l2 // L <= self.WINDOWED_MAX_RATIO)
         # note: keying on per-group search depth was tried and splits
         # groups too finely (more dispatches than the iterations save)
         return (T, L, l2 if windowed else 0, 0)
 
-    def _route_saturated(self, planned: List[_PlannedQuery], is_phrase: bool):
-        """Split off queries whose candidate list exceeds the largest L
-        bucket — the kernels would silently scan only the first L
-        candidates. They run exactly on host instead."""
+    def _route_saturated(self, planned: List[_PlannedQuery], is_phrase: bool,
+                         max_l: int = None):
+        """Split off queries whose candidate list exceeds max_l (default:
+        the largest L bucket — the kernels would silently scan only the
+        first L candidates). They run exactly on host instead."""
+        if max_l is None:
+            max_l = L_BUCKETS[-1]
         keep: List[_PlannedQuery] = []
         over: List[_PlannedQuery] = []
         for pq in planned:
-            if int(self.packed.df[pq.slot_rows[0]]) > L_BUCKETS[-1]:
+            if int(self.packed.df[pq.slot_rows[0]]) > max_l:
                 over.append(pq)
             else:
                 keep.append(pq)
@@ -769,12 +1043,11 @@ class TpuEngine:
                 out = kern(*args)
                 windowed = False
 
-            def finalize(results, group=group, out=out, windowed=windowed,
+            def finalize(results, group=group, out=out,
                          slot_of=slot_of, idf64_q=idf64_q, ks=ks,
                          args=args, T=T, L=L, M=M):
                 packed = np.asarray(out)  # ONE device->host roundtrip
-                # skewed doc distribution: per-query exact host fallback
-                force_host = (packed[:, T + 1, 0] != 0) if windowed else None
+                force_host = self._flags_to_force(packed[:, T + 1, 0])
                 top_docs = packed[:, 0, :]
                 top_tfs = packed[:, 1 : T + 1, :]
                 self._finalize_group(group, top_docs, top_tfs, slot_of,
@@ -787,15 +1060,30 @@ class TpuEngine:
 
     # -- phrase --------------------------------------------------------
 
+    # phrase verify tensors are (B, PP, L)-shaped per term; past this L
+    # the exact host phrase search is the memory-safe route (all-head
+    # phrase pairs — "of the" — are rare in real logs, common in mined
+    # ones; device bloom-gated compaction is the future lever here)
+    PHRASE_MAX_L = 32768
+    PHRASE_B_BUCKETS = [8, 32, 128, 1024, 4096]
+
     def _submit_phrase(self, planned: List[_PlannedQuery]):
-        planned, pending = self._route_saturated(planned, is_phrase=True)
+        planned, pending = self._route_saturated(
+            planned, is_phrase=True,
+            max_l=min(self.PHRASE_MAX_L, L_BUCKETS[-1]))
         keyfn = lambda pq: (
             len(pq.rows),  # exact T; phrase adjacency needs true slots
             _bucket(int(self.packed.df[pq.slot_rows[0]]), L_BUCKETS),
             _bucket(int(self.packed.max_tf[pq.rows[0]]), PP_BUCKETS),
         )
-        for (T, L, PP), group in self._chunked_groups(planned, keyfn):
-            starts, ends, use_score, idf64_q, slot_of, ks = self._assemble(group, T)
+        # phrase verify tensors are (B, PP, L) x T-ish: small B buckets
+        # keep the largest live tensor bounded at mega (L, PP) keys
+        for (T, L, PP), group in self._chunked_groups(
+                planned, keyfn,
+                lanes_of=lambda k: k[1] * max(k[2], 1),
+                lane_budget=1 << 27, buckets=self.PHRASE_B_BUCKETS):
+            starts, ends, use_score, idf64_q, slot_of, ks = self._assemble(
+                group, T, buckets=self.PHRASE_B_BUCKETS)
             B = starts.shape[0]
             probes_np = self._assemble_bloom_probes(group, T, B)
 
@@ -840,7 +1128,8 @@ class TpuEngine:
                 packed = self._run_with_recovery(run)
                 self._finalize_group(group, packed[:, 0, :],
                                      packed[:, 1 : T + 1, :], slot_of,
-                                     idf64_q, ks, results)
+                                     idf64_q, ks, results,
+                                     force_host=self._flags_to_force(packed[:, T + 1, 0]))
 
             finalize.out = out
             pending.append(finalize)

@@ -93,6 +93,23 @@ def _candidates(postings_doc, postings_score, starts, ends, L):
     return cdocs, cscore, cvalid, cs
 
 
+def boundary_truncated(score, top_score, M: int):
+    """(B,) bool: the f32 selection's boundary CLASS extends past the
+    M-lane buffer — some lane with score == the kept minimum was dropped.
+
+    This is the device half of the bit-exactness guard: the host exact
+    fallback provably covers every possible parity break when combined
+    with the near-tie arithmetic-slop check (engine/topk.py). f32 rounding
+    is monotone, so an excluded lane with f32 score STRICTLY below the
+    boundary has strictly smaller f64 score too (up to the f32-arithmetic
+    slop the host check covers); equal-f32 lanes are exactly what this
+    counts."""
+    boundary = top_score[:, M - 1]
+    full = boundary > NEG_INF
+    n_ge = jnp.sum((score >= boundary[:, None]).astype(jnp.int32), axis=1)
+    return full & (n_ge > M)
+
+
 def search_body(postings_doc, postings_score, postings_tf,
                 starts, ends, use_score, *, T, L, M, n_bs_iters):
     """The batched AND/single-term search step (traceable; shared by the
@@ -100,7 +117,7 @@ def search_body(postings_doc, postings_score, postings_tf,
 
     use_score: (B, T) f32 0/1 — padded slots contribute no score.
     Returns (top_docs (B,M) i32, top_score (B,M) f32,
-             top_tfs (B,T,M) i32, top_pidx (B,T,M) i32).
+             top_tfs (B,T,M) i32, top_pidx (B,T,M) i32, trunc (B,) bool).
     """
     B = starts.shape[0]
     cdocs, cscore, cvalid, cs = _candidates(
@@ -116,7 +133,8 @@ def search_body(postings_doc, postings_score, postings_tf,
         top_pidx = jnp.take_along_axis(cpidx, top_l, axis=1)[:, None, :]
         top_tfs = jnp.where(
             top_docs[:, None, :] >= 0, _gather1d(postings_tf, top_pidx), 0)
-        return top_docs, top_score, top_tfs, top_pidx
+        return (top_docs, top_score, top_tfs, top_pidx,
+                boundary_truncated(score, top_score, M))
 
     Tr = T - 1  # searched slots
     targets = jnp.broadcast_to(cdocs[:, None, :], (B, Tr, L))
@@ -138,7 +156,17 @@ def search_body(postings_doc, postings_score, postings_tf,
     top_pidx = jnp.take_along_axis(pidx, top_l[:, None, :].repeat(T, 1), axis=2)
     top_tfs = jnp.where(
         top_docs[:, None, :] >= 0, _gather1d(postings_tf, top_pidx), 0)
-    return top_docs, top_score, top_tfs, top_pidx
+    return (top_docs, top_score, top_tfs, top_pidx,
+            boundary_truncated(score, top_score, M))
+
+
+def pack_with_flags(top_docs, top_tfs, flags_int32):
+    """(B, T+2, M) int32: row 0 docs, rows 1..T per-slot tfs, row T+1 =
+    per-query flag word (bit 0 = boundary-class truncation, bit 1 =
+    window overflow) — one fetchable array per dispatch."""
+    B, _, M = top_tfs.shape
+    flag_row = jnp.broadcast_to(flags_int32[:, None, None], (B, 1, M))
+    return jnp.concatenate([top_docs[:, None, :], top_tfs, flag_row], axis=1)
 
 
 @lru_cache(maxsize=128)
@@ -151,10 +179,10 @@ def make_search_kernel(T: int, L: int, M: int, n_bs_iters: int):
 
     def kernel(postings_doc, postings_score, postings_tf,
                starts, ends, use_score):
-        top_docs, _, top_tfs, _ = search_body(
+        top_docs, _, top_tfs, _, trunc = search_body(
             postings_doc, postings_score, postings_tf, starts, ends,
             use_score, T=T, L=L, M=M, n_bs_iters=n_bs_iters)
-        return jnp.concatenate([top_docs[:, None, :], top_tfs], axis=1)
+        return pack_with_flags(top_docs, top_tfs, trunc.astype(jnp.int32))
 
     return jax.jit(kernel)
 
@@ -239,21 +267,24 @@ def make_phrase_verify_kernel(T: int, L: int, PP: int, n_pos_iters: int):
         ps = _gather1d(pos_starts, pidx.reshape(B, -1)).reshape(B, T, L)
         pe = _gather1d(pos_starts, pidx.reshape(B, -1) + 1).reshape(B, T, L)
 
+        # position-lane tensors are (B, PP, L): L in the minor (128-lane)
+        # dim — a (B, L, PP) layout pads PP up to the 128-lane tile and
+        # blew memory 16x at PP=8 (observed OOM on the 1M corpus)
         lane = jnp.arange(PP, dtype=jnp.int32)
-        base_idx = ps[:, 0, :, None] + lane[None, None, :]  # (B, L, PP)
-        base_valid = base_idx < pe[:, 0, :, None]
+        base_idx = ps[:, 0, None, :] + lane[None, :, None]  # (B, PP, L)
+        base_valid = base_idx < pe[:, 0, None, :]
         base_pos = jnp.where(base_valid, _gather1d(positions, base_idx), INT32_MAX - T)
 
         ok = base_valid
         for t in range(1, T):
             tgt = base_pos + t
             lo = _binary_search(
-                positions, tgt, ps[:, t, :, None], pe[:, t, :, None], n_pos_iters
+                positions, tgt, ps[:, t, None, :], pe[:, t, None, :], n_pos_iters
             )
             hit = _gather1d(positions, lo)
-            ok = ok & (lo < pe[:, t, :, None]) & (hit == tgt)
+            ok = ok & (lo < pe[:, t, None, :]) & (hit == tgt)
 
-        n_matches = jnp.sum(ok & active[:, :, None], axis=2).astype(jnp.int32)
+        n_matches = jnp.sum(ok & active[:, None, :], axis=1).astype(jnp.int32)
         return n_matches
 
     return jax.jit(kernel)
@@ -292,19 +323,20 @@ def phrase_body(postings_doc, postings_score, postings_tf, positions,
         pidx, slot_of[:, :, None].astype(jnp.int32).repeat(L, 2), axis=1)
     ps = _gather1d(pos_starts, pidx_q.reshape(B, -1)).reshape(B, T, L)
     pe = _gather1d(pos_starts, pidx_q.reshape(B, -1) + 1).reshape(B, T, L)
+    # (B, PP, L): keep L minor — see make_phrase_verify_kernel layout note
     plane = jnp.arange(PP, dtype=jnp.int32)
-    base_idx = ps[:, 0, :, None] + plane[None, None, :]
-    base_valid = base_idx < pe[:, 0, :, None]
+    base_idx = ps[:, 0, None, :] + plane[None, :, None]
+    base_valid = base_idx < pe[:, 0, None, :]
     base_pos = jnp.where(base_valid, _gather1d(positions, base_idx),
                          INT32_MAX - T)
     ok = base_valid
     for t in range(1, T):
         tgt = base_pos + t
-        plo = _binary_search(positions, tgt, ps[:, t, :, None],
-                             pe[:, t, :, None], n_pos_iters)
+        plo = _binary_search(positions, tgt, ps[:, t, None, :],
+                             pe[:, t, None, :], n_pos_iters)
         phit = _gather1d(positions, plo)
-        ok = ok & (plo < pe[:, t, :, None]) & (phit == tgt)
-    n_matches = jnp.sum(ok & match[:, :, None], axis=2)
+        ok = ok & (plo < pe[:, t, None, :]) & (phit == tgt)
+    n_matches = jnp.sum(ok & match[:, None, :], axis=1)
 
     final = match & (n_matches > 0)
     score = jnp.where(final, score, NEG_INF)
@@ -314,8 +346,28 @@ def phrase_body(postings_doc, postings_score, postings_tf, positions,
     top_pidx = jnp.take_along_axis(pidx, top_l[:, None, :].repeat(T, 1), axis=2)
     top_tfs = jnp.where(
         top_docs[:, None, :] >= 0, _gather1d(postings_tf, top_pidx), 0)
-    packed = jnp.concatenate([top_docs[:, None, :], top_tfs], axis=1)
+    trunc = boundary_truncated(score, top_score, M)
+    packed = pack_with_flags(top_docs, top_tfs, trunc.astype(jnp.int32))
     return packed, top_score
+
+
+@lru_cache(maxsize=64)
+def make_phrase_kernel(T: int, L: int, PP: int, M: int, n_bs_iters: int,
+                       n_pos_iters: int):
+    """Jitted self-contained bloomless phrase pipeline (phrase_body) —
+    used where per-batch scratch columns replace the resident index (the
+    staged cold tier) and bloom columns aren't materialized."""
+
+    def kernel(postings_doc, postings_score, postings_tf, positions,
+               pos_starts, starts, ends, use_score, slot_of):
+        packed, _ = phrase_body(
+            postings_doc, postings_score, postings_tf, positions,
+            pos_starts, starts, ends, use_score, slot_of,
+            T=T, L=L, PP=PP, M=M,
+            n_bs_iters=n_bs_iters, n_pos_iters=n_pos_iters)
+        return packed
+
+    return jax.jit(kernel)
 
 
 @lru_cache(maxsize=64)
@@ -332,7 +384,8 @@ def make_select_topk_kernel(T: int, L: int, M: int):
         top_pidx = jnp.take_along_axis(pidx, top_l[:, None, :].repeat(T, 1), axis=2)
         top_tfs = jnp.where(
             top_docs[:, None, :] >= 0, _gather1d(postings_tf, top_pidx), 0)
-        return jnp.concatenate([top_docs[:, None, :], top_tfs], axis=1)
+        trunc = boundary_truncated(score, top_score, M)
+        return pack_with_flags(top_docs, top_tfs, trunc.astype(jnp.int32))
 
     return jax.jit(kernel)
 
@@ -340,6 +393,110 @@ def make_select_topk_kernel(T: int, L: int, M: int):
 def n_iters_for(max_len: int) -> int:
     """Binary-search iteration count covering lists up to max_len."""
     return max(1, int(np.ceil(np.log2(max(2, int(max_len) + 1)))))
+
+
+@lru_cache(maxsize=32)
+def make_semidense_kernel(T: int, L: int, M: int, N_pad: int):
+    """Tail-candidate x all-head-others conjunctions: the candidate list
+    loads contiguously as usual, but every NON-candidate slot is a head
+    term with a dense (N_pad,) score row — membership+score per lane is
+    ONE doc-indexed gather (ascending cdocs -> near-sequential access)
+    instead of log2(df) binary-search probes. This replaces both the
+    binary-search kernel (20 probes/lane at reference scale) and the
+    host merge for ratio>4 pairs whose big side is dense.
+
+    fn(postings_doc, postings_score, postings_tf, dense_sc (H, N_pad),
+       dense_tf (H, N_pad), starts (B,T), ends (B,T), use_score (B,T),
+       slots (B,T) dense rows for slots 1.. ; slot 0 ignored)
+      -> packed (B, T+2, M).
+    """
+
+    def kernel(postings_doc, postings_score, postings_tf, dense_sc,
+               dense_tf, starts, ends, use_score, slots):
+        B = starts.shape[0]
+        cdocs, cscore, cvalid, cs = _candidates(
+            postings_doc, postings_score, starts, ends, L)
+        lane = jnp.arange(L, dtype=jnp.int32)
+        cpidx = cs[:, None] + lane[None, :]
+        sc_flat = dense_sc.reshape(-1)
+        tf_flat = dense_tf.reshape(-1)
+        # sentinel cdocs clip to lane N_pad-1; cvalid masks them out of
+        # match regardless of what that lane holds
+        doc_idx = jnp.clip(cdocs, 0, np.int32(N_pad - 1))
+        match = cvalid
+        score = cscore * use_score[:, 0:1]
+        partials = []
+        for t in range(1, T):
+            idx = slots[:, t : t + 1].astype(jnp.int32) * np.int32(N_pad) \
+                + doc_idx
+            p = _gather1d(sc_flat, idx)  # (B, L)
+            partials.append(p)
+            match = match & (p > 0)
+            score = score + p * use_score[:, t : t + 1]
+        score = jnp.where(match, score, NEG_INF)
+        top_score, top_l = jax.lax.top_k(score, M)
+        top_docs = jnp.take_along_axis(cdocs, top_l, axis=1)
+        top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
+        top_cpidx = jnp.take_along_axis(cpidx, top_l, axis=1)
+        cand_tf = jnp.where(top_docs >= 0, _gather1d(postings_tf, top_cpidx), 0)
+        tfs = [cand_tf[:, None, :]]
+        for t in range(1, T):
+            idx = slots[:, t : t + 1].astype(jnp.int32) * np.int32(N_pad) \
+                + jnp.maximum(top_docs, 0)
+            tfs.append(jnp.where(top_docs >= 0,
+                                 _gather1d(tf_flat, idx), 0)[:, None, :])
+        trunc = boundary_truncated(score, top_score, M)
+        return pack_with_flags(top_docs, jnp.concatenate(tfs, axis=1),
+                               trunc.astype(jnp.int32))
+
+    return jax.jit(kernel)
+
+
+@lru_cache(maxsize=32)
+def make_dense_search_kernel(T: int, N_pad: int, M: int):
+    """Doc-space dense scan for all-head-term conjunctions.
+
+    When every query term is a head term (df within ~an order of magnitude
+    of n_docs), posting-list intersection degenerates: the candidate list
+    is most of the doc space, and list-aligned methods (binary search /
+    windowed compare / staircase merge) do Omega(df * probe_cost) work
+    with gathers. The TPU-right representation is the DENSE one: each head
+    term keeps a (N_pad,) score vector (0 = absent) and the query is pure
+    elementwise math over doc lanes — score = sum of row-gathered vectors,
+    match = all rows nonzero, then one top_k. Work is T*N lane-ops with
+    NO per-candidate gathers, independent of df. The doc-lane index IS the
+    doc id, so top_k's lowest-index tie keep matches the (score desc, doc
+    asc) canon. (The reference's analog is the zigzag on its densest
+    lists, query_processing.h:644-678 — linear passes over both lists.)
+
+    fn(dense_sc (H, N_pad) f32, dense_tf (H, N_pad) i32,
+       slots (B, T) i32 rows into H (padded slots repeat slot 0),
+       use_score (B, T) f32) -> packed (B, T+1, M) i32 [docs; slot tfs].
+    """
+
+    def kernel(dense_sc, dense_tf, slots, use_score):
+        B = slots.shape[0]
+        score = jnp.zeros((B, N_pad), dtype=jnp.float32)
+        match = jnp.ones((B, N_pad), dtype=bool)
+        for t in range(T):
+            sc_t = jnp.take(dense_sc, slots[:, t], axis=0)  # (B, N) rows
+            match = match & (sc_t > 0)
+            score = score + sc_t * use_score[:, t : t + 1]
+        score = jnp.where(match, score, NEG_INF)
+        top_score, top_docs = jax.lax.top_k(score, M)  # lane index = doc id
+        top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
+        tf_flat = dense_tf.reshape(-1)
+        tfs = []
+        for t in range(T):
+            idx = slots[:, t : t + 1].astype(jnp.int32) * np.int32(N_pad) \
+                + jnp.maximum(top_docs, 0)
+            tfs.append(jnp.where(top_docs >= 0, _gather1d(tf_flat, idx), 0))
+        trunc = boundary_truncated(score, top_score, M)
+        return pack_with_flags(
+            top_docs, jnp.concatenate([x[:, None, :] for x in tfs], axis=1),
+            trunc.astype(jnp.int32))
+
+    return jax.jit(kernel)
 
 
 @lru_cache(maxsize=32)
@@ -367,7 +524,8 @@ def make_merge_combine(T: int, L: int, M: int):
         top_rest = jnp.take_along_axis(
             tf_lanes, top_l[:, None, :].repeat(T - 1, 1), axis=2)
         top_tfs = jnp.concatenate([cand_tf[:, None, :], top_rest], axis=1)
-        return jnp.concatenate([top_docs[:, None, :], top_tfs], axis=1)
+        trunc = boundary_truncated(score, top_score, M)
+        return pack_with_flags(top_docs, top_tfs, trunc.astype(jnp.int32))
 
     return jax.jit(kernel)
 
@@ -498,7 +656,9 @@ def windowed_search_body(postings_doc, postings_score, postings_tf,
         tfs_rest, top_l[:, None, :].repeat(T - 1, 1), axis=2)
     top_tfs = jnp.concatenate([cand_tf[:, None, :], top_rest], axis=1)
     top_pidx = jnp.zeros_like(top_tfs)  # not tracked on this path
-    return top_docs, top_score, top_tfs, top_pidx, overflow
+    trunc = boundary_truncated(score, top_score, M)
+    flags = trunc.astype(jnp.int32) | (overflow.astype(jnp.int32) << 1)
+    return top_docs, top_score, top_tfs, top_pidx, flags
 
 
 @lru_cache(maxsize=128)
@@ -507,14 +667,9 @@ def make_windowed_search_kernel(T: int, L: int, G: int, M: int):
 
     def kernel(postings_doc, postings_score, postings_tf,
                starts, ends, use_score):
-        top_docs, _, top_tfs, _, overflow = windowed_search_body(
+        top_docs, _, top_tfs, _, flags = windowed_search_body(
             postings_doc, postings_score, postings_tf, starts, ends,
             use_score, T=T, L=L, G=G, M=M, WIN=win)
-        packed = jnp.concatenate([top_docs[:, None, :], top_tfs], axis=1)
-        # per-query overflow rides in an extra int32 row to keep one fetch
-        flag = jnp.broadcast_to(
-            overflow.astype(jnp.int32)[:, None, None],
-            (packed.shape[0], 1, packed.shape[2]))
-        return jnp.concatenate([packed, flag], axis=1)
+        return pack_with_flags(top_docs, top_tfs, flags)
 
     return jax.jit(kernel)

@@ -169,13 +169,14 @@ def make_sharded_kernel(T: int, L: int, M: int, n_bs_iters: int, mesh: Mesh):
         pd, psc, pt, ts, dfs = pd[0], psc[0], pt[0], ts[0], dfs[0]
         starts = ts[rows]
         ends = starts + dfs[rows]
-        td, tsc, ttf, _ = K.search_body(
+        td, tsc, ttf, _, ltrunc = K.search_body(
             pd, psc, pt, starts, ends, use_score,
             T=T, L=L, M=M, n_bs_iters=n_bs_iters,
         )
         g_d = jax.lax.all_gather(td, "d")  # (D, B, M)
         g_s = jax.lax.all_gather(tsc, "d")
         g_t = jax.lax.all_gather(ttf, "d")  # (D, B, T, M)
+        g_f = jax.lax.all_gather(ltrunc, "d")  # (D, B)
         D = g_d.shape[0]
         B = td.shape[0]
         gd = jnp.transpose(g_d, (1, 0, 2)).reshape(B, D * M)
@@ -184,13 +185,17 @@ def make_sharded_kernel(T: int, L: int, M: int, n_bs_iters: int, mesh: Mesh):
         s2, i2 = jax.lax.top_k(gs, M)
         d2 = jnp.take_along_axis(gd, i2, axis=1)
         t2 = jnp.take_along_axis(gt, i2[:, None, :].repeat(T, 1), axis=2)
-        return d2, s2, t2
+        # guard: a shard's local buffer truncating its f32 boundary class,
+        # or the merge stage truncating across the gathered D*M candidates
+        trunc = (jnp.any(g_f, axis=0)
+                 | K.boundary_truncated(gs, s2, M))
+        return d2, s2, t2, trunc
 
     step = shard_map(
         local,
         mesh=mesh,
         in_specs=(P("d"), P("d"), P("d"), P("d"), P("d"), P(), P()),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(step)
@@ -212,15 +217,21 @@ def make_sharded_phrase_kernel(T: int, L: int, PP: int, M: int,
             pd, psc, pt, pos, pstarts, starts, ends, use_score, slot_of,
             T=T, L=L, PP=PP, M=M,
             n_bs_iters=n_bs_iters, n_pos_iters=n_pos_iters)
-        g_p = jax.lax.all_gather(packed, "d")  # (D, B, T+1, M)
+        body, lflag = packed[:, : T + 1, :], packed[:, T + 1, 0]
+        g_p = jax.lax.all_gather(body, "d")  # (D, B, T+1, M)
         g_s = jax.lax.all_gather(tsc, "d")  # (D, B, M)
+        g_f = jax.lax.all_gather(lflag, "d")  # (D, B)
         D = g_p.shape[0]
-        B = packed.shape[0]
+        B = body.shape[0]
         gp = jnp.transpose(g_p, (1, 2, 0, 3)).reshape(B, T + 1, D * M)
         gs = jnp.transpose(g_s, (1, 0, 2)).reshape(B, D * M)
         s2, i2 = jax.lax.top_k(gs, M)
         merged = jnp.take_along_axis(gp, i2[:, None, :].repeat(T + 1, 1), axis=2)
-        return merged
+        trunc = ((jnp.sum(g_f, axis=0) > 0)
+                 | K.boundary_truncated(gs, s2, M))
+        flag_row = jnp.broadcast_to(
+            trunc.astype(jnp.int32)[:, None, None], (B, 1, M))
+        return jnp.concatenate([merged, flag_row], axis=1)
 
     step = shard_map(
         local,
@@ -262,18 +273,10 @@ def host_exact_search_sharded(sh: ShardedIndex, cache64: np.ndarray,
             tfs[t] = sh.postings_tf[s, st + idc]
             pidx[t] = st + idc
         if is_phrase and len(rows) >= 2:
-            ps = sh.pos_starts[s]
-            for j in np.nonzero(mask)[0]:
-                base = set(
-                    int(x) for x in
-                    sh.positions[s, ps[pidx[0, j]] : ps[pidx[0, j] + 1]])
-                for t in range(1, len(rows)):
-                    pp = sh.positions[s, ps[pidx[t, j]] : ps[pidx[t, j] + 1]]
-                    base &= set(int(x) - t for x in pp)
-                    if not base:
-                        break
-                if not base:
-                    mask[j] = False
+            from wiser_tpu.engine.device import _host_phrase_mask
+
+            mask &= _host_phrase_mask(sh.positions[s], sh.pos_starts[s],
+                                      docs, pidx, mask, len(rows))
         docs_parts.append(docs[mask])
         tf_parts.append(tfs[:, mask])
     if not docs_parts:
@@ -309,6 +312,7 @@ class ShardedEngine:
         mesh: Optional[Mesh] = None,
         margin: int = DEFAULT_MARGIN,
         doc_bodies: Optional[List[str]] = None,
+        strict_parity: bool = False,
     ):
         if mesh is None:
             devs = np.array(jax.devices()[: sharded.n_shards])
@@ -337,6 +341,7 @@ class ShardedEngine:
         self._max_tf = int(sharded.max_tf.max(initial=1)) \
             if sharded.max_tf is not None else 1
         self.doc_bodies = doc_bodies
+        self.strict_parity = strict_parity
         # per-shard max df per term: the tight L bucket + saturation check
         self._df_shard_max = sharded.df_shard.max(axis=0).astype(np.int64)
 
@@ -441,13 +446,15 @@ class ShardedEngine:
                 merged = np.asarray(out)
                 self._finalize_group(res_list, merged[:, 0, :],
                                      merged[:, 1 : T + 1, :], group,
-                                     slot_of, idf64_q, ks, is_phrase=True)
+                                     slot_of, idf64_q, ks, is_phrase=True,
+                                     force_host=merged[:, T + 1, 0] != 0)
 
             pending.append(finalize)
         return pending
 
     def _finalize_group(self, results, docs, tfs_slot, group, slot_of,
-                        idf64_q, ks, is_phrase: bool) -> None:
+                        idf64_q, ks, is_phrase: bool,
+                        force_host=None) -> None:
         """Exact f64 re-rank + tie-class truncation guard + snippets —
         the sharded mirror of TpuEngine._finalize_arrays."""
         from wiser_tpu.engine.topk import (rescore_sorted_arrays,
@@ -460,6 +467,8 @@ class ShardedEngine:
         docs_f, score_f, n_valid = rescore_sorted_arrays(
             docs, tf_q, idf64_q, self.sharded.doc_len_code, self.cache64)
         suspects = truncation_suspects(score_f, n_valid, ks)
+        if force_host is not None and self.strict_parity:
+            suspects = suspects | force_host[: len(suspects)]
         for i, (qi, rows, q) in enumerate(group):
             if suspects[i]:
                 d, s = self._host_exact(rows, int(ks[i]), is_phrase)
@@ -530,17 +539,19 @@ class ShardedEngine:
             max_k = max(q.n_results for _, _, q in group)
             M = min(L, max_k + self.margin)
             kern = make_sharded_kernel(T, L, M, K.n_iters_for(self._max_df), self.mesh)
-            docs, score, tfs = kern(
+            docs, score, tfs, trunc = kern(
                 self.d_postings_doc, self.d_postings_score, self.d_postings_tf,
                 self.d_term_starts, self.d_df_shard,
                 jax.device_put(rows_arr, repl), jax.device_put(use_score, repl),
             )
 
-            def finalize(res_list, docs=docs, tfs=tfs, group=group,
-                         slot_of=slot_of, idf64_q=idf64_q, ks=ks, T=T):
+            def finalize(res_list, docs=docs, tfs=tfs, trunc=trunc,
+                         group=group, slot_of=slot_of, idf64_q=idf64_q,
+                         ks=ks, T=T):
                 self._finalize_group(res_list, np.asarray(docs),
                                      np.asarray(tfs), group, slot_of,
-                                     idf64_q, ks, is_phrase=False)
+                                     idf64_q, ks, is_phrase=False,
+                                     force_host=np.asarray(trunc))
 
             pending.append(finalize)
         return results, pending

@@ -16,9 +16,10 @@ The TPU translation:
   next batch's staging transfer with current compute — the prefetch
   analog.
 
-Phrase queries currently require the resident engine (positions are not
-staged yet); StagedEngine routes them to the hot tier and raises if a
-cold term is involved.
+Phrase queries run on whichever tier owns their terms: all-hot phrases
+use the resident engine's full pipeline (bloom gate included); phrases
+touching cold terms get their POSITION BAGS staged alongside the posting
+runs and run the bloomless phrase pipeline against the scratch columns.
 """
 
 from __future__ import annotations
@@ -119,10 +120,13 @@ def _hot_view(packed: PackedIndex, hbm_budget_bytes: int
 
 class StagedEngine:
     def __init__(self, packed: PackedIndex, hbm_budget_bytes: int,
-                 doc_bodies=None, margin: int = 54):
+                 doc_bodies=None, margin: int = 54,
+                 strict_parity: bool = False):
         self.packed = packed
+        self.strict_parity = strict_parity
         hot_view, self.hot_mask = _hot_view(packed, hbm_budget_bytes)
-        self.hot = TpuEngine(hot_view, doc_bodies=doc_bodies, margin=margin)
+        self.hot = TpuEngine(hot_view, doc_bodies=doc_bodies, margin=margin,
+                             strict_parity=strict_parity)
         self.margin = margin
         self.doc_bodies = doc_bodies
         self.similarity = Bm25Similarity(packed.avg_len)
@@ -162,9 +166,6 @@ class StagedEngine:
                 hot_q.append(q)
                 hot_qi.append(qi)
             else:
-                if q.is_phrase and len(rows) >= 2:
-                    raise NotImplementedError(
-                        "phrase queries over cold (staged) terms")
                 cold.append((qi, rows, q))
 
         hot_results, hot_pending = self.hot.submit_batch(hot_q)
@@ -207,16 +208,44 @@ class StagedEngine:
         d_tf = jnp.asarray(s_tf)
         d_sc = jnp.asarray(s_sc)
 
+        phrase = [(qi, rows, q) for qi, rows, q in cold
+                  if q.is_phrase and len(rows) >= 2]
+        flat = [(qi, rows, q) for qi, rows, q in cold
+                if not (q.is_phrase and len(rows) >= 2)]
+
+        pending = []
+        if phrase:
+            # stage position bags too ("read as needed" covers phrase
+            # data: scratch bags are CSR-indexed by scratch posting index)
+            pos_counts = np.zeros(cap, dtype=np.int64)
+            pos_chunks = []
+            pk = self.packed
+            for i, r in enumerate(staged_terms):
+                a, n = int(offs[i]), int(run_lens[i])
+                src = int(self._starts32[r])
+                ps = pk.pos_starts[src : src + n + 1]
+                pos_counts[a : a + n] = np.diff(ps)
+                pos_chunks.append(pk.positions[int(ps[0]) : int(ps[-1])])
+            s_pstarts = np.zeros(cap + 1, dtype=np.int64)
+            np.cumsum(pos_counts, out=s_pstarts[1:])
+            s_positions = (np.concatenate(pos_chunks)
+                           if pos_chunks else np.zeros(0, dtype=np.int32))
+            if s_positions.size == 0:
+                s_positions = np.zeros(1, dtype=np.int32)
+            d_pos = jnp.asarray(s_positions.astype(np.int32))
+            d_ps = jnp.asarray(s_pstarts.astype(np.int32))
+            pending += self._submit_cold_phrase(
+                phrase, scratch_start, d_doc, d_sc, d_tf, d_pos, d_ps,
+                queries, results)
+
         # group/assemble (python loop — the cold tail is small)
         groups: Dict[tuple, list] = {}
-        for qi, rows, q in cold:
+        for qi, rows, q in flat:
             dfs = [int(self._df32[r]) for r in rows]
             cslot = int(np.argmin(dfs))
             T = _bucket(len(rows), T_BUCKETS)
             L = _bucket(dfs[cslot], L_BUCKETS)
             groups.setdefault((T, L), []).append((qi, rows, q, cslot))
-
-        pending = []
         for (T, L), group in groups.items():
             for ci in range(0, len(group), B_CHUNK):
                 chunk = group[ci : ci + B_CHUNK]
@@ -268,6 +297,8 @@ class StagedEngine:
                         top_docs, tf_q, idf64_q, self.packed.doc_len_code,
                         self.cache64)
                     suspects = truncation_suspects(score_f, n_valid, ks)
+                    if self.strict_parity:
+                        suspects = suspects | (packed_out[:, T + 1, 0] != 0)
                     for i in range(n):
                         qi = int(qis[i])
                         res = res_list[qi]
@@ -281,17 +312,103 @@ class StagedEngine:
                             res.set_arrays(docs_f[i, :cnt], score_f[i, :cnt])
                         q = queries[qi]
                         if q.return_snippets and self.doc_bodies is not None:
-                            from wiser_tpu.engine.device import _PlannedQuery
+                            from wiser_tpu.engine.device import snippet_for
 
                             # snippets resolve posting bags via the FULL
                             # host index (cold rows aren't in the hot view)
-                            pq = _PlannedQuery(qi, rows_of[i], q)
-                            saved, self.hot.packed = self.hot.packed, self.packed
-                            try:
-                                for e in res.entries:
-                                    e.snippet = self.hot._snippet(pq, e.doc_id)
-                            finally:
-                                self.hot.packed = saved
+                            for e in res.entries:
+                                e.snippet = snippet_for(
+                                    self.packed, self.doc_bodies, rows_of[i],
+                                    q, e.doc_id)
+
+                pending.append(finalize)
+        return pending
+
+    def _submit_cold_phrase(self, phrase, scratch_start, d_doc, d_sc, d_tf,
+                            d_pos, d_ps, queries, results):
+        """Cold-tier phrase execution against the staged scratch columns
+        (bloomless phrase_body — the gate is a pruning optimization)."""
+        from wiser_tpu.engine.device import PP_BUCKETS, host_exact_search
+        from wiser_tpu.engine.topk import (rescore_sorted_arrays,
+                                           truncation_suspects)
+
+        groups: Dict[tuple, list] = {}
+        for qi, rows, q in phrase:
+            dfs = [int(self._df32[r]) for r in rows]
+            cslot = int(np.argmin(dfs))
+            T = len(rows)  # exact T: phrase adjacency needs true slots
+            L = _bucket(dfs[cslot], L_BUCKETS)
+            PP = _bucket(int(self.packed.max_tf[rows[0]]), PP_BUCKETS)
+            groups.setdefault((T, L, PP), []).append((qi, rows, q, cslot))
+
+        pending = []
+        n_pos_iters = K.n_iters_for(int(self.packed.max_tf.max(initial=1)))
+        for (T, L, PP), group in groups.items():
+            for ci in range(0, len(group), B_CHUNK):
+                chunk = group[ci : ci + B_CHUNK]
+                B = _bucket(len(chunk), B_BUCKETS)
+                starts = np.zeros((B, T), dtype=np.int32)
+                ends = np.zeros((B, T), dtype=np.int32)
+                use_score = np.zeros((B, T), dtype=np.float32)
+                idf64_q = np.zeros((B, T), dtype=np.float64)
+                slot_of = np.zeros((B, T), dtype=np.int32)
+                ks = np.zeros(B, dtype=np.int32)
+                qis = np.zeros(B, dtype=np.int64)
+                rows_of = []
+                for i, (qi, rows, q, cslot) in enumerate(chunk):
+                    ks[i] = q.n_results
+                    qis[i] = qi
+                    rows_of.append(rows)
+                    order = [cslot] + [t for t in range(T) if t != cslot]
+                    for slot, t in enumerate(order):
+                        r = rows[t]
+                        starts[i, slot] = scratch_start[r]
+                        ends[i, slot] = scratch_start[r] + self._df32[r]
+                        use_score[i, slot] = 1.0
+                        slot_of[i, t] = slot
+                    for t, r in enumerate(rows):
+                        idf64_q[i, t] = self.packed.idf64[r]
+                M = min(L, int(ks.max(initial=1)) + self.margin)
+                kern = K.make_phrase_kernel(
+                    T, L, PP, M, K.n_iters_for(self._max_df), n_pos_iters)
+                out = kern(d_doc, d_sc, d_tf, d_pos, d_ps,
+                           jnp.asarray(starts), jnp.asarray(ends),
+                           jnp.asarray(use_score), jnp.asarray(slot_of))
+
+                def finalize(res_list, out=out, T=T, n=len(chunk), qis=qis,
+                             slot_of=slot_of, idf64_q=idf64_q, ks=ks,
+                             rows_of=rows_of, queries=queries):
+                    packed_out = np.asarray(out)
+                    tf_q = np.take_along_axis(
+                        packed_out[:, 1 : T + 1, :],
+                        np.broadcast_to(
+                            slot_of[:, :, None].astype(np.int64),
+                            packed_out[:, 1 : T + 1, :].shape), axis=1)
+                    docs_f, score_f, n_valid = rescore_sorted_arrays(
+                        packed_out[:, 0, :], tf_q, idf64_q,
+                        self.packed.doc_len_code, self.cache64)
+                    suspects = truncation_suspects(score_f, n_valid, ks)
+                    if self.strict_parity:
+                        suspects = suspects | (packed_out[:, T + 1, 0] != 0)
+                    for i in range(n):
+                        qi = int(qis[i])
+                        res = res_list[qi]
+                        if suspects[i]:
+                            d, s = host_exact_search(
+                                self.packed, self.cache64, rows_of[i],
+                                int(ks[i]), is_phrase=True)
+                            res.set_arrays(d, s)
+                        else:
+                            cnt = min(int(ks[i]), int(n_valid[i]))
+                            res.set_arrays(docs_f[i, :cnt], score_f[i, :cnt])
+                        q = queries[qi]
+                        if q.return_snippets and self.doc_bodies is not None:
+                            from wiser_tpu.engine.device import snippet_for
+
+                            for e in res.entries:
+                                e.snippet = snippet_for(
+                                    self.packed, self.doc_bodies, rows_of[i],
+                                    q, e.doc_id)
 
                 pending.append(finalize)
         return pending

@@ -75,17 +75,21 @@ def rescore_sorted_arrays(
 
 def truncation_suspects(score_f: np.ndarray, n_valid: np.ndarray,
                         ks: np.ndarray, rel_eps: float = 1e-6) -> np.ndarray:
-    """Detect queries whose device candidate set may have truncated an
-    f32 tie/near-tie class that extends past the margin.
+    """Detect queries whose f32-ARITHMETIC error may have reordered a
+    candidate across the buffer boundary.
 
-    The device selects top-M by f32 score (ties kept lowest-doc-first).
-    That set provably contains the true f64 top-k unless the candidate
-    buffer is FULL and distinct f64 scores collide in f32 across the
-    buffer boundary. EXACT f64 ties at the boundary are safe — the
-    device's lowest-doc-first kept set matches the (score desc, doc asc)
-    canon — so only near-but-not-equal boundary scores are flagged.
-    Returns a bool mask of such queries (rare; callers re-run them
-    exactly on host)."""
+    Division of labor with the device-side flag (kernels.py
+    boundary_truncated): the device flags every query whose f32 boundary
+    CLASS was truncated (covers exact f64 ties and f32-rounding
+    collisions exactly — it counts lanes with score == the kept minimum).
+    What remains is queries where f32 SUMMATION error inverted the order
+    of two f64-distinct, f32-distinct scores across the boundary; that
+    requires an f64 gap within the arithmetic error bound
+    (~(T+1) * 2^-23 relative < rel_eps), which is what this flags.
+    Exact f64 ties at the boundary need no host pass here — if their
+    class was cut, the device flag fired. Together the two checks cover
+    every possible parity break; callers re-run flagged queries exactly
+    on host."""
     B, M = score_f.shape
     full = n_valid >= M
     if not full.any():
