@@ -11,8 +11,8 @@ from wiser_tpu.index.builder import build_index
 from wiser_tpu.types import SearchQuery
 
 
-@pytest.fixture(scope="module")
-def corpus():
+@pytest.fixture(scope="module", params=["raw", "tc"])
+def corpus(request):
     rng = np.random.default_rng(17)
     docs = []
     for i in range(1600):
@@ -27,7 +27,7 @@ def corpus():
         rng.shuffle(toks)
         docs.append(make_docinfo(toks, with_blooms=False))
     packed, oracle = build_index(docs)
-    engine = TpuEngine(packed)
+    engine = TpuEngine(packed, columns=request.param)
     return packed, oracle, engine
 
 
@@ -57,13 +57,15 @@ def test_dense_path_is_engaged(corpus, monkeypatch):
 
     _, oracle, engine = corpus
     called = []
-    orig = K.make_dense_search_kernel
+    name = ("make_dense_search_kernel_tc" if engine.columns == "tc"
+            else "make_dense_search_kernel")
+    orig = getattr(K, name)
 
     def spy(*a, **kw):
         called.append(a)
         return orig(*a, **kw)
 
-    monkeypatch.setattr(K, "make_dense_search_kernel", spy)
+    monkeypatch.setattr(K, name, spy)
     q = SearchQuery(["h0", "h1"], n_results=10)
     assert_same(oracle.search(q), engine.search(q))
     assert called, "all-head pair must route through the dense kernel"
@@ -74,9 +76,10 @@ def test_mixed_head_tail_stays_on_list_path(corpus, monkeypatch):
 
     _, oracle, engine = corpus
     called = []
-    monkeypatch.setattr(
-        K, "make_dense_search_kernel",
-        lambda *a, **kw: called.append(a) or K.make_search_kernel(1, 1, 1, 1))
+    for name in ("make_dense_search_kernel", "make_dense_search_kernel_tc"):
+        monkeypatch.setattr(
+            K, name,
+            lambda *a, **kw: called.append(a) or K.make_search_kernel(1, 1, 1, 1))
     q = SearchQuery(["h0", "r5"], n_results=10)
     assert_same(oracle.search(q), engine.search(q))
     assert not called, "head+tail query must not route dense"
@@ -107,13 +110,15 @@ def test_semidense_tail_cand_head_others(corpus, monkeypatch):
 
     _, oracle, engine = corpus
     called = []
-    orig = K.make_semidense_kernel
+    name = ("make_semidense_kernel_tc" if engine.columns == "tc"
+            else "make_semidense_kernel")
+    orig = getattr(K, name)
 
     def spy(*a, **kw):
         called.append(a)
         return orig(*a, **kw)
 
-    monkeypatch.setattr(K, "make_semidense_kernel", spy)
+    monkeypatch.setattr(K, name, spy)
     # r5 is a tail term (df << dense_min); h0/h1 are dense
     for terms in (["r5", "h0"], ["h0", "r5", "h1"], ["r3", "h2", "h0"]):
         q = SearchQuery(terms, n_results=10)

@@ -15,11 +15,14 @@ from wiser_tpu.engine.device import TpuEngine
 from wiser_tpu.types import SearchQuery
 
 
-@pytest.fixture(scope="module")
-def corpus():
+@pytest.fixture(scope="module", params=["raw", "tc"])
+def corpus(request):
+    # parametrized over the device column layout: the compressed (tc)
+    # mode must be indistinguishable from raw at the result level
     docs = synth_docinfos(n_docs=300, vocab_size=120, mean_len=40, seed=7)
     packed, oracle = build_index(docs, with_blooms=True)
-    engine = TpuEngine(packed, doc_bodies=oracle.doc_bodies)
+    engine = TpuEngine(packed, doc_bodies=oracle.doc_bodies,
+                       columns=request.param)
     return docs, packed, oracle, engine
 
 

@@ -96,7 +96,7 @@ class TestGuardWiring:
         monkeypatch.setattr(device_mod, "host_exact_search", spy)
         monkeypatch.setattr(
             device_mod, "truncation_suspects",
-            lambda s, n, k: np.ones(len(s), dtype=bool))
+            lambda s, n, k, **kw: np.ones(len(s), dtype=bool))
         # multi-term: single-term queries are served from the exact impact
         # table and never reach the guard
         q = SearchQuery(["w", "q"], n_results=10)

@@ -35,7 +35,13 @@ class Treatment:
     batch: int = 8192
     n_results: int = 10
     bloom_factor: Optional[int] = 1
-    engine: str = "tpu"  # tpu | oracle
+    engine: str = "tpu"  # tpu | oracle | staged
+    # device-memory budget as a fraction of the full posting-column bytes
+    # (engine="staged") — the cgroup-cap axis of the reference harness
+    # (run_exp.py:628-696) mapped to HBM: the hot tier keeps this share of
+    # posting bytes resident and the rest is staged per batch.
+    hbm_budget_frac: Optional[float] = None
+    columns: str = "raw"  # raw | tc (compressed device columns)
 
 
 @dataclass
@@ -46,6 +52,8 @@ class ExpResult:
     warmup_s: float
     batch_p50_s: float
     device_mem_bytes: Optional[int] = None
+    hot_fraction: Optional[float] = None  # staged: share of terms resident
+    budget_bytes: Optional[int] = None
 
 
 def default_matrix(quick: bool = False) -> List[Treatment]:
@@ -61,6 +69,26 @@ def default_matrix(quick: bool = False) -> List[Treatment]:
             ["single", "two_term", "aol_mix", "phrase"], [1024, 8192]):
         out.append(Treatment(
             name=f"{workload}_b{batch}", workload=workload, batch=batch))
+    return out
+
+
+def memory_matrix(quick: bool = False, n_docs: int = 50_000,
+                  vocab: int = 20_000) -> List[Treatment]:
+    """The memory-cap grid — the reference's core experiment axis
+    (run_exp.py:628-696 sweeps cgroup memory limits over a fixed engine +
+    workload and reads the QPS curve). Here the cap is the HBM budget of
+    the StagedEngine hot tier: at frac=1.0 everything is resident (pure
+    in-memory engine); lower fractions force per-batch host->device
+    staging of the cold posting runs ("read as needed")."""
+    if quick:
+        n_docs, vocab = 3000, 2000
+    out = []
+    for frac in (0.05, 0.1, 0.25, 0.5, 1.0):
+        out.append(Treatment(
+            name=f"membudget_{frac}", n_docs=n_docs, vocab=vocab,
+            workload="aol_mix", engine="staged", hbm_budget_frac=frac,
+            n_queries=2048 if quick else 8192,
+            batch=2048 if quick else 8192))
     return out
 
 
@@ -105,10 +133,21 @@ def run_treatment(t: Treatment) -> ExpResult:
         wall = time.time() - t0
         return ExpResult(asdict(t), len(queries) / wall, wall, 0.0, wall)
 
-    from wiser_tpu.engine.device import TpuEngine
+    hot_fraction = None
+    budget = None
+    if t.engine == "staged":
+        from wiser_tpu.engine.staged import BYTES_PER_POSTING, StagedEngine
 
-    engine = TpuEngine(packed, doc_bodies=oracle.doc_bodies,
-                       bloom_enable_factor=t.bloom_factor)
+        total_bytes = int(packed.n_postings) * BYTES_PER_POSTING
+        budget = int(total_bytes * (t.hbm_budget_frac or 1.0))
+        engine = StagedEngine(packed, budget, doc_bodies=oracle.doc_bodies)
+        hot_fraction = round(engine.hot_fraction, 4)
+    else:
+        from wiser_tpu.engine.device import TpuEngine
+
+        engine = TpuEngine(packed, doc_bodies=oracle.doc_bodies,
+                           bloom_enable_factor=t.bloom_factor,
+                           columns=t.columns)
     w0 = time.time()
     for i in range(0, len(queries), t.batch):
         engine.search_batch(queries[i : i + t.batch])
@@ -134,21 +173,28 @@ def run_treatment(t: Treatment) -> ExpResult:
     except Exception:
         pass
     return ExpResult(asdict(t), round(len(queries) / wall, 1), round(wall, 3),
-                     round(warmup, 2), round(float(np.median(lat)), 3), mem)
+                     round(warmup, 2), round(float(np.median(lat)), 3), mem,
+                     hot_fraction=hot_fraction, budget_bytes=budget)
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="exp_results.jsonl")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--memory", action="store_true",
+                    help="run the HBM-budget grid (the cgroup-cap analog)")
     args = ap.parse_args(argv)
+    matrix = (memory_matrix(args.quick) if args.memory
+              else default_matrix(args.quick))
     with open(args.out, "w") as f:
-        for t in default_matrix(args.quick):
+        for t in matrix:
             print(f"== {t.name}", file=sys.stderr)
             r = run_treatment(t)
             f.write(json.dumps(asdict(r)) + "\n")
             f.flush()
-            print(f"   {r.qps} qps", file=sys.stderr)
+            extra = (f" (hot {r.hot_fraction})" if r.hot_fraction is not None
+                     else "")
+            print(f"   {r.qps} qps{extra}", file=sys.stderr)
 
 
 if __name__ == "__main__":

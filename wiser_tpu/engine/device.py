@@ -33,7 +33,7 @@ import numpy as np
 
 from wiser_tpu.engine import kernels as K
 from wiser_tpu.engine.topk import rescore_sorted_arrays, truncation_suspects
-from wiser_tpu.index.format import PackedIndex
+from wiser_tpu.index.format import PackedIndex, SENTINEL_DOC
 from wiser_tpu.scoring import Bm25Similarity
 from wiser_tpu.types import SearchQuery, SearchResult, SearchResultEntry
 
@@ -168,6 +168,7 @@ class TpuEngine:
         single_term_depth: int = 64,
         dense_budget_bytes: int = 2 << 30,
         strict_parity: bool = False,
+        columns: str = "raw",
     ):
         # device_merge: route mega-pair queries through the Pallas
         # staircase merge (ops/merge.py) instead of the host merge.
@@ -175,12 +176,31 @@ class TpuEngine:
         # lists, but Mosaic compiles take minutes per L bucket — opt-in.
         self.device_merge = device_merge
         self.strict_parity = strict_parity
+        # columns="tc": compressed device columns — one uint16
+        # (doc_len_code << 8 | min(tf, 255)) lane replaces the (score f32,
+        # tf i32) pair; 12 -> 6 bytes/posting of HBM at identical results
+        # (kernels.tc_score reconstructs the selection score in-kernel;
+        # saturated-tf and near-tie queries take the exact host path).
+        # This is the serving-side analog of the reference's packed
+        # posting storage (packed_value.h:87-274, flash_containers.h:557).
+        if columns not in ("raw", "tc"):
+            raise ValueError(f"unknown columns mode {columns!r}")
+        if columns == "tc" and device_merge:
+            raise ValueError("device_merge requires columns='raw' "
+                             "(the Pallas merge reads score/tf rows)")
+        self.columns = columns
         if packed.n_postings >= 2**31 or len(packed.positions) >= 2**31:
             raise ValueError("index too large for int32 device addressing")
         self.packed = packed
         self.doc_bodies = doc_bodies
         self.bloom_enable_factor = bloom_enable_factor
         self.margin = margin
+        # widened guard epsilon for the in-kernel score reconstruction:
+        # per-term ~9 f32 rounding steps (vs 1 for the baked column) plus
+        # the T-term f32 sum -> worst-case relative error < (9+1)*T*2^-24
+        # ~ 4.8e-6 at T=8; 1e-5 covers it with margin. Cost is only a
+        # slightly higher exact-host fallback rate on near-ties.
+        self.rel_eps = 1e-5 if columns == "tc" else 1e-6
 
         self.similarity = Bm25Similarity(packed.avg_len)
         self.cache64 = self.similarity.cache  # (256,) f64
@@ -197,10 +217,23 @@ class TpuEngine:
         # slack must cover both the largest candidate dynamic_slice AND the
         # staircase-merge chunk DMA overreach (CHUNK_ROWS rows past a run)
         pad = _bucket(int(packed.df.max(initial=1)), L_BUCKETS) + 4096
-        self._h_score = np.pad(scores64.astype(np.float32), (0, pad))
         self._h_doc = np.pad(packed.postings_doc, (0, pad),
                              constant_values=K.INT32_MAX).astype(np.int32)
-        self._h_tf = np.pad(packed.postings_tf, (0, pad)).astype(np.int32)
+        if columns == "tc":
+            real = packed.postings_doc != SENTINEL_DOC
+            code = packed.doc_len_code[
+                np.where(real, packed.postings_doc, 0).astype(np.int64)]
+            tf8 = np.minimum(packed.postings_tf, K.TF_SAT).astype(np.uint16)
+            tc = (code.astype(np.uint16) << 8) | tf8
+            self._h_tc = np.pad(np.where(real, tc, 0).astype(np.uint16),
+                                (0, pad))
+            self._h_score = None
+            self._h_tf = None
+        else:
+            self._h_tc = None
+            self._h_score = np.pad(scores64.astype(np.float32), (0, pad))
+            self._h_tf = np.pad(packed.postings_tf, (0, pad)).astype(np.int32)
+        self._avg32 = np.float32(packed.avg_len)
         self._upload()
 
         self._max_df = int(packed.df.max(initial=1))
@@ -239,25 +272,38 @@ class TpuEngine:
         if len(rows) == 0:
             return
         self._n_pad_docs = (n + 127) // 128 * 128
-        cap = max(1, int(budget_bytes // (self._n_pad_docs * 8)))
+        # bytes per head-term row: (f32 score + i32 tf) = 8 raw; one
+        # uint16 tc lane = 2 compressed (4x the head capacity per byte)
+        row_bytes = 2 if self.columns == "tc" else 8
+        cap = max(1, int(budget_bytes // (self._n_pad_docs * row_bytes)))
         if len(rows) > cap:
             rows = rows[np.argsort(packed.df[rows])[::-1][:cap]]
         H = len(rows)
         lens = np.diff(packed.term_starts)
-        dense_sc = np.zeros((H, self._n_pad_docs), dtype=np.float32)
-        dense_tf = np.zeros((H, self._n_pad_docs), dtype=np.int32)
+        if self.columns == "tc":
+            dense_tc = np.zeros((H, self._n_pad_docs), dtype=np.uint16)
+        else:
+            dense_sc = np.zeros((H, self._n_pad_docs), dtype=np.float32)
+            dense_tf = np.zeros((H, self._n_pad_docs), dtype=np.int32)
         for slot, r in enumerate(rows.tolist()):
             s = int(packed.term_starts[r])
             m = min(int(packed.df[r]), int(lens[r]))  # staged hot views
             docs = packed.postings_doc[s : s + m]
-            dense_sc[slot, docs] = self._h_score[s : s + m]
-            dense_tf[slot, docs] = self._h_tf[s : s + m]
+            if self.columns == "tc":
+                dense_tc[slot, docs] = self._h_tc[s : s + m]
+            else:
+                dense_sc[slot, docs] = self._h_score[s : s + m]
+                dense_tf[slot, docs] = self._h_tf[s : s + m]
             self._dense_slot[r] = slot
         self._dense_H = H
-        self._h_dense_sc = dense_sc  # kept for device-loss re-provision
-        self._h_dense_tf = dense_tf
-        self.d_dense_sc = jnp.asarray(dense_sc)
-        self.d_dense_tf = jnp.asarray(dense_tf)
+        if self.columns == "tc":
+            self._h_dense_tc_rows = dense_tc  # kept for re-provision
+            self.d_dense_tc = jnp.asarray(dense_tc)
+        else:
+            self._h_dense_sc = dense_sc  # kept for device-loss re-provision
+            self._h_dense_tf = dense_tf
+            self.d_dense_sc = jnp.asarray(dense_sc)
+            self.d_dense_tf = jnp.asarray(dense_tf)
 
     def _build_single_term_table(self, scores64: np.ndarray, depth: int):
         """Impact-ordered per-term top table: a single-term query's top-k
@@ -312,18 +358,27 @@ class TpuEngine:
         """(Re)provision device-resident columns — called at init and
         after a device worker restart."""
         packed = self.packed
-        self.d_postings_score = jnp.asarray(self._h_score)
         self.d_postings_doc = jnp.asarray(self._h_doc)
-        self.d_postings_tf = jnp.asarray(self._h_tf)
-        # (P/128, 128) row views for the Pallas staircase merge
-        self.d_doc_rows = self.d_postings_doc.reshape(-1, 128)
-        self.d_score_rows = self.d_postings_score.reshape(-1, 128)
-        self.d_tf_rows = self.d_postings_tf.reshape(-1, 128)
+        if self.columns == "tc":
+            self.d_postings_tc = jnp.asarray(self._h_tc)
+            self.d_avg32 = jnp.asarray(self._avg32)
+            self.d_postings_score = None
+            self.d_postings_tf = None
+        else:
+            self.d_postings_score = jnp.asarray(self._h_score)
+            self.d_postings_tf = jnp.asarray(self._h_tf)
+            # (P/128, 128) row views for the Pallas staircase merge
+            self.d_doc_rows = self.d_postings_doc.reshape(-1, 128)
+            self.d_score_rows = self.d_postings_score.reshape(-1, 128)
+            self.d_tf_rows = self.d_postings_tf.reshape(-1, 128)
         self.d_pos_starts = jnp.asarray(packed.pos_starts, dtype=jnp.int32)
         self.d_positions = jnp.asarray(packed.positions, dtype=jnp.int32)
         if getattr(self, "_dense_H", 0):
-            self.d_dense_sc = jnp.asarray(self._h_dense_sc)
-            self.d_dense_tf = jnp.asarray(self._h_dense_tf)
+            if self.columns == "tc":
+                self.d_dense_tc = jnp.asarray(self._h_dense_tc_rows)
+            else:
+                self.d_dense_sc = jnp.asarray(self._h_dense_sc)
+                self.d_dense_tf = jnp.asarray(self._h_dense_tf)
         if packed.bloom_ends is not None:
             self.d_bloom_ends = jnp.asarray(packed.bloom_ends)
             self.d_bloom_begins = jnp.asarray(packed.bloom_begins)
@@ -331,6 +386,28 @@ class TpuEngine:
             w = packed.bloom_cfg.n_words
             self.d_bloom_ends = jnp.zeros((1, w), dtype=jnp.uint32)
             self.d_bloom_begins = jnp.zeros((1, w), dtype=jnp.uint32)
+
+    def device_bytes(self) -> dict:
+        """Accounting of device-resident index bytes per column family —
+        the capacity story of the compressed mode (the reference's
+        packed-posting rationale, flash_engine_dumper.h:557-620)."""
+        out = {}
+        posting = self.d_postings_doc.nbytes
+        if self.columns == "tc":
+            posting += self.d_postings_tc.nbytes
+        else:
+            posting += self.d_postings_score.nbytes + self.d_postings_tf.nbytes
+        out["postings"] = int(posting)
+        out["positions"] = int(self.d_positions.nbytes + self.d_pos_starts.nbytes)
+        if getattr(self, "_dense_H", 0):
+            dense = (self.d_dense_tc.nbytes if self.columns == "tc"
+                     else self.d_dense_sc.nbytes + self.d_dense_tf.nbytes)
+        else:
+            dense = 0
+        out["dense_tier"] = int(dense)
+        out["blooms"] = int(self.d_bloom_ends.nbytes + self.d_bloom_begins.nbytes)
+        out["total"] = sum(out.values())
+        return out
 
     MAX_DEVICE_RETRIES = 2
 
@@ -566,6 +643,9 @@ class TpuEngine:
                                  slot_rows_all[:, :1])
         slot_of_all = np.argsort(order, axis=1, kind="stable")  # query t -> slot
         idf64_all = self.packed.idf64[rows_pad] * valid  # query-term order
+        # slot-order f32 idfs for the tc kernels (0 on padded slots)
+        idf32_slot_all = (self.packed.idf64[slot_rows_all]
+                          * (slot_idx < n_terms[:, None])).astype(np.float32)
 
         for gi, gkey in enumerate(uniq_keys):
             members_all = np.nonzero(inverse == gi)[0]
@@ -602,13 +682,16 @@ class TpuEngine:
                     np.arange(T)[None, :] < n_terms[m, None]).astype(np.float32)
                 idf64_q = np.zeros((B, T), dtype=np.float64)
                 idf64_q[: len(m)] = idf64_all[m, :T]
+                idf32_g = np.zeros((B, T), dtype=np.float32)
+                idf32_g[: len(m)] = idf32_slot_all[m, :T]
                 slot_of = np.zeros((B, T), dtype=np.int64)
                 slot_of[: len(m)] = slot_of_all[m, :T]
                 ks_g = np.zeros(B, dtype=np.int32)
                 ks_g[: len(m)] = ks[m]
                 pending.append(self._dispatch_flat(
                     T, L, L2, starts, ends, use_score, idf64_q, slot_of,
-                    ks_g, qi_arr[m], flat_rows, m, queries, results))
+                    ks_g, qi_arr[m], flat_rows, m, queries, results,
+                    idf32=idf32_g))
         return pending
 
     # (B, N_pad) f32 tensors: 128 x 1M docs = 512MB per live tensor; the
@@ -630,6 +713,7 @@ class TpuEngine:
                 slots = np.zeros((B, T), dtype=np.int32)
                 use = np.zeros((B, T), dtype=np.float32)
                 idf64_q = np.zeros((B, T), dtype=np.float64)
+                idf32_g = np.zeros((B, T), dtype=np.float32)
                 slot_of = np.tile(np.arange(T, dtype=np.int64), (B, 1))
                 ks_g = np.zeros(B, dtype=np.int32)
                 for bi, i in enumerate(m):
@@ -641,11 +725,18 @@ class TpuEngine:
                         if t < len(rows):
                             use[bi, t] = 1.0
                             idf64_q[bi, t] = self.packed.idf64[r]
+                            idf32_g[bi, t] = np.float32(self.packed.idf64[r])
                 M = min(int(ks_g.max(initial=1)) + self.margin,
                         self._n_pad_docs)
-                kern = K.make_dense_search_kernel(T, self._n_pad_docs, M)
-                out = kern(self.d_dense_sc, self.d_dense_tf,
-                           jnp.asarray(slots), jnp.asarray(use))
+                if self.columns == "tc":
+                    kern = K.make_dense_search_kernel_tc(
+                        T, self._n_pad_docs, M)
+                    out = kern(self.d_dense_tc, self.d_avg32,
+                               jnp.asarray(slots), jnp.asarray(idf32_g))
+                else:
+                    kern = K.make_dense_search_kernel(T, self._n_pad_docs, M)
+                    out = kern(self.d_dense_sc, self.d_dense_tf,
+                               jnp.asarray(slots), jnp.asarray(use))
 
                 def finalize(res_list, out=out, T=T, m=m, slot_of=slot_of,
                              idf64_q=idf64_q, ks_g=ks_g, qi_arr=qi_arr,
@@ -685,6 +776,7 @@ class TpuEngine:
                 use = np.zeros((B, T), dtype=np.float32)
                 slots = np.zeros((B, T), dtype=np.int32)
                 idf64_q = np.zeros((B, T), dtype=np.float64)
+                idf32_s = np.zeros((B, T), dtype=np.float32)
                 slot_of = np.zeros((B, T), dtype=np.int64)
                 ks_g = np.zeros(B, dtype=np.int32)
                 for bi, i in enumerate(m):
@@ -701,18 +793,27 @@ class TpuEngine:
                         else:
                             slots[bi, slot] = self._dense_slot[r]
                         use[bi, slot] = 1.0
+                        idf32_s[bi, slot] = np.float32(self.packed.idf64[r])
                         slot_of[bi, t] = slot
                     for slot in range(len(order), T):  # padded slots
                         slots[bi, slot] = slots[bi, 1] if T > 1 else 0
                     for t, r in enumerate(rows):
                         idf64_q[bi, t] = self.packed.idf64[r]
                 M = min(L, int(ks_g.max(initial=1)) + self.margin)
-                kern = K.make_semidense_kernel(T, L, M, self._n_pad_docs)
-                out = kern(self.d_postings_doc, self.d_postings_score,
-                           self.d_postings_tf, self.d_dense_sc,
-                           self.d_dense_tf, jnp.asarray(starts),
-                           jnp.asarray(ends), jnp.asarray(use),
-                           jnp.asarray(slots))
+                if self.columns == "tc":
+                    kern = K.make_semidense_kernel_tc(
+                        T, L, M, self._n_pad_docs)
+                    out = kern(self.d_postings_doc, self.d_postings_tc,
+                               self.d_avg32, self.d_dense_tc,
+                               jnp.asarray(starts), jnp.asarray(ends),
+                               jnp.asarray(idf32_s), jnp.asarray(slots))
+                else:
+                    kern = K.make_semidense_kernel(T, L, M, self._n_pad_docs)
+                    out = kern(self.d_postings_doc, self.d_postings_score,
+                               self.d_postings_tf, self.d_dense_sc,
+                               self.d_dense_tf, jnp.asarray(starts),
+                               jnp.asarray(ends), jnp.asarray(use),
+                               jnp.asarray(slots))
 
                 def finalize(res_list, out=out, T=T, m=m, slot_of=slot_of,
                              idf64_q=idf64_q, ks_g=ks_g, qi_arr=qi_arr,
@@ -803,20 +904,30 @@ class TpuEngine:
         return pending
 
     def _dispatch_flat(self, T, L, L2, starts, ends, use_score, idf64_q,
-                       slot_of, ks, qis, flat_rows, members, queries, results):
+                       slot_of, ks, qis, flat_rows, members, queries, results,
+                       idf32=None):
         M = min(L, int(ks.max(initial=1)) + self.margin)
+        tc = self.columns == "tc"
 
         def make_args():
+            if tc:
+                return (
+                    self.d_postings_doc, self.d_postings_tc, self.d_avg32,
+                    jnp.asarray(starts), jnp.asarray(ends),
+                    jnp.asarray(idf32),
+                )
             return (
                 self.d_postings_doc, self.d_postings_score,
                 self.d_postings_tf,
                 jnp.asarray(starts), jnp.asarray(ends), jnp.asarray(use_score),
             )
 
+        mode = "tc" if tc else "raw"
         if L2:
-            kern = K.make_windowed_search_kernel(T, L, L2 // 128, M)
+            kern = K.make_windowed_search_kernel(T, L, L2 // 128, M, mode=mode)
         else:
-            kern = K.make_search_kernel(T, L, M, K.n_iters_for(self._max_df))
+            kern = K.make_search_kernel(T, L, M, K.n_iters_for(self._max_df),
+                                        mode=mode)
         out = kern(*make_args())
 
         def finalize(res_list):
@@ -841,16 +952,18 @@ class TpuEngine:
 
     def _flags_to_force(self, flags: np.ndarray) -> np.ndarray:
         """Kernel flag word -> host-fallback mask. Bit 1 (window overflow:
-        lanes genuinely missing) always forces the exact path. Bit 0
+        lanes genuinely missing) and bit 2 (a kept lane's tf byte
+        saturated — its tc-mode score was the optimistic bound and its
+        returned tf is wrong) always force the exact path. Bit 0
         (f32 boundary-CLASS truncated) forces only under strict_parity:
         a truncated class breaks parity only in the astronomically rare
         event that an excluded class member f32-collides with a distinct
         f64 score (see topk.truncation_suspects); ~80% of all-head
         queries have >buffer tie classes, so defaulting this on would put
         most of the mega workload on the host path."""
-        force = (flags & 2) != 0
+        force = (flags & (K.FLAG_OVERFLOW | K.FLAG_TF_SAT)) != 0
         if self.strict_parity:
-            force = force | ((flags & 1) != 0)
+            force = force | ((flags & K.FLAG_TRUNC) != 0)
         return force
 
     def _finalize_arrays(self, top_docs, top_tfs_slot, slot_of, idf64_q, ks,
@@ -863,7 +976,8 @@ class TpuEngine:
             np.broadcast_to(slot_of[:, :, None], top_tfs_slot.shape), axis=1)
         docs_f, score_f, n_valid = rescore_sorted_arrays(
             top_docs, tf_q, idf64_q, self.packed.doc_len_code, self.cache64)
-        suspects = truncation_suspects(score_f, n_valid, ks)
+        suspects = truncation_suspects(score_f, n_valid, ks,
+                                       rel_eps=self.rel_eps)
         if force_host is not None:
             suspects = suspects | force_host[: len(suspects)]
         for i in range(n):
@@ -910,12 +1024,13 @@ class TpuEngine:
 
     def _assemble(self, group: List[_PlannedQuery], T: int,
                   buckets: Sequence[int] = B_BUCKETS):
-        """Slot-ordered (starts, ends, use_score) + query-order f64
+        """Slot-ordered (starts, ends, use_score, idf32) + query-order f64
         metadata for the re-rank."""
         B = _bucket(len(group), buckets)
         starts = np.zeros((B, T), dtype=np.int32)
         ends = np.zeros((B, T), dtype=np.int32)
         use_score = np.zeros((B, T), dtype=np.float32)
+        idf32_s = np.zeros((B, T), dtype=np.float32)  # slot order
         idf64_q = np.zeros((B, T), dtype=np.float64)  # query-term order
         slot_of = np.zeros((B, T), dtype=np.int64)
         ks = np.zeros(B, dtype=np.int32)
@@ -928,10 +1043,11 @@ class TpuEngine:
                 ends[i, t] = self._starts32[r] + self._df32[r]
                 if t < len(srows):
                     use_score[i, t] = 1.0
+                    idf32_s[i, t] = np.float32(self.packed.idf64[r])
             for t, qr in enumerate(pq.rows):
                 idf64_q[i, t] = self.packed.idf64[qr]
                 slot_of[i, t] = pq.slot_of_term[t]
-        return starts, ends, use_score, idf64_q, slot_of, ks
+        return starts, ends, use_score, idf32_s, idf64_q, slot_of, ks
 
     def _finalize_group(self, group, top_docs, top_tfs_slot, slot_of,
                         idf64_q, ks, results, force_host=None):
@@ -944,7 +1060,8 @@ class TpuEngine:
         )
         docs_f, score_f, n_valid = rescore_sorted_arrays(
             top_docs, tf_q, idf64_q, self.packed.doc_len_code, self.cache64)
-        suspects = truncation_suspects(score_f, n_valid, ks)
+        suspects = truncation_suspects(score_f, n_valid, ks,
+                                       rel_eps=self.rel_eps)
         if force_host is not None:
             suspects = suspects | force_host[: len(suspects)]
         for i, pq in enumerate(group):
@@ -1026,22 +1143,32 @@ class TpuEngine:
 
     def _submit_flat(self, planned: List[_PlannedQuery]):
         planned, pending = self._route_saturated(planned, is_phrase=False)
+        mode = "tc" if self.columns == "tc" else "raw"
         for (T, L, L2, iters), group in self._chunked_groups(planned, self._flat_key):
-            starts, ends, use_score, idf64_q, slot_of, ks = self._assemble(group, T)
+            (starts, ends, use_score, idf32_s, idf64_q, slot_of,
+             ks) = self._assemble(group, T)
             M = min(L, int(ks.max(initial=1)) + self.margin)
-            args = (
-                self.d_postings_doc, self.d_postings_score, self.d_postings_tf,
-                jnp.asarray(starts), jnp.asarray(ends), jnp.asarray(use_score),
-            )
+            if mode == "tc":
+                args = (
+                    self.d_postings_doc, self.d_postings_tc, self.d_avg32,
+                    jnp.asarray(starts), jnp.asarray(ends),
+                    jnp.asarray(idf32_s),
+                )
+            else:
+                args = (
+                    self.d_postings_doc, self.d_postings_score,
+                    self.d_postings_tf,
+                    jnp.asarray(starts), jnp.asarray(ends),
+                    jnp.asarray(use_score),
+                )
             if L2:  # windowed block-intersection path
-                kern = K.make_windowed_search_kernel(T, L, L2 // 128, M)
+                kern = K.make_windowed_search_kernel(T, L, L2 // 128, M,
+                                                     mode=mode)
                 out = kern(*args)
-                windowed = True
             else:
                 kern = K.make_search_kernel(
-                    T, L, M, iters or K.n_iters_for(self._max_df))
+                    T, L, M, iters or K.n_iters_for(self._max_df), mode=mode)
                 out = kern(*args)
-                windowed = False
 
             def finalize(results, group=group, out=out,
                          slot_of=slot_of, idf64_q=idf64_q, ks=ks,
@@ -1082,23 +1209,36 @@ class TpuEngine:
                 planned, keyfn,
                 lanes_of=lambda k: k[1] * max(k[2], 1),
                 lane_budget=1 << 27, buckets=self.PHRASE_B_BUCKETS):
-            starts, ends, use_score, idf64_q, slot_of, ks = self._assemble(
-                group, T, buckets=self.PHRASE_B_BUCKETS)
+            (starts, ends, use_score, idf32_s, idf64_q, slot_of,
+             ks) = self._assemble(group, T, buckets=self.PHRASE_B_BUCKETS)
             B = starts.shape[0]
             probes_np = self._assemble_bloom_probes(group, T, B)
 
             def chain(T=T, L=L, PP=PP, starts=starts, ends=ends,
-                      use_score=use_score, slot_of=slot_of, ks=ks,
-                      probes_np=probes_np):
-                match_kern = K.make_match_kernel(
-                    T, L, K.n_iters_for(self._max_df))
-                match, bloom_pass, cdocs, pidx, score = match_kern(
-                    self.d_postings_doc, self.d_postings_score,
-                    jnp.asarray(starts), jnp.asarray(ends),
-                    jnp.asarray(use_score),
-                    self.d_bloom_ends, self.d_bloom_begins,
-                    *(jnp.asarray(p) for p in probes_np),
-                )
+                      use_score=use_score, idf32_s=idf32_s, slot_of=slot_of,
+                      ks=ks, probes_np=probes_np):
+                tc = self.columns == "tc"
+                if tc:
+                    match_kern = K.make_match_kernel_tc(
+                        T, L, K.n_iters_for(self._max_df))
+                    match, bloom_pass, cdocs, pidx, score, sat_lane = \
+                        match_kern(
+                            self.d_postings_doc, self.d_postings_tc,
+                            self.d_avg32, jnp.asarray(starts),
+                            jnp.asarray(ends), jnp.asarray(idf32_s),
+                            self.d_bloom_ends, self.d_bloom_begins,
+                            *(jnp.asarray(p) for p in probes_np),
+                        )
+                else:
+                    match_kern = K.make_match_kernel(
+                        T, L, K.n_iters_for(self._max_df))
+                    match, bloom_pass, cdocs, pidx, score = match_kern(
+                        self.d_postings_doc, self.d_postings_score,
+                        jnp.asarray(starts), jnp.asarray(ends),
+                        jnp.asarray(use_score),
+                        self.d_bloom_ends, self.d_bloom_begins,
+                        *(jnp.asarray(p) for p in probes_np),
+                    )
                 active = match & bloom_pass
                 n_pos_iters = K.n_iters_for(
                     int(self.packed.max_tf.max(initial=1)))
@@ -1111,6 +1251,10 @@ class TpuEngine:
                     self.d_positions, self.d_pos_starts, pidx_q, active)
                 final = active & (n_matches > 0)
                 M = min(L, int(ks.max(initial=1)) + self.margin)
+                if tc:
+                    select = K.make_select_topk_kernel_tc(T, L, M)
+                    return select(self.d_postings_tc, cdocs, pidx, score,
+                                  final, sat_lane)
                 select = K.make_select_topk_kernel(T, L, M)
                 return select(self.d_postings_tf, cdocs, pidx, score, final)
 

@@ -6,6 +6,7 @@ URLs here:
   "oracle:<dump_dir>"           oracle loaded from an oracle_dump dir
   "oracle_linedoc:<path>:<fmt>" oracle built from a linedoc file
   "tpu:<index_dir>"             TpuEngine over a saved PackedIndex
+  "tpu_tc:<index_dir>"          TpuEngine with compressed (tc) columns
   "sharded:<index_dir>:<n>"     ShardedEngine over n mesh devices
 """
 
@@ -30,7 +31,7 @@ def create_search_engine(url: str):
         eng = OracleEngine()
         eng.load_linedocs(parse_linedoc(path, fmt or "WITH_POSITIONS"))
         return eng
-    if scheme == "tpu":
+    if scheme in ("tpu", "tpu_tc"):
         import os
 
         from wiser_tpu.engine.device import TpuEngine
@@ -45,7 +46,8 @@ def create_search_engine(url: str):
             r = ChunkedDocStoreReader(docs_dir)
             bodies = [r.get(i) for i in range(r.n_docs)]
             r.close()
-        return TpuEngine(packed, doc_bodies=bodies)
+        return TpuEngine(packed, doc_bodies=bodies,
+                         columns="tc" if scheme == "tpu_tc" else "raw")
     if scheme == "sharded":
         path, _, n = rest.rpartition(":")
         from wiser_tpu.engine.shard import ShardedEngine, ShardedIndex

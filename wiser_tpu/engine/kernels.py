@@ -43,6 +43,64 @@ NEG_INF = np.float32(-np.inf)
 INT32_MAX = np.int32(2**31 - 1)
 K1_PLUS_1 = np.float32(2.2)
 
+# -- compressed (tc) posting columns ----------------------------------------
+#
+# The raw device layout spends 8 bytes/posting on (score f32, tf i32). The
+# "tc" mode replaces both with ONE uint16 lane: tc = doc_len_code << 8 |
+# min(tf, 255) — the reference's storage story (tf varints + the 1-byte
+# lossy length code, packed_value.h:87-274 + utils.h:301-330) mapped to a
+# fixed-width TPU lane. The f32 selection score is RECONSTRUCTED in-kernel
+# with ~12 VPU ops (CHAR4 decode is pure arithmetic — no table gathers):
+#   score = idf32[slot] * (tf * (k1+1)) / (tf + k1*(1 - b + b*len/avg))
+#
+# Exactness: the reconstruction differs from the host's f64->f32 score by
+# a few ulps; the engine widens the truncation guard's rel_eps accordingly
+# (device.py TC_REL_EPS) so every possible cross-boundary inversion is
+# still flagged to the exact host path. A tf byte of 255 means "tf >=
+# 255": the scorer substitutes the OPTIMISTIC bound idf*(k1+1) (tfnorm's
+# supremum), which can only keep such lanes IN the candidate buffer, and
+# any query whose kept lanes include one is flagged (bit 2) for the exact
+# host path — so arbitrarily large tfs stay bit-exact with no term-level
+# routing.
+K1_F32 = np.float32(1.2)
+B_F32 = np.float32(0.75)
+ONE_MINUS_B_F32 = np.float32(0.25)
+TF_SAT = 255
+FLAG_TRUNC = 1  # f32 boundary class truncated
+FLAG_OVERFLOW = 2  # windowed-kernel window overflow (lanes missing)
+FLAG_TF_SAT = 4  # a kept lane's tf byte saturated (tc mode)
+
+
+def tc_score(tc_i32, idf32, avg32):
+    """Reconstruct the f32 selection score from tc lanes (code8<<8 | tf8).
+
+    tc_i32: int32 lanes; idf32: broadcastable f32 per-slot idf (0 on
+    padded slots); avg32: 0-d f32 average field length. tf byte 0
+    (sentinel/pad lanes) scores exactly 0.0; tf byte 255 scores the
+    optimistic upper bound idf*(k1+1) (see module note)."""
+    tf_i = tc_i32 & 0xFF
+    tf = tf_i.astype(jnp.float32)
+    code = (tc_i32 >> 8) & 0xFF
+    bits = code & 7
+    shift = jnp.minimum((code >> 3) - 1, 27)  # valid CHAR4 codes shift <= 27
+    length = jnp.where(shift < 0, bits, (bits | 8) << jnp.maximum(shift, 0))
+    cache = K1_F32 * (ONE_MINUS_B_F32
+                      + B_F32 * length.astype(jnp.float32) / avg32)
+    norm = (tf * K1_PLUS_1) / (tf + cache)
+    norm = jnp.where(tf_i >= TF_SAT, K1_PLUS_1, norm)
+    return idf32 * norm
+
+
+def tc_saturated(top_tc_i32, top_docs):
+    """(B,) bool: some KEPT valid lane carries a saturated tf byte (its
+    true tf exceeds the 8-bit field, so its score was the optimistic
+    bound and its returned tf is wrong — the query must take the exact
+    host path). top_tc_i32: (B, M) or (B, T, M); top_docs: (B, M)."""
+    sat = (top_tc_i32 & 0xFF) >= TF_SAT
+    if sat.ndim == 3:
+        sat = jnp.any(sat, axis=1)
+    return jnp.any(sat & (top_docs >= 0), axis=1)
+
 
 def _gather1d(arr, idx):
     """arr[idx] with idx clipped into range (callers mask separately)."""
@@ -111,17 +169,27 @@ def boundary_truncated(score, top_score, M: int):
 
 
 def search_body(postings_doc, postings_score, postings_tf,
-                starts, ends, use_score, *, T, L, M, n_bs_iters):
+                starts, ends, use_score, *, T, L, M, n_bs_iters,
+                tc=None, idf32=None, avg32=None):
     """The batched AND/single-term search step (traceable; shared by the
     single-device jitted kernel and the shard_map'd sharded engine).
 
     use_score: (B, T) f32 0/1 — padded slots contribute no score.
+    Compressed-column mode: pass tc (uint16 column), idf32 ((B, T) f32 in
+    SLOT order, 0 on padded slots) and avg32 instead of
+    postings_score/postings_tf (see tc_score).
     Returns (top_docs (B,M) i32, top_score (B,M) f32,
-             top_tfs (B,T,M) i32, top_pidx (B,T,M) i32, trunc (B,) bool).
+             top_tfs (B,T,M) i32, top_pidx (B,T,M) i32, flags (B,) i32).
     """
     B = starts.shape[0]
-    cdocs, cscore, cvalid, cs = _candidates(
-        postings_doc, postings_score, starts, ends, L)
+    tc_mode = tc is not None
+    if tc_mode:
+        cdocs, ctc, cvalid, cs = _candidates(postings_doc, tc, starts, ends, L)
+        ctc = ctc.astype(jnp.int32)
+        cscore = tc_score(ctc, idf32[:, 0:1], avg32)
+    else:
+        cdocs, cscore, cvalid, cs = _candidates(
+            postings_doc, postings_score, starts, ends, L)
     lane = jnp.arange(L, dtype=jnp.int32)
     cpidx = cs[:, None] + lane[None, :]  # (B, L)
 
@@ -131,10 +199,17 @@ def search_body(postings_doc, postings_score, postings_tf,
         top_docs = jnp.take_along_axis(cdocs, top_l, axis=1)
         top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
         top_pidx = jnp.take_along_axis(cpidx, top_l, axis=1)[:, None, :]
-        top_tfs = jnp.where(
-            top_docs[:, None, :] >= 0, _gather1d(postings_tf, top_pidx), 0)
-        return (top_docs, top_score, top_tfs, top_pidx,
-                boundary_truncated(score, top_score, M))
+        flags = boundary_truncated(score, top_score, M).astype(jnp.int32)
+        if tc_mode:
+            top_tc = jnp.take_along_axis(ctc, top_l, axis=1)
+            top_tfs = jnp.where(
+                top_docs[:, None, :] >= 0, (top_tc & 0xFF)[:, None, :], 0)
+            flags = flags | (tc_saturated(top_tc, top_docs).astype(jnp.int32)
+                             * FLAG_TF_SAT)
+        else:
+            top_tfs = jnp.where(
+                top_docs[:, None, :] >= 0, _gather1d(postings_tf, top_pidx), 0)
+        return top_docs, top_score, top_tfs, top_pidx, flags
 
     Tr = T - 1  # searched slots
     targets = jnp.broadcast_to(cdocs[:, None, :], (B, Tr, L))
@@ -144,9 +219,15 @@ def search_body(postings_doc, postings_score, postings_tf,
     found = (lo < ends[:, 1:, None]) & (hit == targets)  # (B, Tr, L)
     match = jnp.all(found, axis=1) & cvalid
 
-    partial = jnp.where(found, _gather1d(postings_score, lo), 0.0)
-    score = cscore * use_score[:, 0:1] + jnp.sum(
-        partial * use_score[:, 1:, None], axis=1)
+    if tc_mode:
+        hit_tc = _gather1d(tc, lo).astype(jnp.int32)
+        partial = jnp.where(
+            found, tc_score(hit_tc, idf32[:, 1:, None], avg32), 0.0)
+        score = cscore + jnp.sum(partial, axis=1)
+    else:
+        partial = jnp.where(found, _gather1d(postings_score, lo), 0.0)
+        score = cscore * use_score[:, 0:1] + jnp.sum(
+            partial * use_score[:, 1:, None], axis=1)
     score = jnp.where(match, score, NEG_INF)
 
     top_score, top_l = jax.lax.top_k(score, M)
@@ -154,10 +235,16 @@ def search_body(postings_doc, postings_score, postings_tf,
     top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
     pidx = jnp.concatenate([cpidx[:, None, :], lo], axis=1)  # (B, T, L)
     top_pidx = jnp.take_along_axis(pidx, top_l[:, None, :].repeat(T, 1), axis=2)
-    top_tfs = jnp.where(
-        top_docs[:, None, :] >= 0, _gather1d(postings_tf, top_pidx), 0)
-    return (top_docs, top_score, top_tfs, top_pidx,
-            boundary_truncated(score, top_score, M))
+    flags = boundary_truncated(score, top_score, M).astype(jnp.int32)
+    if tc_mode:
+        top_tc = _gather1d(tc, top_pidx).astype(jnp.int32)  # (B, T, M)
+        top_tfs = jnp.where(top_docs[:, None, :] >= 0, top_tc & 0xFF, 0)
+        flags = flags | (tc_saturated(top_tc, top_docs).astype(jnp.int32)
+                         * FLAG_TF_SAT)
+    else:
+        top_tfs = jnp.where(
+            top_docs[:, None, :] >= 0, _gather1d(postings_tf, top_pidx), 0)
+    return top_docs, top_score, top_tfs, top_pidx, flags
 
 
 def pack_with_flags(top_docs, top_tfs, flags_int32):
@@ -170,19 +257,107 @@ def pack_with_flags(top_docs, top_tfs, flags_int32):
 
 
 @lru_cache(maxsize=128)
-def make_search_kernel(T: int, L: int, M: int, n_bs_iters: int):
+def make_search_kernel(T: int, L: int, M: int, n_bs_iters: int,
+                       mode: str = "raw"):
     """Jitted single-device wrapper over search_body.
 
-    Returns ONE packed int32 (B, T+1, M) array — row 0 = top docs, rows
-    1..T = per-slot tfs — so the host pays a single device->host
-    roundtrip per group (the tunnel RTT dominates small fetches)."""
+    Returns ONE packed int32 (B, T+2, M) array — row 0 = top docs, rows
+    1..T = per-slot tfs, row T+1 = flags — so the host pays a single
+    device->host roundtrip per group (the tunnel RTT dominates small
+    fetches). mode="tc" takes the compressed uint16 column + per-slot
+    idf32 instead of the score/tf columns."""
 
-    def kernel(postings_doc, postings_score, postings_tf,
-               starts, ends, use_score):
-        top_docs, _, top_tfs, _, trunc = search_body(
-            postings_doc, postings_score, postings_tf, starts, ends,
-            use_score, T=T, L=L, M=M, n_bs_iters=n_bs_iters)
-        return pack_with_flags(top_docs, top_tfs, trunc.astype(jnp.int32))
+    if mode == "tc":
+        def kernel(postings_doc, postings_tc, avg32, starts, ends, idf32):
+            top_docs, _, top_tfs, _, flags = search_body(
+                postings_doc, None, None, starts, ends, None,
+                T=T, L=L, M=M, n_bs_iters=n_bs_iters,
+                tc=postings_tc, idf32=idf32, avg32=avg32)
+            return pack_with_flags(top_docs, top_tfs, flags)
+    else:
+        def kernel(postings_doc, postings_score, postings_tf,
+                   starts, ends, use_score):
+            top_docs, _, top_tfs, _, flags = search_body(
+                postings_doc, postings_score, postings_tf, starts, ends,
+                use_score, T=T, L=L, M=M, n_bs_iters=n_bs_iters)
+            return pack_with_flags(top_docs, top_tfs, flags)
+
+    return jax.jit(kernel)
+
+
+@lru_cache(maxsize=64)
+def make_match_kernel_tc(T: int, L: int, n_bs_iters: int):
+    """tc-mode variant of make_match_kernel: score reconstructed from the
+    compressed column; returns an extra (B, L) int32 `sat_lane` mask so
+    the select stage can flag saturated kept lanes."""
+
+    def kernel(postings_doc, postings_tc, avg32, starts, ends, idf32,
+               bloom_ends, bloom_begins,
+               probe_slot, probe_begins, probe_word, probe_mask, probe_active):
+        B = starts.shape[0]
+        cdocs, ctc, cvalid, cs = _candidates(
+            postings_doc, postings_tc, starts, ends, L)
+        ctc = ctc.astype(jnp.int32)
+        cscore = tc_score(ctc, idf32[:, 0:1], avg32)
+        lane = jnp.arange(L, dtype=jnp.int32)
+        cpidx = cs[:, None] + lane[None, :]
+
+        Tr = T - 1
+        targets = jnp.broadcast_to(cdocs[:, None, :], (B, Tr, L))
+        lo = _binary_search(postings_doc, targets,
+                            starts[:, 1:, None], ends[:, 1:, None], n_bs_iters)
+        hit = _gather1d(postings_doc, lo)
+        found = (lo < ends[:, 1:, None]) & (hit == targets)
+        match = jnp.all(found, axis=1) & cvalid
+        pidx = jnp.concatenate([cpidx[:, None, :], lo], axis=1)  # (B, T, L)
+
+        hit_tc = _gather1d(postings_tc, lo).astype(jnp.int32)
+        score = cscore + jnp.sum(
+            jnp.where(found, tc_score(hit_tc, idf32[:, 1:, None], avg32), 0.0),
+            axis=1)
+        sat_lane = ((ctc & 0xFF) >= TF_SAT) | jnp.any(
+            found & ((hit_tc & 0xFF) >= TF_SAT), axis=1)
+
+        # --- bloom gate (identical to the raw kernel) --------------------
+        C = probe_slot.shape[1]
+        slot_pidx = jnp.take_along_axis(pidx, probe_slot[:, :, None], axis=1)
+        W = bloom_ends.shape[1]
+        rows_e = _gather1d(bloom_ends, slot_pidx.reshape(B, -1)).reshape(B, C, L, W)
+        rows_b = _gather1d(bloom_begins, slot_pidx.reshape(B, -1)).reshape(B, C, L, W)
+        rows = jnp.where(probe_begins[:, :, None, None], rows_b, rows_e)
+        H = probe_word.shape[2]
+        pw = jnp.take_along_axis(
+            rows, jnp.broadcast_to(probe_word[:, :, None, :], (B, C, L, H)), axis=3
+        )
+        bit_ok = (pw & probe_mask[:, :, None, :]) == probe_mask[:, :, None, :]
+        probe_pass = jnp.all(bit_ok, axis=3)  # (B, C, L)
+        probe_pass = probe_pass | ~probe_active[:, :, None]
+        bloom_pass = jnp.all(probe_pass, axis=1)  # (B, L)
+
+        return match, bloom_pass, cdocs, pidx, score, sat_lane
+
+    return jax.jit(kernel)
+
+
+@lru_cache(maxsize=64)
+def make_select_topk_kernel_tc(T: int, L: int, M: int):
+    """tc-mode variant of make_select_topk_kernel: tfs come from a tc
+    gather at the winning posting indices; kept saturated lanes raise
+    FLAG_TF_SAT."""
+
+    def kernel(postings_tc, cdocs, pidx, score, match, sat_lane):
+        score = jnp.where(match, score, NEG_INF)
+        top_score, top_l = jax.lax.top_k(score, M)
+        top_docs = jnp.take_along_axis(cdocs, top_l, axis=1)
+        top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
+        top_pidx = jnp.take_along_axis(pidx, top_l[:, None, :].repeat(T, 1), axis=2)
+        top_tc = _gather1d(postings_tc, top_pidx).astype(jnp.int32)
+        top_tfs = jnp.where(top_docs[:, None, :] >= 0, top_tc & 0xFF, 0)
+        top_sat = jnp.take_along_axis(sat_lane, top_l, axis=1)
+        sat = jnp.any(top_sat & (top_docs >= 0), axis=1)
+        flags = (boundary_truncated(score, top_score, M).astype(jnp.int32)
+                 | sat.astype(jnp.int32) * FLAG_TF_SAT)
+        return pack_with_flags(top_docs, top_tfs, flags)
 
     return jax.jit(kernel)
 
@@ -396,6 +571,85 @@ def n_iters_for(max_len: int) -> int:
 
 
 @lru_cache(maxsize=32)
+def make_semidense_kernel_tc(T: int, L: int, M: int, N_pad: int):
+    """tc-mode variant of make_semidense_kernel: dense head rows are a
+    (H, N_pad) uint16 tc plane (4x the head-term capacity per byte of
+    HBM budget); scores reconstructed via tc_score."""
+
+    def kernel(postings_doc, postings_tc, avg32, dense_tc,
+               starts, ends, idf32, slots):
+        B = starts.shape[0]
+        cdocs, ctc, cvalid, cs = _candidates(
+            postings_doc, postings_tc, starts, ends, L)
+        ctc = ctc.astype(jnp.int32)
+        cscore = tc_score(ctc, idf32[:, 0:1], avg32)
+        lane = jnp.arange(L, dtype=jnp.int32)
+        cpidx = cs[:, None] + lane[None, :]
+        tc_flat = dense_tc.reshape(-1)
+        doc_idx = jnp.clip(cdocs, 0, np.int32(N_pad - 1))
+        match = cvalid
+        score = cscore
+        lanes_tc = []
+        for t in range(1, T):
+            idx = slots[:, t : t + 1].astype(jnp.int32) * np.int32(N_pad) \
+                + doc_idx
+            p_tc = _gather1d(tc_flat, idx).astype(jnp.int32)  # (B, L)
+            lanes_tc.append(p_tc)
+            match = match & (p_tc > 0)
+            score = score + tc_score(p_tc, idf32[:, t : t + 1], avg32)
+        score = jnp.where(match, score, NEG_INF)
+        top_score, top_l = jax.lax.top_k(score, M)
+        top_docs = jnp.take_along_axis(cdocs, top_l, axis=1)
+        top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
+        top_ctc = jnp.take_along_axis(ctc, top_l, axis=1)
+        sat = tc_saturated(top_ctc, top_docs)
+        tfs = [jnp.where(top_docs >= 0, top_ctc & 0xFF, 0)[:, None, :]]
+        for t in range(1, T):
+            top_t = jnp.take_along_axis(lanes_tc[t - 1], top_l, axis=1)
+            sat = sat | tc_saturated(top_t, top_docs)
+            tfs.append(jnp.where(top_docs >= 0, top_t & 0xFF, 0)[:, None, :])
+        flags = (boundary_truncated(score, top_score, M).astype(jnp.int32)
+                 | sat.astype(jnp.int32) * FLAG_TF_SAT)
+        return pack_with_flags(top_docs, jnp.concatenate(tfs, axis=1), flags)
+
+    return jax.jit(kernel)
+
+
+@lru_cache(maxsize=32)
+def make_dense_search_kernel_tc(T: int, N_pad: int, M: int):
+    """tc-mode variant of make_dense_search_kernel over (H, N_pad) uint16
+    tc rows; scores reconstructed via tc_score, padded slots idf 0."""
+
+    def kernel(dense_tc, avg32, slots, idf32):
+        B = slots.shape[0]
+        score = jnp.zeros((B, N_pad), dtype=jnp.float32)
+        match = jnp.ones((B, N_pad), dtype=bool)
+        rows = []
+        for t in range(T):
+            tc_t = jnp.take(dense_tc, slots[:, t], axis=0).astype(jnp.int32)
+            rows.append(tc_t)
+            match = match & (tc_t > 0)
+            score = score + tc_score(tc_t, idf32[:, t : t + 1], avg32)
+        score = jnp.where(match, score, NEG_INF)
+        top_score, top_docs = jax.lax.top_k(score, M)  # lane index = doc id
+        top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
+        sat = jnp.zeros((B,), dtype=bool)
+        tfs = []
+        for t in range(T):
+            top_t = jnp.take_along_axis(
+                rows[t], jnp.maximum(top_docs, 0), axis=1)
+            sat = sat | tc_saturated(top_t, top_docs)
+            tfs.append(jnp.where(top_docs >= 0, top_t & 0xFF, 0))
+        flags = (boundary_truncated(score, top_score, M).astype(jnp.int32)
+                 | sat.astype(jnp.int32) * FLAG_TF_SAT)
+        return pack_with_flags(
+            top_docs, jnp.concatenate([x[:, None, :] for x in tfs], axis=1),
+            flags)
+
+    return jax.jit(kernel)
+
+
+@lru_cache(maxsize=32)
 def make_semidense_kernel(T: int, L: int, M: int, N_pad: int):
     """Tail-candidate x all-head-others conjunctions: the candidate list
     loads contiguously as usual, but every NON-candidate slot is a head
@@ -562,31 +816,46 @@ def default_win(L: int, G: int) -> int:
 
 
 def windowed_search_body(postings_doc, postings_score, postings_tf,
-                         starts, ends, use_score, *, T, L, G, M, WIN):
+                         starts, ends, use_score, *, T, L, G, M, WIN,
+                         tc=None, idf32=None, avg32=None):
     """Multi-term search via windowed block intersection.
 
     G = other-list block-count bucket (covers the longest non-candidate
     list in the group: G*128 >= max df). Returns search_body's outputs
     plus a PER-QUERY `overflow` bool (B,) — only the skewed queries pay
     the exact fallback, not the whole dispatch group.
+
+    tc mode halves the windowed payload: the equality tensor contracts
+    against ONE uint16-as-f32 lane (exact: tc < 2^16 << 2^24) instead of
+    stacked (score, tf) — half the window HBM traffic and half the MXU
+    contraction work — and the score is reconstructed from the matched
+    tc afterwards.
     """
     assert T >= 2
     B = starts.shape[0]
     I = L // 128
+    tc_mode = tc is not None
     doc_blocks = postings_doc.reshape(-1, 128)
-    score_blocks = postings_score.reshape(-1, 128)
 
-    cdocs, cscore, cvalid, cs = _candidates(
-        postings_doc, postings_score, starts, ends, L)
+    if tc_mode:
+        cdocs, ctc, cvalid, cs = _candidates(postings_doc, tc, starts, ends, L)
+        ctc = ctc.astype(jnp.int32)
+        cscore = tc_score(ctc, idf32[:, 0:1], avg32)
+        tc_blocks = tc.reshape(-1, 128)
+    else:
+        cdocs, cscore, cvalid, cs = _candidates(
+            postings_doc, postings_score, starts, ends, L)
+        score_blocks = postings_score.reshape(-1, 128)
+        tf_blocks = postings_tf.reshape(-1, 128)
     lane = jnp.arange(L, dtype=jnp.int32)
     cpidx = cs[:, None] + lane[None, :]
     cblocks = cdocs.reshape(B, I, 128)
     cbmin = cblocks[:, :, 0]  # (B, I) first = min (sorted)
     cbmax = jnp.max(jnp.where(cblocks < INT32_MAX, cblocks, -1), axis=2)
 
-    tf_blocks = postings_tf.reshape(-1, 128)
     total_score = []
     total_tf = []
+    total_tc = []
     overflow = jnp.zeros((B,), dtype=bool)
     g = jnp.arange(G, dtype=jnp.int32)
 
@@ -626,22 +895,35 @@ def windowed_search_body(postings_doc, postings_score, postings_tf,
             j, jnp.maximum(nblocks[:, None, None] - 1, 0))
         wdocs = jnp.take(doc_blocks, wrow, axis=0)  # (B, I, WIN, 128)
         wdocs = jnp.where(wvalid[..., None], wdocs, INT32_MAX)
-        wscore = jnp.take(score_blocks, wrow, axis=0)
-        wtf = jnp.take(tf_blocks, wrow, axis=0)
         eq = (cblocks[:, :, :, None, None] == wdocs[:, :, None, :, :])
         eqf = eq.reshape(B, I, 128, WIN * 128).astype(jnp.float32)
-        pay = jnp.stack(
-            [wscore.reshape(B, I, WIN * 128),
-             wtf.astype(jnp.float32).reshape(B, I, WIN * 128)], axis=-1)
-        out = jnp.einsum("bilj,bijp->bilp", eqf, pay,
-                         preferred_element_type=jnp.float32)
-        total_score.append(out[..., 0].reshape(B, L))
-        total_tf.append(out[..., 1].astype(jnp.int32).reshape(B, L))
+        if tc_mode:
+            wtc = jnp.take(tc_blocks, wrow, axis=0).astype(jnp.float32)
+            out = jnp.einsum("bilj,bij->bil", eqf,
+                             wtc.reshape(B, I, WIN * 128),
+                             preferred_element_type=jnp.float32)
+            total_tc.append(out.astype(jnp.int32).reshape(B, L))
+        else:
+            wscore = jnp.take(score_blocks, wrow, axis=0)
+            wtf = jnp.take(tf_blocks, wrow, axis=0)
+            pay = jnp.stack(
+                [wscore.reshape(B, I, WIN * 128),
+                 wtf.astype(jnp.float32).reshape(B, I, WIN * 128)], axis=-1)
+            out = jnp.einsum("bilj,bijp->bilp", eqf, pay,
+                             preferred_element_type=jnp.float32)
+            total_score.append(out[..., 0].reshape(B, L))
+            total_tf.append(out[..., 1].astype(jnp.int32).reshape(B, L))
 
-    partial = jnp.stack(total_score, axis=1)  # (B, T-1, L)
-    match = jnp.all(partial > 0, axis=1) & cvalid
-    score = cscore * use_score[:, 0:1] + jnp.sum(
-        partial * use_score[:, 1:, None], axis=1)
+    if tc_mode:
+        tc_lanes = jnp.stack(total_tc, axis=1)  # (B, T-1, L) matched tc
+        match = jnp.all(tc_lanes > 0, axis=1) & cvalid
+        score = cscore + jnp.sum(
+            tc_score(tc_lanes, idf32[:, 1:, None], avg32), axis=1)
+    else:
+        partial = jnp.stack(total_score, axis=1)  # (B, T-1, L)
+        match = jnp.all(partial > 0, axis=1) & cvalid
+        score = cscore * use_score[:, 0:1] + jnp.sum(
+            partial * use_score[:, 1:, None], axis=1)
     score = jnp.where(match, score, NEG_INF)
 
     top_score, top_l = jax.lax.top_k(score, M)
@@ -650,26 +932,46 @@ def windowed_search_body(postings_doc, postings_score, postings_tf,
     # candidate-slot tf via its own posting index; other slots from the
     # accumulated tf lanes
     top_cpidx = jnp.take_along_axis(cpidx, top_l, axis=1)
-    cand_tf = jnp.where(top_docs >= 0, _gather1d(postings_tf, top_cpidx), 0)
-    tfs_rest = jnp.stack(total_tf, axis=1)  # (B, T-1, L)
-    top_rest = jnp.take_along_axis(
-        tfs_rest, top_l[:, None, :].repeat(T - 1, 1), axis=2)
+    sat = jnp.zeros((B,), dtype=jnp.int32)
+    if tc_mode:
+        top_ctc = jnp.take_along_axis(ctc, top_l, axis=1)
+        cand_tf = jnp.where(top_docs >= 0, top_ctc & 0xFF, 0)
+        top_rest_tc = jnp.take_along_axis(
+            tc_lanes, top_l[:, None, :].repeat(T - 1, 1), axis=2)
+        top_rest = jnp.where(top_docs[:, None, :] >= 0, top_rest_tc & 0xFF, 0)
+        sat = (tc_saturated(top_ctc, top_docs)
+               | tc_saturated(top_rest_tc, top_docs)).astype(jnp.int32)
+    else:
+        cand_tf = jnp.where(top_docs >= 0, _gather1d(postings_tf, top_cpidx), 0)
+        tfs_rest = jnp.stack(total_tf, axis=1)  # (B, T-1, L)
+        top_rest = jnp.take_along_axis(
+            tfs_rest, top_l[:, None, :].repeat(T - 1, 1), axis=2)
     top_tfs = jnp.concatenate([cand_tf[:, None, :], top_rest], axis=1)
     top_pidx = jnp.zeros_like(top_tfs)  # not tracked on this path
     trunc = boundary_truncated(score, top_score, M)
-    flags = trunc.astype(jnp.int32) | (overflow.astype(jnp.int32) << 1)
+    flags = (trunc.astype(jnp.int32) | (overflow.astype(jnp.int32) << 1)
+             | (sat * FLAG_TF_SAT))
     return top_docs, top_score, top_tfs, top_pidx, flags
 
 
 @lru_cache(maxsize=128)
-def make_windowed_search_kernel(T: int, L: int, G: int, M: int):
+def make_windowed_search_kernel(T: int, L: int, G: int, M: int,
+                                mode: str = "raw"):
     win = default_win(L, G)
 
-    def kernel(postings_doc, postings_score, postings_tf,
-               starts, ends, use_score):
-        top_docs, _, top_tfs, _, flags = windowed_search_body(
-            postings_doc, postings_score, postings_tf, starts, ends,
-            use_score, T=T, L=L, G=G, M=M, WIN=win)
-        return pack_with_flags(top_docs, top_tfs, flags)
+    if mode == "tc":
+        def kernel(postings_doc, postings_tc, avg32, starts, ends, idf32):
+            top_docs, _, top_tfs, _, flags = windowed_search_body(
+                postings_doc, None, None, starts, ends, None,
+                T=T, L=L, G=G, M=M, WIN=win,
+                tc=postings_tc, idf32=idf32, avg32=avg32)
+            return pack_with_flags(top_docs, top_tfs, flags)
+    else:
+        def kernel(postings_doc, postings_score, postings_tf,
+                   starts, ends, use_score):
+            top_docs, _, top_tfs, _, flags = windowed_search_body(
+                postings_doc, postings_score, postings_tf, starts, ends,
+                use_score, T=T, L=L, G=G, M=M, WIN=win)
+            return pack_with_flags(top_docs, top_tfs, flags)
 
     return jax.jit(kernel)

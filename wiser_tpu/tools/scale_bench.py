@@ -171,6 +171,8 @@ def main(argv=None):
     ap.add_argument("--parity-sample", type=int, default=50)
     ap.add_argument("--configs", default=None,
                     help="comma-separated subset, e.g. 1_single_term,3_aol_mix")
+    ap.add_argument("--columns", default="raw", choices=["raw", "tc"],
+                    help="device column layout (tc = compressed uint16)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -188,8 +190,9 @@ def main(argv=None):
     log(f"index loaded in {time.time()-t0:.1f}s: {packed.n_docs} docs, "
         f"{packed.n_terms} terms, {packed.n_postings} padded postings")
     t0 = time.time()
-    engine = TpuEngine(packed)
-    log(f"engine up in {time.time()-t0:.1f}s")
+    engine = TpuEngine(packed, columns=args.columns)
+    log(f"engine up in {time.time()-t0:.1f}s; device bytes: "
+        f"{json.dumps(engine.device_bytes())}")
 
     configs = build_configs(packed, args.linedoc, args.n_queries, args.k)
     if args.configs:
@@ -211,6 +214,8 @@ def main(argv=None):
         "n_docs": packed.n_docs,
         "n_terms": packed.n_terms,
         "postings_padded": packed.n_postings,
+        "columns": args.columns,
+        "device_bytes": engine.device_bytes(),
         "configs": results,
     }
     print(json.dumps(summary))
