@@ -34,6 +34,7 @@ N_DOCS = int(os.environ.get("WISER_BENCH_DOCS", 20_000))
 VOCAB = int(os.environ.get("WISER_BENCH_VOCAB", 20_000))
 MEAN_LEN = int(os.environ.get("WISER_BENCH_MEAN_LEN", 120))
 N_QUERIES = int(os.environ.get("WISER_BENCH_QUERIES", 131_072))
+COLUMNS = os.environ.get("WISER_BENCH_COLUMNS", "raw")  # raw | tc
 BATCH = 32_768
 K = 10
 
@@ -91,7 +92,8 @@ def main():
     packed = get_index()
     from wiser_tpu.engine.device import TpuEngine
 
-    engine = TpuEngine(packed)
+    engine = TpuEngine(packed, columns=COLUMNS)
+    log(f"columns={COLUMNS}; device bytes: {engine.device_bytes()}")
     queries = aol_mixed_queries(packed, N_QUERIES)
 
     # warmup / compile: run the whole workload once so every shape bucket

@@ -178,9 +178,15 @@ def warmup_engine(engine, batch_sizes=(16, 128, 1024), seed: int = 0) -> int:
     return total
 
 
-def create_server(engine, port: int, n_threads: int = 16,
+def create_server(engine, port: int, n_threads: int = 512,
                   max_batch: int = 4096, max_wait_ms: float = 2.0,
                   mutable_engine=None, warmup: bool = False):
+    # n_threads caps the number of IN-FLIGHT requests (each blocked
+    # handler occupies one pool thread while it waits on the batch
+    # future), NOT parallel CPU work — closed-loop throughput is
+    # concurrency / batch_latency, so the pool must exceed the offered
+    # stream count. 512 python threads blocked on futures are cheap; the
+    # reference sizes the same way (5000 call states, grpc_server_impl.h).
     if warmup:
         t0 = time.time()
         n = warmup_engine(engine)
@@ -209,7 +215,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--format", default="WITH_POSITIONS")
     ap.add_argument("--engine", default="tpu", choices=["tpu", "oracle"])
     ap.add_argument("--port", type=int, default=50051)
-    ap.add_argument("--n-threads", type=int, default=16)
+    ap.add_argument("--n-threads", type=int, default=512,
+                    help="in-flight request cap (see create_server note)")
+    ap.add_argument("--columns", default="raw", choices=["raw", "tc"])
     ap.add_argument("--max-batch", type=int, default=4096)
     ap.add_argument("--max-wait-ms", type=float, default=2.0)
     ap.add_argument("--warmup", action="store_true",
@@ -248,7 +256,8 @@ def main(argv: Optional[List[str]] = None) -> None:
         from wiser_tpu.engine.device import TpuEngine
         from wiser_tpu.index.format import PackedIndex
 
-        engine = TpuEngine(PackedIndex.load(args.index))
+        engine = TpuEngine(PackedIndex.load(args.index),
+                           columns=args.columns)
 
     if args.warmup_log:
         from wiser_tpu.bench.query_pool import QueryLogReader

@@ -40,9 +40,12 @@ def main(argv=None):
     ap.add_argument("--query-log", required=True)
     ap.add_argument("--server-host", help="use an already-running server")
     ap.add_argument("--port", type=int, default=50931)
+    ap.add_argument("--n-procs", type=int, default=1,
+                    help="client processes (GIL escape; see serve.client)")
     ap.add_argument("--n-threads", type=int, default=16)
     ap.add_argument("--duration", type=float, default=15.0)
     ap.add_argument("--warmup-log", default=None)
+    ap.add_argument("--columns", default="raw", choices=["raw", "tc"])
     args = ap.parse_args(argv)
 
     proc = None
@@ -52,7 +55,8 @@ def main(argv=None):
         target = f"localhost:{args.port}"
         cmd = [sys.executable, "-m", "wiser_tpu.serve.server",
                "--index", args.index, "--port", str(args.port),
-               "--n-threads", str(max(args.n_threads * 2, 32)),
+               "--columns", args.columns,
+               "--n-threads", str(max(args.n_procs * args.n_threads * 2, 64)),
                "--max-wait-ms", "20"]
         if args.warmup_log or args.query_log:
             cmd += ["--warmup-log", args.warmup_log or args.query_log]
@@ -64,12 +68,16 @@ def main(argv=None):
             print("server never became ready", file=sys.stderr)
             sys.exit(1)
         from wiser_tpu.bench.query_pool import QueryLogReader, QueryProducer
-        from wiser_tpu.serve.client import Client
+        from wiser_tpu.serve.client import Client, run_multiprocess
 
         queries = QueryLogReader(args.query_log).read_all(n_results=10)
-        client = Client(target, QueryProducer(queries, args.n_threads),
-                        n_threads=args.n_threads, duration_s=args.duration)
-        stats = client.run()
+        if args.n_procs > 1:
+            stats = run_multiprocess(target, queries, args.n_procs,
+                                     args.n_threads, True, args.duration, 4)
+        else:
+            client = Client(target, QueryProducer(queries, args.n_threads),
+                            n_threads=args.n_threads, duration_s=args.duration)
+            stats = client.run()
         h = stats.pop("histogram")
         stats["latency_us"] = {f"p{p}": round(h.percentile(p) / 1e3, 1)
                                for p in (50, 90, 95, 99)}
@@ -77,7 +85,11 @@ def main(argv=None):
     finally:
         if proc is not None:
             proc.terminate()
-            proc.wait(timeout=10)
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                proc.kill()  # e.g. still inside the warmup loop
+                proc.wait(timeout=10)
 
 
 if __name__ == "__main__":
