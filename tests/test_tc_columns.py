@@ -140,3 +140,28 @@ class TestTcRoutesAndBytes:
         packed, _ = big
         with pytest.raises(ValueError):
             TpuEngine(packed, columns="tc", device_merge=True)
+
+
+def test_staged_tc_hot_tier_parity():
+    """StagedEngine(columns='tc'): the hot tier serves from compressed
+    columns (and the budget buys 2x the terms); results stay bit-exact
+    across hot, cold, and mixed queries."""
+    from wiser_tpu.data.synth import synth_docinfos
+    from wiser_tpu.engine.staged import BYTES_PER_POSTING, StagedEngine
+
+    docs = synth_docinfos(400, 100, 30, seed=3)
+    packed, oracle = build_index(docs)
+    budget = int(packed.n_postings) * BYTES_PER_POSTING // 4
+    raw = StagedEngine(packed, budget)
+    tc = StagedEngine(packed, budget, columns="tc")
+    # equal byte budget -> tc holds ~2x the resident terms
+    assert tc.hot_fraction > raw.hot_fraction
+    rng = np.random.default_rng(2)
+    qs = [SearchQuery(
+        [str(t) for t in rng.choice(packed.terms, int(rng.integers(1, 4)),
+                                    replace=False)], n_results=10)
+        for _ in range(40)]
+    for q, r in zip(qs, tc.search_batch(qs)):
+        o = oracle.search(q)
+        assert [(e.doc_id, e.doc_score) for e in o.entries] == \
+               [(e.doc_id, e.doc_score) for e in r.entries], q.terms

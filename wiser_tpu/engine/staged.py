@@ -44,17 +44,19 @@ from wiser_tpu.scoring import Bm25Similarity
 from wiser_tpu.types import SearchQuery, SearchResult
 
 SCRATCH_BUCKETS = [1 << 15, 1 << 17, 1 << 19, 1 << 21, 1 << 23]
-BYTES_PER_POSTING = 12  # doc + tf + score columns
+BYTES_PER_POSTING = 12  # doc + tf + score columns (raw layout)
+BYTES_PER_POSTING_TC = 6  # doc + uint16 tc (compressed layout)
 
 
-def _hot_view(packed: PackedIndex, hbm_budget_bytes: int
+def _hot_view(packed: PackedIndex, hbm_budget_bytes: int,
+              bytes_per_posting: int = BYTES_PER_POSTING,
               ) -> Tuple[PackedIndex, np.ndarray]:
     """Build a PackedIndex whose posting columns contain only the hottest
     terms (greedy by df desc within budget); cold terms keep their real df
     (global stats must stay global) but point at an empty run."""
     lens = np.diff(packed.term_starts)
     order = np.argsort(packed.df)[::-1]
-    budget = hbm_budget_bytes // BYTES_PER_POSTING
+    budget = hbm_budget_bytes // bytes_per_posting
     hot = np.zeros(packed.n_terms, dtype=bool)
     used = 0
     for r in order:
@@ -121,12 +123,18 @@ def _hot_view(packed: PackedIndex, hbm_budget_bytes: int
 class StagedEngine:
     def __init__(self, packed: PackedIndex, hbm_budget_bytes: int,
                  doc_bodies=None, margin: int = 54,
-                 strict_parity: bool = False):
+                 strict_parity: bool = False, columns: str = "raw"):
+        # columns="tc": the HOT tier serves from compressed uint16 columns
+        # (device.py) — the budget then buys ~2x the resident terms. The
+        # per-batch cold scratch stays raw (it is transient and
+        # bandwidth-, not capacity-, bound).
         self.packed = packed
         self.strict_parity = strict_parity
-        hot_view, self.hot_mask = _hot_view(packed, hbm_budget_bytes)
+        hot_view, self.hot_mask = _hot_view(
+            packed, hbm_budget_bytes,
+            BYTES_PER_POSTING_TC if columns == "tc" else BYTES_PER_POSTING)
         self.hot = TpuEngine(hot_view, doc_bodies=doc_bodies, margin=margin,
-                             strict_parity=strict_parity)
+                             strict_parity=strict_parity, columns=columns)
         self.margin = margin
         self.doc_bodies = doc_bodies
         self.similarity = Bm25Similarity(packed.avg_len)
