@@ -1,0 +1,126 @@
+"""Per-route microbench over a real PackedIndex: crafts query sets that
+pin each execution tier (ARCHITECTURE.md "Execution tiers") and times
+them separately, so scale-ladder regressions attribute to a route instead
+of an aggregate. The profiling companion of tools/scale_bench.py.
+
+Run (TPU): python -m wiser_tpu.tools.route_bench --index .scale_cache/idx_c1m
+           [--columns tc] [--n-queries 8192] [--batch 4096]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_route_sets(packed, engine, n: int, k: int, seed=3):
+    """Query sets keyed by the route they exercise, derived from df/tier
+    boundaries the same way the planner routes them."""
+    from wiser_tpu.types import SearchQuery
+
+    rng = np.random.default_rng(seed)
+    df = packed.df
+    dense_min = max(1024, packed.n_docs // engine.DENSE_MIN_DF_FRACTION)
+    dense_rows = np.nonzero(engine._dense_slot >= 0)[0] \
+        if engine._dense_H else np.zeros(0, np.int64)
+    head = dense_rows
+    # windowed: 1024 <= df <= WINDOWED_MAX_L, similar sizes, NOT all-dense
+    wlo, whi = engine.WINDOWED_MIN_L, engine.WINDOWED_MAX_L
+    windowed_rows = np.nonzero((df >= wlo) & (df <= whi)
+                               & (engine._dense_slot < 0))[0]
+    tail_rows = np.nonzero((df >= 8) & (df < min(wlo, dense_min)))[0]
+
+    def pick(rows, m):
+        if len(rows) == 0:
+            return None
+        return rows[rng.integers(0, len(rows), size=m)]
+
+    sets = {}
+    if len(head) >= 2:
+        a, b = pick(head, n), pick(head, n)
+        sets["dense_all_head_pair"] = [
+            SearchQuery([packed.terms[x], packed.terms[y]], n_results=k)
+            for x, y in zip(a, b) if x != y]
+    if len(head) >= 1 and len(tail_rows) >= 1:
+        a, b = pick(tail_rows, n), pick(head, n)
+        sets["semidense_tail_x_head"] = [
+            SearchQuery([packed.terms[x], packed.terms[y]], n_results=k)
+            for x, y in zip(a, b)]
+    if len(windowed_rows) >= 2:
+        a, b = pick(windowed_rows, n), pick(windowed_rows, n)
+        sets["windowed_mid_pair"] = [
+            SearchQuery([packed.terms[x], packed.terms[y]], n_results=k)
+            for x, y in zip(a, b) if x != y]
+    if len(tail_rows) >= 2:
+        a, b = pick(tail_rows, n), pick(tail_rows, n)
+        sets["bsearch_tail_pair"] = [
+            SearchQuery([packed.terms[x], packed.terms[y]], n_results=k)
+            for x, y in zip(a, b) if x != y]
+    if len(tail_rows) >= 1:
+        sets["single_term_table"] = [
+            SearchQuery([packed.terms[x]], n_results=k)
+            for x in pick(tail_rows, n)]
+    return sets
+
+
+def run_set(engine, queries, batch):
+    for i in range(0, len(queries), batch):  # warmup/compile pass
+        engine.search_batch(queries[i : i + batch])
+    t0 = time.time()
+    done = 0
+    for i in range(0, len(queries), batch):
+        done += len(engine.search_batch(queries[i : i + batch]))
+    wall = time.time() - t0
+    return {"qps": round(done / wall, 1), "wall_s": round(wall, 2),
+            "n": done, "per_query_us": round(1e6 * wall / max(done, 1), 1)}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--columns", default="raw", choices=["raw", "tc"])
+    ap.add_argument("--n-queries", type=int, default=8192)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--routes", default=None, help="comma-separated subset")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    from wiser_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    from wiser_tpu.engine.device import TpuEngine
+    from wiser_tpu.index.format import PackedIndex
+
+    packed = PackedIndex.load(args.index)
+    engine = TpuEngine(packed, columns=args.columns)
+    log(f"engine up; columns={args.columns}; dense_H={engine._dense_H}")
+    sets = build_route_sets(packed, engine, args.n_queries, args.k)
+    if args.routes:
+        keep = set(args.routes.split(","))
+        sets = {k: v for k, v in sets.items() if k in keep}
+    results = {}
+    for name, queries in sets.items():
+        log(f"== {name}: {len(queries)} queries")
+        results[name] = run_set(engine, queries, args.batch)
+        log(json.dumps({name: results[name]}))
+    out = {"index": args.index, "columns": args.columns, "routes": results}
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -200,15 +200,6 @@ def main(argv=None):
         configs = {k: v for k, v in configs.items() if k in keep}
 
     results = {}
-    for name, queries in configs.items():
-        log(f"== {name}: {len(queries)} queries ==")
-        r = run_config(engine, queries, args.batch)
-        bad = parity_sample(engine, packed, queries, args.parity_sample)
-        r["parity_mismatches"] = bad
-        r["parity_sample"] = args.parity_sample
-        results[name] = r
-        log(json.dumps({name: r}))
-
     summary = {
         "index": args.index,
         "n_docs": packed.n_docs,
@@ -218,6 +209,20 @@ def main(argv=None):
         "device_bytes": engine.device_bytes(),
         "configs": results,
     }
+    for name, queries in configs.items():
+        log(f"== {name}: {len(queries)} queries ==")
+        r = run_config(engine, queries, args.batch)
+        r["unique_queries"] = len({(tuple(q.terms), q.n_results, q.is_phrase)
+                                   for q in queries})
+        bad = parity_sample(engine, packed, queries, args.parity_sample)
+        r["parity_mismatches"] = bad
+        r["parity_sample"] = args.parity_sample
+        results[name] = r
+        log(json.dumps({name: r}))
+        if args.out:  # incremental: completed configs survive a crash
+            with open(args.out, "w") as f:
+                json.dump(summary, f, indent=1)
+
     print(json.dumps(summary))
     if args.out:
         with open(args.out, "w") as f:
