@@ -1,0 +1,159 @@
+"""Block-max pruned dense scan: exactness of the prune guard.
+
+The pruned kernel (kernels._pruned_dense_body) examines only the C
+highest-upper-bound 128-doc blocks; FLAG_PRUNE_MISS must fire whenever
+an unexamined block could beat or tie the kept set, routing the query to
+the exact host path — so results are bit-exact in BOTH guard outcomes.
+These tests force the pruned route on a small corpus (instance
+overrides of PRUNED_DENSE_MIN_NB / PRUNED_DENSE_C) and check each
+outcome separately. (Reference analog: block-max pruning replaces the
+zigzag's skip-forward, query_processing.h:742-763, with a provable
+device-side bound instead of data-dependent control flow.)
+"""
+
+import numpy as np
+import pytest
+
+import wiser_tpu.engine.kernels as K
+from wiser_tpu.data.synth import make_docinfo
+from wiser_tpu.engine.device import TpuEngine
+from wiser_tpu.index.builder import build_index
+from wiser_tpu.types import SearchQuery
+
+
+def assert_same(oracle_res, res, msg=""):
+    o = [(e.doc_id, e.doc_score) for e in oracle_res.entries]
+    t = [(e.doc_id, e.doc_score) for e in res.entries]
+    assert o == t, f"{msg}\noracle={o[:4]}\ntpu={t[:4]}"
+
+
+def make_pruned_engine(docs, columns, C=4, min_nb=8):
+    packed, oracle = build_index(docs)
+    engine = TpuEngine(packed, columns=columns)
+    engine.PRUNED_DENSE_MIN_NB = min_nb
+    engine.PRUNED_DENSE_C = C
+    return packed, oracle, engine
+
+
+@pytest.fixture(scope="module", params=["raw", "tc"])
+def flat_corpus(request):
+    """Uniform head-term corpus: block upper bounds are all similar, so
+    the C-block prune CANNOT prove exactness — the guard must fire and
+    the host path must restore bit parity."""
+    rng = np.random.default_rng(23)
+    docs = []
+    for i in range(1600):
+        toks = []
+        if rng.random() < 0.9:
+            toks.append("h0")
+        if rng.random() < 0.8:
+            toks.append("h1")
+        if rng.random() < 0.7:
+            toks.append("h2")
+        toks += [f"r{rng.integers(200)}" for _ in range(rng.integers(3, 10))]
+        rng.shuffle(toks)
+        docs.append(make_docinfo(toks, with_blooms=False))
+    return make_pruned_engine(docs, request.param)
+
+
+@pytest.fixture(scope="module", params=["raw", "tc"])
+def skewed_corpus(request):
+    """First two 128-doc blocks hold high-tf short docs; the rest are
+    low-tf long docs. The top-C ub blocks provably contain the whole
+    top-k, so the pruned result must be used WITHOUT a host fallback."""
+    docs = []
+    for i in range(1600):
+        if i < 256:
+            toks = ["h0"] * 4 + ["h1"] * 4 + [f"f{j}" for j in range(i % 5)]
+        else:
+            toks = ["h0", "h1"] + [f"g{i}_{j}" for j in range(28 + i % 7)]
+        docs.append(make_docinfo(toks, with_blooms=False))
+    return make_pruned_engine(docs, request.param)
+
+
+def spy_pruned(engine, monkeypatch):
+    called = []
+    name = ("make_pruned_dense_kernel_tc" if engine.columns == "tc"
+            else "make_pruned_dense_kernel")
+    orig = getattr(K, name)
+
+    def spy(*a, **kw):
+        called.append(a)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(K, name, spy)
+    return called
+
+
+def spy_host(engine, monkeypatch):
+    calls = []
+    orig = engine._host_exact
+
+    def spy(rows, k, is_phrase=False):
+        calls.append(tuple(rows))
+        return orig(rows, k, is_phrase)
+
+    monkeypatch.setattr(engine, "_host_exact", spy)
+    return calls
+
+
+def test_guard_fires_and_host_restores_parity(flat_corpus, monkeypatch):
+    _, oracle, engine = flat_corpus
+    pruned = spy_pruned(engine, monkeypatch)
+    host = spy_host(engine, monkeypatch)
+    for terms in (["h0", "h1"], ["h1", "h2"], ["h0", "h1", "h2"],
+                  ["h2", "h0"]):
+        q = SearchQuery(terms, n_results=10)
+        assert_same(oracle.search(q), engine.search(q), f"AND {terms}")
+    assert pruned, "pruned kernel must be engaged at the forced thresholds"
+    assert host, "flat ub profile must trip FLAG_PRUNE_MISS -> host path"
+
+
+def test_prune_keeps_exact_without_fallback(skewed_corpus, monkeypatch):
+    _, oracle, engine = skewed_corpus
+    pruned = spy_pruned(engine, monkeypatch)
+    host = spy_host(engine, monkeypatch)
+    q = SearchQuery(["h0", "h1"], n_results=10)
+    assert_same(oracle.search(q), engine.search(q))
+    assert pruned, "pruned kernel must be engaged"
+    assert not host, ("skewed ub profile must prove exactness on-device "
+                      "(no host fallback)")
+
+
+def test_pruned_batch_k_variety(flat_corpus):
+    _, oracle, engine = flat_corpus
+    queries = [SearchQuery(["h0", "h1"], n_results=k) for k in (1, 5, 37)]
+    queries += [SearchQuery(["h1", "h2", "h0"], n_results=10)]
+    queries += [SearchQuery(["h0", f"r{i}"], n_results=10) for i in range(4)]
+    batch = engine.search_batch(queries)
+    for q, r in zip(queries, batch):
+        assert_same(oracle.search(q), r, f"{q.terms} k={q.n_results}")
+
+
+def test_prune_flag_forces_host_mask(flat_corpus):
+    _, _, engine = flat_corpus
+    flags = np.array([0, K.FLAG_PRUNE_MISS, K.FLAG_TRUNC,
+                      K.FLAG_PRUNE_MISS | K.FLAG_TRUNC])
+    force = engine._flags_to_force(flags)
+    assert force.tolist() == [False, True, False, True]
+
+
+def test_blockmax_dominates_tc_reconstruction(skewed_corpus):
+    """tc mode: the host-built blockmax plane must upper-bound the
+    device's in-kernel f32 score reconstruction for every lane."""
+    _, _, engine = skewed_corpus
+    if engine.columns != "tc":
+        pytest.skip("tc-mode bound check")
+    import jax.numpy as jnp
+
+    H = engine._dense_H
+    NB = engine._n_pad_docs // 128
+    tc = jnp.asarray(engine._h_dense_tc_rows.astype(np.int32))
+    for h in range(H):
+        r = np.nonzero(engine._dense_slot == h)[0][0]
+        idf = np.float32(engine.packed.idf64[r])
+        sc = np.asarray(K.tc_score(tc[h], jnp.float32(idf),
+                                   jnp.float32(engine._avg32)))
+        got = sc.reshape(NB, 128).max(axis=1)
+        bound = engine._h_dense_blockmax[h]
+        assert (got <= bound).all(), f"row {h}: bound violated"

@@ -58,6 +58,28 @@ def _bucket(value: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def _tc_score64_ub(tc_u16: np.ndarray, idf64: np.ndarray,
+                   avg: float) -> np.ndarray:
+    """f64 upper bound on the device's f32 tc_score reconstruction
+    (kernels.tc_score), x(1+2e-6) to dominate its ~9 f32 rounding steps.
+    idf64 must be the f64 value of the f32 idf the kernel uses."""
+    tc = tc_u16.astype(np.int64)
+    tf_i = tc & 0xFF
+    tf = tf_i.astype(np.float64)
+    code = (tc >> 8) & 0xFF
+    bits = code & 7
+    shift = np.minimum((code >> 3) - 1, 27)
+    length = np.where(shift < 0, bits, (bits | 8) << np.maximum(shift, 0))
+    cache = np.float64(K.K1_F32) * (
+        np.float64(K.ONE_MINUS_B_F32)
+        + np.float64(K.B_F32) * length.astype(np.float64) / np.float64(avg))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        norm = (tf * np.float64(K.K1_PLUS_1)) / (tf + cache)
+    norm = np.where(tf_i == 0, 0.0, norm)
+    norm = np.where(tf_i >= K.TF_SAT, np.float64(K.K1_PLUS_1), norm)
+    return (idf64 * norm * (1 + 2e-6)).astype(np.float32)
+
+
 def host_exact_search(packed: PackedIndex, cache64: np.ndarray,
                       rows: Sequence[int], k: int, is_phrase: bool = False):
     """Exact host-side conjunctive/phrase search over the packed columns —
@@ -265,6 +287,14 @@ class TpuEngine:
     # ceiling is all-dense (measured at 1M docs: host-merge fallbacks at
     # fraction 8 capped two-term throughput at 57 QPS)
     DENSE_MIN_DF_FRACTION = 32
+    # block-max pruning (kernels.make_pruned_dense_kernel): engage when
+    # the doc space exceeds PRUNED_DENSE_MIN_NB 128-doc blocks — below
+    # that the plain dense scan is already cheap (measured 5.4k QPS at
+    # 100k docs) and pruning only adds a flag-fallback tail. C blocks
+    # (C*128 lanes) are examined per query; FLAG_PRUNE_MISS routes any
+    # query whose guard cannot prove exactness to the memoized host path.
+    PRUNED_DENSE_MIN_NB = 2048
+    PRUNED_DENSE_C = 512
 
     def _build_dense_rows(self, budget_bytes: int) -> None:
         """Dense (N_pad,) score/tf vectors for head terms, so all-head
@@ -305,14 +335,33 @@ class TpuEngine:
                 dense_tf[slot, docs] = self._h_tf[s : s + m]
             self._dense_slot[r] = slot
         self._dense_H = H
+        # per-128-doc-block score upper bounds for the pruned dense scan
+        # (kernels._pruned_dense_body). Raw mode: exact f32 block max of
+        # the very values the kernel sums — the bound is exact. tc mode:
+        # the kernel RECONSTRUCTS scores in f32 (tc_score), so the bound
+        # is the f64 host reconstruction x (1+2e-6), covering the ~9-step
+        # f32 rounding of the in-kernel decode (see rel_eps note above).
+        NBLK = self._n_pad_docs // 128
         if self.columns == "tc":
+            bm = np.zeros((H, NBLK), dtype=np.float32)
+            idf32_rows = self.packed.idf64[rows].astype(np.float32)
+            for h0 in range(0, H, 8):
+                h1 = min(h0 + 8, H)
+                ub = _tc_score64_ub(dense_tc[h0:h1],
+                                    idf32_rows[h0:h1, None].astype(np.float64),
+                                    float(self._avg32))
+                bm[h0:h1] = ub.reshape(h1 - h0, NBLK, 128).max(axis=2)
+            self._h_dense_blockmax = bm
             self._h_dense_tc_rows = dense_tc  # kept for re-provision
             self.d_dense_tc = jnp.asarray(dense_tc)
         else:
+            self._h_dense_blockmax = \
+                dense_sc.reshape(H, NBLK, 128).max(axis=2)
             self._h_dense_sc = dense_sc  # kept for device-loss re-provision
             self._h_dense_tf = dense_tf
             self.d_dense_sc = jnp.asarray(dense_sc)
             self.d_dense_tf = jnp.asarray(dense_tf)
+        self.d_dense_blockmax = jnp.asarray(self._h_dense_blockmax)
 
     def _build_single_term_table(self, scores64: np.ndarray, depth: int):
         """Impact-ordered per-term top table: a single-term query's top-k
@@ -388,6 +437,7 @@ class TpuEngine:
             else:
                 self.d_dense_sc = jnp.asarray(self._h_dense_sc)
                 self.d_dense_tf = jnp.asarray(self._h_dense_tf)
+            self.d_dense_blockmax = jnp.asarray(self._h_dense_blockmax)
         if packed.bloom_ends is not None:
             self.d_bloom_ends = jnp.asarray(packed.bloom_ends)
             self.d_bloom_begins = jnp.asarray(packed.bloom_begins)
@@ -423,6 +473,7 @@ class TpuEngine:
         if getattr(self, "_dense_H", 0):
             dense = (self.d_dense_tc.nbytes if self.columns == "tc"
                      else self.d_dense_sc.nbytes + self.d_dense_tf.nbytes)
+            dense += self.d_dense_blockmax.nbytes
         else:
             dense = 0
         out["dense_tier"] = int(dense)
@@ -748,7 +799,28 @@ class TpuEngine:
                             idf32_g[bi, t] = np.float32(self.packed.idf64[r])
                 M = min(int(ks_g.max(initial=1)) + self.margin,
                         self._n_pad_docs)
-                if self.columns == "tc":
+                NB = self._n_pad_docs // 128
+                C = self.PRUNED_DENSE_C
+                if NB >= max(self.PRUNED_DENSE_MIN_NB, C + 1):
+                    # block-max pruned scan: ~NB/C less lane work; any
+                    # query the guard can't prove exact is flagged to
+                    # the memoized host path (_flags_to_force bit 3).
+                    # Guard slop 3*rel_eps (see kernels module note).
+                    eps3 = 3.0 * self.rel_eps
+                    kd = jnp.asarray(ks_g)
+                    if self.columns == "tc":
+                        kern = K.make_pruned_dense_kernel_tc(T, NB, C, M,
+                                                             eps3)
+                        out = kern(self.d_dense_tc, self.d_avg32,
+                                   self.d_dense_blockmax,
+                                   jnp.asarray(slots), jnp.asarray(idf32_g),
+                                   kd)
+                    else:
+                        kern = K.make_pruned_dense_kernel(T, NB, C, M, eps3)
+                        out = kern(self.d_dense_sc, self.d_dense_tf,
+                                   self.d_dense_blockmax,
+                                   jnp.asarray(slots), jnp.asarray(use), kd)
+                elif self.columns == "tc":
                     kern = K.make_dense_search_kernel_tc(
                         T, self._n_pad_docs, M)
                     out = kern(self.d_dense_tc, self.d_avg32,
@@ -972,16 +1044,19 @@ class TpuEngine:
 
     def _flags_to_force(self, flags: np.ndarray) -> np.ndarray:
         """Kernel flag word -> host-fallback mask. Bit 1 (window overflow:
-        lanes genuinely missing) and bit 2 (a kept lane's tf byte
+        lanes genuinely missing), bit 2 (a kept lane's tf byte
         saturated — its tc-mode score was the optimistic bound and its
-        returned tf is wrong) always force the exact path. Bit 0
+        returned tf is wrong) and bit 3 (pruned-dense: an unexamined
+        block's upper bound could beat/tie the kept set) always force
+        the exact path. Bit 0
         (f32 boundary-CLASS truncated) forces only under strict_parity:
         a truncated class breaks parity only in the astronomically rare
         event that an excluded class member f32-collides with a distinct
         f64 score (see topk.truncation_suspects); ~80% of all-head
         queries have >buffer tie classes, so defaulting this on would put
         most of the mega workload on the host path."""
-        force = (flags & (K.FLAG_OVERFLOW | K.FLAG_TF_SAT)) != 0
+        force = (flags & (K.FLAG_OVERFLOW | K.FLAG_TF_SAT
+                          | K.FLAG_PRUNE_MISS)) != 0
         if self.strict_parity:
             force = force | ((flags & K.FLAG_TRUNC) != 0)
         return force

@@ -69,6 +69,7 @@ TF_SAT = 255
 FLAG_TRUNC = 1  # f32 boundary class truncated
 FLAG_OVERFLOW = 2  # windowed-kernel window overflow (lanes missing)
 FLAG_TF_SAT = 4  # a kept lane's tf byte saturated (tc mode)
+FLAG_PRUNE_MISS = 8  # pruned-dense: an unexamined block could beat the kept set
 
 
 def tc_score(tc_i32, idf32, avg32):
@@ -702,6 +703,176 @@ def make_semidense_kernel(T: int, L: int, M: int, N_pad: int):
         trunc = boundary_truncated(score, top_score, M)
         return pack_with_flags(top_docs, jnp.concatenate(tfs, axis=1),
                                trunc.astype(jnp.int32))
+
+    return jax.jit(kernel)
+
+
+# ---------------------------------------------------------------------------
+# Block-max pruned dense scan — the reference-scale fix for all-head
+# conjunctions. The plain dense kernel (below) is df-independent but
+# N-DEPENDENT: T·N lane-ops + top_k over N per query (~16 MB of HBM
+# traffic per query at 1M docs). This variant is the block-max WAND idea
+# (the literature's skip-list upper-bound pruning) mapped to dense TPU
+# lanes with a PROVABLE device-side guard instead of data-dependent
+# control flow:
+#
+#   1. ub_j = Σ_t blockmax_t[j]  — per-128-doc-block score upper bound,
+#      from precomputed (H, N/128) per-term block maxima (row gathers);
+#   2. take the C highest-ub blocks via one lax.top_k; re-emit their ids
+#      in ASCENDING BLOCK ORDER via a second top_k over -id (ids < 2^24
+#      are exact in f32; no lax.sort) — doc-ascending candidate order
+#      preserves the tie canon for the final boundary class;
+#   3. gather only those C·128 lanes, score + match exactly, one top_k
+#      over C·128.
+#
+# Exactness: every lane's f32 score ≤ its block's ub — the engine builds
+# blockmax so each addend dominates elementwise (raw: exact f32 column
+# max, 0/1 weights; tc: f64 reconstruction × (1+1e-6) covers in-kernel
+# rounding), and f32 add/rounding is monotone, so the accumulated ub
+# dominates the accumulated score in the same summation order. Every
+# unexamined block has ub ≤ next_ub (the (C+1)-th largest).
+#
+# The guard compares next_ub against the PER-QUERY k-th kept score (not
+# the M-th): the final answer is the host f64 re-rank's top k, so an
+# unexamined lane only matters if it could reach or tie the true f64
+# k-th. Unflagged means next_ub < κ·(1−3·rel_eps) where κ is the k-th
+# best f32 among examined lanes; then every unexamined lane L_u has
+# f64(L_u) ≤ f32(L_u)(1+eps) ≤ next_ub(1+eps) < κ(1−eps) ≤ f64 of each
+# of the k kept-by-f32 docs — at least k docs strictly beat L_u in f64,
+# so L_u is outside the true top-k and cannot tie its boundary (strict).
+# Within-examined selection correctness is the existing machinery's job
+# (boundary_truncated + topk.truncation_suspects). FLAG_PRUNE_MISS is
+# raised when the bound cannot prove this (incl. fewer than k matches
+# found with nonzero unexamined ub); the engine re-runs flagged queries
+# exactly (memoized host path). Ties at the selection cut need no flag:
+# any C-subset of tied blocks is fine unless the tied ub itself clears
+# the check. For head×head conjunctions (the mega case) matches are
+# plentiful and the flag is rare (measured on the 1M-doc corpus, Zipf
+# head pairs: 6.9% at C=512 / 12.7% at C=256, vs 17-22% for an M-based
+# guard — and the memoized host path absorbs repeats); the win is
+# ~N/(C·128) in both lane-ops and HBM traffic.
+# ---------------------------------------------------------------------------
+
+
+def _pruned_dense_body(get_row_f32, get_tf, blockmax, slots, weights, ks,
+                       *, T, NB, C, M, eps3, tc_mode, idf32=None,
+                       avg32=None):
+    """Shared body: get_row_f32(t, rows_idx) -> (B, C, 128) f32 payload
+    lanes (score in raw mode, tc-as-int in tc mode); weights (B, T) f32
+    multipliers for ub (use_score in raw, 1.0 presence in tc — the
+    blockmax planes are already idf-scaled in both modes)."""
+    B = slots.shape[0]
+    ub = jnp.zeros((B, NB), dtype=jnp.float32)
+    for t in range(T):
+        ub = ub + jnp.take(blockmax, slots[:, t], axis=0) \
+            * weights[:, t : t + 1]
+    top_ub, top_idx = jax.lax.top_k(ub, C + 1)
+    next_ub = top_ub[:, C]  # best unexamined block's ub
+    # re-emit the selected ids in ascending block order (tie canon):
+    # top_k over -id sorts descending by -id = ascending by id; block
+    # ids < 2^24 are exact in f32
+    neg_sorted, _ = jax.lax.top_k(-top_idx[:, :C].astype(jnp.float32), C)
+    blk = (-neg_sorted).astype(jnp.int32)  # (B, C) ascending block ids
+
+    lane = jnp.arange(128, dtype=jnp.int32)
+    cand_docs = (blk[:, :, None] * 128 + lane[None, None, :]).reshape(B, -1)
+    match = jnp.ones((B, C, 128), dtype=bool)
+    score = jnp.zeros((B, C, 128), dtype=jnp.float32)
+    payloads = []
+    for t in range(T):
+        p = get_row_f32(t, blk)  # (B, C, 128)
+        payloads.append(p)
+        match = match & (p > 0)
+        if tc_mode:
+            score = score + tc_score(p.astype(jnp.int32),
+                                     idf32[:, t, None, None], avg32)
+        else:
+            score = score + p * weights[:, t, None, None]
+    score = jnp.where(match, score, NEG_INF).reshape(B, -1)
+    top_score, top_l = jax.lax.top_k(score, M)
+    top_docs = jnp.take_along_axis(cand_docs, top_l, axis=1)
+    top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
+
+    # k-based prune guard (see module note): κ = per-query k-th kept
+    # f32 score (NEG_INF when fewer than k matches -> any nonzero
+    # unexamined ub flags)
+    k_idx = jnp.clip(ks.astype(jnp.int32) - 1, 0, M - 1)
+    kth = jnp.take_along_axis(top_score, k_idx[:, None], axis=1)[:, 0]
+    miss = (next_ub > 0) & (next_ub >= kth * np.float32(1.0 - eps3))
+    prune_flag = miss.astype(jnp.int32) * FLAG_PRUNE_MISS
+
+    sat = jnp.zeros((B,), dtype=jnp.int32)
+    tfs = []
+    for t in range(T):
+        flat = payloads[t].reshape(B, -1)
+        top_p = jnp.take_along_axis(flat, top_l, axis=1)
+        if tc_mode:
+            top_i = top_p.astype(jnp.int32)
+            sat = sat | (tc_saturated(top_i, top_docs).astype(jnp.int32)
+                         * FLAG_TF_SAT)
+            tfs.append(jnp.where(top_docs >= 0, top_i & 0xFF, 0))
+        else:
+            tfs.append(jnp.where(top_docs >= 0, get_tf(t, top_l, blk), 0))
+    flags = (boundary_truncated(score, top_score, M).astype(jnp.int32)
+             | prune_flag | sat)
+    return pack_with_flags(
+        top_docs, jnp.concatenate([x[:, None, :] for x in tfs], axis=1),
+        flags)
+
+
+@lru_cache(maxsize=32)
+def make_pruned_dense_kernel(T: int, NB: int, C: int, M: int, eps3: float):
+    """Raw-column block-max pruned dense scan.
+
+    fn(dense_sc (H, NB*128) f32, dense_tf (H, NB*128) i32,
+       blockmax (H, NB) f32, slots (B, T) i32, use_score (B, T) f32,
+       ks (B,) i32 per-query k) -> packed (B, T+2, M) i32."""
+
+    def kernel(dense_sc, dense_tf, blockmax, slots, use_score, ks):
+        H = dense_sc.shape[0]
+        sc_rows = dense_sc.reshape(H * NB, 128)
+        tf_rows = dense_tf.reshape(H * NB, 128)
+
+        def get_row(t, blk):
+            rows_idx = slots[:, t : t + 1] * np.int32(NB) + blk
+            return jnp.take(sc_rows, rows_idx, axis=0)
+
+        def get_tf(t, top_l, blk):
+            rows_idx = slots[:, t : t + 1] * np.int32(NB) + blk
+            tf = jnp.take(tf_rows, rows_idx, axis=0).reshape(
+                slots.shape[0], -1)
+            return jnp.take_along_axis(tf, top_l, axis=1)
+
+        return _pruned_dense_body(
+            get_row, get_tf, blockmax, slots, use_score, ks,
+            T=T, NB=NB, C=C, M=M, eps3=eps3, tc_mode=False)
+
+    return jax.jit(kernel)
+
+
+@lru_cache(maxsize=32)
+def make_pruned_dense_kernel_tc(T: int, NB: int, C: int, M: int,
+                                eps3: float):
+    """tc-mode block-max pruned dense scan: payload lanes are uint16 tc
+    (exact as f32); blockmax planes hold the host-side f64 mirror of the
+    reconstructed score's block maxima x(1+2e-6), so ub dominates the
+    in-kernel f32 reconstruction."""
+
+    def kernel(dense_tc, avg32, blockmax, slots, idf32, ks):
+        H = dense_tc.shape[0]
+        tc_rows = dense_tc.reshape(H * NB, 128)
+
+        def get_row(t, blk):
+            rows_idx = slots[:, t : t + 1] * np.int32(NB) + blk
+            return jnp.take(tc_rows, rows_idx, axis=0).astype(jnp.float32)
+
+        # blockmax planes are idf-scaled; padded slots (idf 0) contribute
+        # no ub (keeps the bound tight, matching the raw use_score mask)
+        weights = (idf32 > 0).astype(jnp.float32)
+        return _pruned_dense_body(
+            get_row, None, blockmax, slots, weights, ks,
+            T=T, NB=NB, C=C, M=M, eps3=eps3, tc_mode=True, idf32=idf32,
+            avg32=avg32)
 
     return jax.jit(kernel)
 
