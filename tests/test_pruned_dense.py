@@ -32,6 +32,9 @@ def make_pruned_engine(docs, columns, C=4, min_nb=8):
     engine = TpuEngine(packed, columns=columns)
     engine.PRUNED_DENSE_MIN_NB = min_nb
     engine.PRUNED_DENSE_C = C
+    # phrase: make head pairs count as "mega" so they route pruned
+    engine.PRUNED_PHRASE_C = C
+    engine.PHRASE_MAX_L = 64
     return packed, oracle, engine
 
 
@@ -136,6 +139,67 @@ def test_prune_flag_forces_host_mask(flat_corpus):
                       K.FLAG_PRUNE_MISS | K.FLAG_TRUNC])
     force = engine._flags_to_force(flags)
     assert force.tolist() == [False, True, False, True]
+
+
+def spy_pruned_phrase(engine, monkeypatch):
+    called = []
+    name = ("make_pruned_phrase_kernel_tc" if engine.columns == "tc"
+            else "make_pruned_phrase_kernel")
+    orig = getattr(K, name)
+
+    def spy(*a, **kw):
+        called.append(a)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(K, name, spy)
+    return called
+
+
+def test_pruned_phrase_parity_flat(flat_corpus, monkeypatch):
+    """Mega phrase pairs on the flat corpus: pruned route engages; the
+    guard + host path keep bit parity whichever way each query goes."""
+    _, oracle, engine = flat_corpus
+    called = spy_pruned_phrase(engine, monkeypatch)
+    for terms in (["h0", "h1"], ["h1", "h2"], ["h1", "h0"],
+                  ["h0", "h1", "h2"]):
+        q = SearchQuery(terms, n_results=10, is_phrase=True)
+        assert_same(oracle.search(q), engine.search(q), f"phrase {terms}")
+    assert called, "mega all-dense phrases must route pruned"
+
+
+def test_pruned_phrase_no_fallback_when_provable(skewed_corpus,
+                                                 monkeypatch):
+    """Skewed corpus: the phrase h0 h1 occurs in every doc, so the top-C
+    ub blocks hold the whole top-k and no host fallback is needed."""
+    _, oracle, engine = skewed_corpus
+    called = spy_pruned_phrase(engine, monkeypatch)
+    host = spy_host(engine, monkeypatch)
+    q = SearchQuery(["h0", "h1"], n_results=10, is_phrase=True)
+    assert_same(oracle.search(q), engine.search(q))
+    assert called, "pruned phrase kernel must be engaged"
+    assert not host, "frequent-phrase skewed profile must prove on-device"
+
+
+def test_pruned_phrase_zero_matches(skewed_corpus):
+    """h1 h0 never occurs adjacently in the skewed corpus: the kernel
+    finds no matches, the guard flags, and the host confirms empty."""
+    _, oracle, engine = skewed_corpus
+    q = SearchQuery(["h1", "h0"], n_results=10, is_phrase=True)
+    o, t = oracle.search(q), engine.search(q)
+    assert [e.doc_id for e in o.entries] == [e.doc_id for e in t.entries]
+    assert not t.entries
+
+
+def test_pruned_phrase_batch_mixed(flat_corpus):
+    """Pruned phrases alongside AND + tail queries in one batch."""
+    _, oracle, engine = flat_corpus
+    queries = [SearchQuery(["h0", "h1"], n_results=10, is_phrase=True),
+               SearchQuery(["h1", "h2"], n_results=3, is_phrase=True),
+               SearchQuery(["h0", "h2"], n_results=10),
+               SearchQuery(["h0", "r7"], n_results=10)]
+    batch = engine.search_batch(queries)
+    for q, r in zip(queries, batch):
+        assert_same(oracle.search(q), r, f"{q.terms} phrase={q.is_phrase}")
 
 
 def test_blockmax_dominates_tc_reconstruction(skewed_corpus):

@@ -1285,11 +1285,38 @@ class TpuEngine:
     # ones; device bloom-gated compaction is the future lever here)
     PHRASE_MAX_L = 32768
     PHRASE_B_BUCKETS = [8, 32, 128, 1024, 4096]
+    # pruned dense phrase route (kernels.make_pruned_phrase_kernel):
+    # C blocks examined; anchor position bags past this bound would blow
+    # the (B, PP, C*128) verify tensor — such queries go host instead
+    PRUNED_PHRASE_C = 256
+    PRUNED_PHRASE_MAX_PP = 512
 
     def _submit_phrase(self, planned: List[_PlannedQuery]):
-        planned, pending = self._route_saturated(
+        pending = []
+        # all-dense mega phrases ("of the") -> pruned dense phrase scan:
+        # past PHRASE_MAX_L the list path can't run and the exact host
+        # path costs seconds per unique mega pair at reference scale
+        if self._dense_H:
+            NB = self._n_pad_docs // 128
+            C = self.PRUNED_PHRASE_C
+            if NB >= max(self.PRUNED_DENSE_MIN_NB, C + 1):
+                pruned, rest = [], []
+                for pq in planned:
+                    mega = (int(self.packed.df[pq.slot_rows[0]])
+                            > self.PHRASE_MAX_L)
+                    ok = (mega and len(pq.rows) >= 2
+                          and all(self._dense_slot[r] >= 0 for r in pq.rows)
+                          and min(int(self.packed.max_tf[r])
+                                  for r in pq.rows)
+                          <= self.PRUNED_PHRASE_MAX_PP)
+                    (pruned if ok else rest).append(pq)
+                if pruned:
+                    pending += self._submit_pruned_phrase(pruned)
+                    planned = rest
+        planned, sat_pending = self._route_saturated(
             planned, is_phrase=True,
             max_l=min(self.PHRASE_MAX_L, L_BUCKETS[-1]))
+        pending += sat_pending
         keyfn = lambda pq: (
             len(pq.rows),  # exact T; phrase adjacency needs true slots
             _bucket(int(self.packed.df[pq.slot_rows[0]]), L_BUCKETS),
@@ -1366,6 +1393,80 @@ class TpuEngine:
                                      packed[:, 1 : T + 1, :], slot_of,
                                      idf64_q, ks, results,
                                      force_host=self._flags_to_force(packed[:, T + 1, 0]))
+
+            finalize.out = out
+            pending.append(finalize)
+        return pending
+
+    def _submit_pruned_phrase(self, planned: List[_PlannedQuery]):
+        """All-dense mega phrases via the pruned dense phrase kernel
+        (kernels._pruned_phrase_body). Arrays are in QUERY-term order
+        (adjacency is order-dependent); the per-query anchor is the term
+        with the smallest max_tf, bounding the PP base-lane bucket."""
+        pending = []
+        NB = self._n_pad_docs // 128
+        C = self.PRUNED_PHRASE_C
+        n_bs = K.n_iters_for(self._max_df)
+        n_pos = K.n_iters_for(int(self.packed.max_tf.max(initial=1)))
+        eps3 = 3.0 * self.rel_eps
+        keyfn = lambda pq: (
+            len(pq.rows),  # exact T
+            _bucket(min(int(self.packed.max_tf[r]) for r in pq.rows),
+                    PP_BUCKETS),
+        )
+        for (T, PP), group in self._chunked_groups(
+                planned, keyfn, lanes_of=lambda k: k[1] * C * 128,
+                lane_budget=1 << 27, buckets=self.PHRASE_B_BUCKETS):
+            B = _bucket(len(group), self.PHRASE_B_BUCKETS)
+            starts = np.zeros((B, T), dtype=np.int32)
+            ends = np.zeros((B, T), dtype=np.int32)
+            slots = np.zeros((B, T), dtype=np.int32)
+            use = np.zeros((B, T), dtype=np.float32)
+            idf32_q = np.zeros((B, T), dtype=np.float32)
+            idf64_q = np.zeros((B, T), dtype=np.float64)
+            anchor = np.zeros(B, dtype=np.int32)
+            ks = np.zeros(B, dtype=np.int32)
+            for i, pq in enumerate(group):
+                ks[i] = pq.query.n_results
+                anchor[i] = int(np.argmin(
+                    [int(self.packed.max_tf[r]) for r in pq.rows]))
+                for t, r in enumerate(pq.rows):
+                    starts[i, t] = self._starts32[r]
+                    ends[i, t] = self._starts32[r] + self._df32[r]
+                    slots[i, t] = self._dense_slot[r]
+                    use[i, t] = 1.0
+                    idf32_q[i, t] = np.float32(self.packed.idf64[r])
+                    idf64_q[i, t] = self.packed.idf64[r]
+            M = min(C * 128, int(ks.max(initial=1)) + self.margin)
+            if self.columns == "tc":
+                kern = K.make_pruned_phrase_kernel_tc(
+                    T, NB, C, PP, M, n_bs, n_pos, eps3)
+                out = kern(self.d_dense_tc, self.d_avg32,
+                           self.d_dense_blockmax, self.d_postings_doc,
+                           self.d_positions, self.d_pos_starts,
+                           jnp.asarray(starts), jnp.asarray(ends),
+                           jnp.asarray(slots), jnp.asarray(idf32_q),
+                           jnp.asarray(anchor), jnp.asarray(ks))
+            else:
+                kern = K.make_pruned_phrase_kernel(
+                    T, NB, C, PP, M, n_bs, n_pos, eps3)
+                out = kern(self.d_dense_sc, self.d_dense_tf,
+                           self.d_dense_blockmax, self.d_postings_doc,
+                           self.d_positions, self.d_pos_starts,
+                           jnp.asarray(starts), jnp.asarray(ends),
+                           jnp.asarray(slots), jnp.asarray(use),
+                           jnp.asarray(anchor), jnp.asarray(ks))
+
+            # tfs are already in query-term order: identity slot_of
+            slot_id = np.tile(np.arange(T, dtype=np.int64), (B, 1))
+
+            def finalize(results, group=group, out=out, T=T,
+                         slot_id=slot_id, idf64_q=idf64_q, ks=ks):
+                packed_out = np.asarray(out)
+                self._finalize_group(
+                    group, packed_out[:, 0, :], packed_out[:, 1 : T + 1, :],
+                    slot_id, idf64_q, ks, results,
+                    force_host=self._flags_to_force(packed_out[:, T + 1, 0]))
 
             finalize.out = out
             pending.append(finalize)

@@ -754,13 +754,11 @@ def make_semidense_kernel(T: int, L: int, M: int, N_pad: int):
 # ---------------------------------------------------------------------------
 
 
-def _pruned_dense_body(get_row_f32, get_tf, blockmax, slots, weights, ks,
-                       *, T, NB, C, M, eps3, tc_mode, idf32=None,
-                       avg32=None):
-    """Shared body: get_row_f32(t, rows_idx) -> (B, C, 128) f32 payload
-    lanes (score in raw mode, tc-as-int in tc mode); weights (B, T) f32
-    multipliers for ub (use_score in raw, 1.0 presence in tc — the
-    blockmax planes are already idf-scaled in both modes)."""
+def _select_ub_blocks(blockmax, slots, weights, *, T, NB, C):
+    """Per-query block-max upper bounds and top-C block selection.
+
+    Returns (blk (B, C) int32 ascending block ids, next_ub (B,) f32 —
+    the best unexamined block's ub)."""
     B = slots.shape[0]
     ub = jnp.zeros((B, NB), dtype=jnp.float32)
     for t in range(T):
@@ -773,6 +771,28 @@ def _pruned_dense_body(get_row_f32, get_tf, blockmax, slots, weights, ks,
     # ids < 2^24 are exact in f32
     neg_sorted, _ = jax.lax.top_k(-top_idx[:, :C].astype(jnp.float32), C)
     blk = (-neg_sorted).astype(jnp.int32)  # (B, C) ascending block ids
+    return blk, next_ub
+
+
+def prune_guard_flag(top_score, next_ub, ks, *, M, eps3):
+    """FLAG_PRUNE_MISS word: κ = per-query k-th kept f32 score (NEG_INF
+    when fewer than k matches -> any nonzero unexamined ub flags)."""
+    k_idx = jnp.clip(ks.astype(jnp.int32) - 1, 0, M - 1)
+    kth = jnp.take_along_axis(top_score, k_idx[:, None], axis=1)[:, 0]
+    miss = (next_ub > 0) & (next_ub >= kth * np.float32(1.0 - eps3))
+    return miss.astype(jnp.int32) * FLAG_PRUNE_MISS
+
+
+def _pruned_dense_body(get_row_f32, get_tf, blockmax, slots, weights, ks,
+                       *, T, NB, C, M, eps3, tc_mode, idf32=None,
+                       avg32=None):
+    """Shared body: get_row_f32(t, rows_idx) -> (B, C, 128) f32 payload
+    lanes (score in raw mode, tc-as-int in tc mode); weights (B, T) f32
+    multipliers for ub (use_score in raw, 1.0 presence in tc — the
+    blockmax planes are already idf-scaled in both modes)."""
+    B = slots.shape[0]
+    blk, next_ub = _select_ub_blocks(blockmax, slots, weights,
+                                     T=T, NB=NB, C=C)
 
     lane = jnp.arange(128, dtype=jnp.int32)
     cand_docs = (blk[:, :, None] * 128 + lane[None, None, :]).reshape(B, -1)
@@ -793,13 +813,7 @@ def _pruned_dense_body(get_row_f32, get_tf, blockmax, slots, weights, ks,
     top_docs = jnp.take_along_axis(cand_docs, top_l, axis=1)
     top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
 
-    # k-based prune guard (see module note): κ = per-query k-th kept
-    # f32 score (NEG_INF when fewer than k matches -> any nonzero
-    # unexamined ub flags)
-    k_idx = jnp.clip(ks.astype(jnp.int32) - 1, 0, M - 1)
-    kth = jnp.take_along_axis(top_score, k_idx[:, None], axis=1)[:, 0]
-    miss = (next_ub > 0) & (next_ub >= kth * np.float32(1.0 - eps3))
-    prune_flag = miss.astype(jnp.int32) * FLAG_PRUNE_MISS
+    prune_flag = prune_guard_flag(top_score, next_ub, ks, M=M, eps3=eps3)
 
     sat = jnp.zeros((B,), dtype=jnp.int32)
     tfs = []
@@ -873,6 +887,179 @@ def make_pruned_dense_kernel_tc(T: int, NB: int, C: int, M: int,
             get_row, None, blockmax, slots, weights, ks,
             T=T, NB=NB, C=C, M=M, eps3=eps3, tc_mode=True, idf32=idf32,
             avg32=avg32)
+
+    return jax.jit(kernel)
+
+
+# ---------------------------------------------------------------------------
+# Block-max pruned dense PHRASE scan — the reference-scale route for
+# phrases over head terms. At 1M docs ~45% of text-mined adjacent pairs
+# have min-df past the list-path ceiling (PHRASE_MAX_L), and the exact
+# host path costs SECONDS per unique mega pair (positions-key intersect
+# over ~10M keys). Every such pair is necessarily all-dense (min-df >
+# PHRASE_MAX_L >= n_docs/32), so: select top-C ub blocks exactly as the
+# pruned AND scan, recover each term's posting index for just the C*128
+# candidate lanes by binary search into its CSR run (log2(df) probes per
+# lane — affordable at this width, which is the whole point), verify
+# adjusted positions (query_processing.h:266-362) anchored on the
+# caller-chosen per-query anchor term (pick min max_tf: the PP lane
+# budget follows the anchor's position-bag bound), and top_k over
+# phrase-verified lanes only. The k-th kept PHRASE score is compared
+# against next_ub (an AND-score bound, hence also a phrase-score bound):
+# unexamined blocks cannot contain a phrase doc beating the kept top-k
+# unless FLAG_PRUNE_MISS fires (same proof as the AND guard — phrase
+# matches are a subset of AND matches). Phrase-frequent mega pairs (the
+# pathological ones) pass the guard; phrase-rare ones fall back to the
+# memoized host path.
+# ---------------------------------------------------------------------------
+
+
+def _pruned_phrase_body(get_row_f32, blockmax, postings_doc, positions,
+                        pos_starts, starts, ends, slots, weights, anchor,
+                        ks, *, T, NB, C, PP, M, n_bs_iters, n_pos_iters,
+                        eps3, tc_mode, idf32=None, avg32=None):
+    """slots/starts/ends/weights/idf32 are in QUERY-TERM order (phrase
+    adjacency is order-dependent; no candidate-first permutation).
+    anchor: (B,) int32 — the term whose position bag seeds base lanes."""
+    B = slots.shape[0]
+    CL = C * 128
+    blk, next_ub = _select_ub_blocks(blockmax, slots, weights,
+                                     T=T, NB=NB, C=C)
+    lane = jnp.arange(128, dtype=jnp.int32)
+    cand_docs = (blk[:, :, None] * 128 + lane[None, None, :]).reshape(B, CL)
+
+    match = jnp.ones((B, CL), dtype=bool)
+    score = jnp.zeros((B, CL), dtype=jnp.float32)
+    payloads = []
+    for t in range(T):
+        p = get_row_f32(t, blk).reshape(B, CL)
+        payloads.append(p)
+        match = match & (p > 0)
+        if tc_mode:
+            score = score + tc_score(p.astype(jnp.int32),
+                                     idf32[:, t : t + 1], avg32)
+        else:
+            score = score + p * weights[:, t : t + 1]
+
+    # per-term posting index for the candidate lanes: matched lanes are
+    # guaranteed present in every term's CSR run (the dense rows are
+    # built from those very runs), so lower_bound IS the posting index;
+    # unmatched lanes yield in-range garbage masked out of `ok` below
+    targets = jnp.broadcast_to(cand_docs[:, None, :], (B, T, CL))
+    lo = _binary_search(postings_doc, targets,
+                        starts[:, :, None], ends[:, :, None], n_bs_iters)
+    ps = _gather1d(pos_starts, lo.reshape(B, -1)).reshape(B, T, CL)
+    pe = _gather1d(pos_starts, lo.reshape(B, -1) + 1).reshape(B, T, CL)
+
+    # adjusted-position verify anchored per query: base y = pos_a - a;
+    # term i must hold y + i (the anchor's own check is trivially true
+    # and kept for uniformity). (B, PP, CL) with CL minor — see
+    # make_phrase_verify_kernel layout note.
+    a_idx = anchor.astype(jnp.int32)[:, None, None]
+    ps_a = jnp.take_along_axis(ps, a_idx.repeat(CL, 2), axis=1)[:, 0, :]
+    pe_a = jnp.take_along_axis(pe, a_idx.repeat(CL, 2), axis=1)[:, 0, :]
+    plane = jnp.arange(PP, dtype=jnp.int32)
+    base_idx = ps_a[:, None, :] + plane[None, :, None]  # (B, PP, CL)
+    base_valid = base_idx < pe_a[:, None, :]
+    base_y = jnp.where(base_valid, _gather1d(positions, base_idx),
+                       INT32_MAX - T) - anchor[:, None, None].astype(jnp.int32)
+    ok = base_valid
+    for t in range(T):
+        tgt = base_y + t
+        plo = _binary_search(positions, tgt, ps[:, t, None, :],
+                             pe[:, t, None, :], n_pos_iters)
+        phit = _gather1d(positions, plo)
+        ok = ok & (plo < pe[:, t, None, :]) & (phit == tgt)
+    n_matches = jnp.sum(ok & match[:, None, :], axis=1)
+
+    final = match & (n_matches > 0)
+    score = jnp.where(final, score, NEG_INF)
+    top_score, top_l = jax.lax.top_k(score, M)
+    top_docs = jnp.take_along_axis(cand_docs, top_l, axis=1)
+    top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
+
+    prune_flag = prune_guard_flag(top_score, next_ub, ks, M=M, eps3=eps3)
+    sat = jnp.zeros((B,), dtype=jnp.int32)
+    tfs = []  # tc mode only; raw callers gather tfs from their tf rows
+    if tc_mode:
+        for t in range(T):
+            top_i = jnp.take_along_axis(payloads[t], top_l,
+                                        axis=1).astype(jnp.int32)
+            sat = sat | (tc_saturated(top_i, top_docs).astype(jnp.int32)
+                         * FLAG_TF_SAT)
+            tfs.append(jnp.where(top_docs >= 0, top_i & 0xFF, 0))
+    flags = (boundary_truncated(score, top_score, M).astype(jnp.int32)
+             | prune_flag | sat)
+    return top_docs, top_l, blk, flags, tfs
+
+
+@lru_cache(maxsize=32)
+def make_pruned_phrase_kernel(T: int, NB: int, C: int, PP: int, M: int,
+                              n_bs_iters: int, n_pos_iters: int,
+                              eps3: float):
+    """Raw-column pruned dense phrase scan.
+
+    fn(dense_sc (H, NB*128) f32, dense_tf (H, NB*128) i32,
+       blockmax (H, NB) f32, postings_doc, positions, pos_starts,
+       starts (B,T) i32, ends (B,T) i32, slots (B,T) i32,
+       use_score (B,T) f32, anchor (B,) i32, ks (B,) i32)
+      -> packed (B, T+2, M) i32. All per-term arrays in QUERY order."""
+
+    def kernel(dense_sc, dense_tf, blockmax, postings_doc, positions,
+               pos_starts, starts, ends, slots, use_score, anchor, ks):
+        H = dense_sc.shape[0]
+        sc_rows = dense_sc.reshape(H * NB, 128)
+        tf_rows = dense_tf.reshape(H * NB, 128)
+
+        def get_row(t, blk):
+            rows_idx = slots[:, t : t + 1] * np.int32(NB) + blk
+            return jnp.take(sc_rows, rows_idx, axis=0)
+
+        top_docs, top_l, blk, flags, _ = _pruned_phrase_body(
+            get_row, blockmax, postings_doc, positions, pos_starts,
+            starts, ends, slots, use_score, anchor, ks,
+            T=T, NB=NB, C=C, PP=PP, M=M, n_bs_iters=n_bs_iters,
+            n_pos_iters=n_pos_iters, eps3=eps3, tc_mode=False)
+        tfs = []
+        for t in range(T):
+            rows_idx = slots[:, t : t + 1] * np.int32(NB) + blk
+            tf_flat = jnp.take(tf_rows, rows_idx, axis=0).reshape(
+                slots.shape[0], -1)
+            top_tf = jnp.take_along_axis(tf_flat, top_l, axis=1)
+            tfs.append(jnp.where(top_docs >= 0, top_tf, 0))
+        return pack_with_flags(
+            top_docs,
+            jnp.concatenate([x[:, None, :] for x in tfs], axis=1), flags)
+
+    return jax.jit(kernel)
+
+
+@lru_cache(maxsize=32)
+def make_pruned_phrase_kernel_tc(T: int, NB: int, C: int, PP: int, M: int,
+                                 n_bs_iters: int, n_pos_iters: int,
+                                 eps3: float):
+    """tc-mode pruned dense phrase scan (see make_pruned_phrase_kernel;
+    idf32 (B,T) in QUERY order replaces use_score)."""
+
+    def kernel(dense_tc, avg32, blockmax, postings_doc, positions,
+               pos_starts, starts, ends, slots, idf32, anchor, ks):
+        H = dense_tc.shape[0]
+        tc_rows = dense_tc.reshape(H * NB, 128)
+
+        def get_row(t, blk):
+            rows_idx = slots[:, t : t + 1] * np.int32(NB) + blk
+            return jnp.take(tc_rows, rows_idx, axis=0).astype(jnp.float32)
+
+        weights = (idf32 > 0).astype(jnp.float32)
+        top_docs, _, _, flags, tfs = _pruned_phrase_body(
+            get_row, blockmax, postings_doc, positions, pos_starts,
+            starts, ends, slots, weights, anchor, ks,
+            T=T, NB=NB, C=C, PP=PP, M=M, n_bs_iters=n_bs_iters,
+            n_pos_iters=n_pos_iters, eps3=eps3, tc_mode=True,
+            idf32=idf32, avg32=avg32)
+        return pack_with_flags(
+            top_docs,
+            jnp.concatenate([x[:, None, :] for x in tfs], axis=1), flags)
 
     return jax.jit(kernel)
 
