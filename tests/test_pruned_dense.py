@@ -202,6 +202,29 @@ def test_pruned_phrase_batch_mixed(flat_corpus):
         assert_same(oracle.search(q), r, f"{q.terms} phrase={q.is_phrase}")
 
 
+def test_batch_request_coalescing(flat_corpus, monkeypatch):
+    """Identical queries in one batch execute once and fan out with
+    identical results (incl. the single-term table path)."""
+    _, oracle, engine = flat_corpus
+    q1 = SearchQuery(["h0", "h1"], n_results=10)
+    q2 = SearchQuery(["h0"], n_results=10)
+    q3 = SearchQuery(["h0", "h1"], n_results=5)  # different k: NOT a dup
+    batch = [q1, q2, SearchQuery(["h0", "h1"], n_results=10), q3, q2]
+    calls = []
+    orig = engine._submit_flat_vec
+
+    def spy(flat_qi, *a, **kw):
+        calls.append(list(flat_qi))
+        return orig(flat_qi, *a, **kw)
+
+    monkeypatch.setattr(engine, "_submit_flat_vec", spy)
+    res = engine.search_batch(batch)
+    # only 2 distinct multi-term queries planned (q1 and q3)
+    assert len(calls) == 1 and len(calls[0]) == 2
+    for q, r in zip(batch, res):
+        assert_same(oracle.search(q), r, f"{q.terms} k={q.n_results}")
+
+
 def test_blockmax_dominates_tc_reconstruction(skewed_corpus):
     """tc mode: the host-built blockmax plane must upper-bound the
     device's in-kernel f32 score reconstruction for every lane."""

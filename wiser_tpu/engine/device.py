@@ -539,6 +539,12 @@ class TpuEngine:
         flat_rows: List[List[int]] = []
         phrase: List[_PlannedQuery] = []
         long_tail: List[_PlannedQuery] = []
+        # request coalescing: identical (rows, k, phrase, snippets)
+        # queries in one batch execute ONCE and fan out — real logs
+        # repeat hot queries heavily (the AOL head), and the reference
+        # gets the same effect from its OS page cache on hot postings
+        dedup: Dict[tuple, int] = {}
+        dups: List[tuple] = []
         for qi, q in enumerate(queries):
             terms = q.terms
             if q.n_results <= 0 or not terms:
@@ -546,6 +552,13 @@ class TpuEngine:
             rows = [lookup(t, -1) for t in terms]
             if min(rows) < 0:
                 continue  # missing term -> empty result
+            key = (tuple(rows), q.n_results, q.is_phrase,
+                   q.return_snippets, q.n_snippet_passages)
+            prim = dedup.get(key)
+            if prim is not None:
+                dups.append((qi, prim))
+                continue
+            dedup[key] = qi
             if (len(rows) == 1 and self._st_depth
                     and self._serve_single_term(qi, rows[0], q, results)):
                 continue  # answered from the impact table, zero device work
@@ -567,6 +580,17 @@ class TpuEngine:
         # NOTE: copy_to_host_async() on every pending output was tried to
         # overlap fetch RTTs and made things 7x WORSE on the tunneled
         # backend (serializes transfers ahead of compute) — don't.
+        if dups:
+            def copy_dups(res_list, dups=dups):
+                for dqi, pqi in dups:
+                    src, dst = res_list[pqi], res_list[dqi]
+                    if src._docs is not None:
+                        dst.set_arrays(src._docs, src._scores)
+                        dst._entries = list(src._entries)
+                    else:
+                        dst._entries = list(src._entries)
+
+            pending.append(copy_dups)
         return results, pending
 
     def _submit_flat_vec(self, flat_qi, flat_rows, queries, results):
@@ -768,19 +792,37 @@ class TpuEngine:
     # (B, N_pad) f32 tensors: 128 x 1M docs = 512MB per live tensor; the
     # tunnel RTT per dispatch (~30-60ms) dominated at chunk 32
     DENSE_CHUNK = 128
+    # the PRUNED kernel's biggest live tensors are the (B, T, C*128)
+    # candidate payloads — lane-budgeted chunks go much wider, cutting
+    # the ~30ms-RTT dispatch count ~8x (at 1M docs, 60% of the two-term
+    # workload routes here)
+    PRUNED_DENSE_B_BUCKETS = [8, 128, 1024]
 
     def _submit_dense(self, dm, qi_arr, flat_rows, rows_pad, n_terms, ks,
                       queries, results):
         """All-head conjunctions via the doc-space dense kernel."""
         pending = []
+        NBLK = self._n_pad_docs // 128
+        pruned = NBLK >= max(self.PRUNED_DENSE_MIN_NB,
+                             self.PRUNED_DENSE_C + 1)
         groups: Dict[int, list] = {}
         for i in dm:
             groups.setdefault(int(_bucket(int(n_terms[i]), T_BUCKETS)),
                               []).append(int(i))
         for T, members in groups.items():
-            for ci in range(0, len(members), self.DENSE_CHUNK):
-                m = members[ci : ci + self.DENSE_CHUNK]
-                B = _bucket(len(m), [8, self.DENSE_CHUNK])
+            if pruned:
+                buckets = self.PRUNED_DENSE_B_BUCKETS
+                fit = (1 << 27) // max(T * self.PRUNED_DENSE_C * 128, 1)
+                chunk = buckets[0]
+                for b in buckets:
+                    if b <= fit:
+                        chunk = b
+            else:
+                buckets = [8, self.DENSE_CHUNK]
+                chunk = self.DENSE_CHUNK
+            for ci in range(0, len(members), chunk):
+                m = members[ci : ci + chunk]
+                B = _bucket(len(m), buckets)
                 slots = np.zeros((B, T), dtype=np.int32)
                 use = np.zeros((B, T), dtype=np.float32)
                 idf64_q = np.zeros((B, T), dtype=np.float64)
@@ -799,9 +841,9 @@ class TpuEngine:
                             idf32_g[bi, t] = np.float32(self.packed.idf64[r])
                 M = min(int(ks_g.max(initial=1)) + self.margin,
                         self._n_pad_docs)
-                NB = self._n_pad_docs // 128
+                NB = NBLK
                 C = self.PRUNED_DENSE_C
-                if NB >= max(self.PRUNED_DENSE_MIN_NB, C + 1):
+                if pruned:
                     # block-max pruned scan: ~NB/C less lane work; any
                     # query the guard can't prove exact is flagged to
                     # the memoized host path (_flags_to_force bit 3).
@@ -1286,9 +1328,12 @@ class TpuEngine:
     PHRASE_MAX_L = 32768
     PHRASE_B_BUCKETS = [8, 32, 128, 1024, 4096]
     # pruned dense phrase route (kernels.make_pruned_phrase_kernel):
-    # C blocks examined; anchor position bags past this bound would blow
-    # the (B, PP, C*128) verify tensor — such queries go host instead
+    # C blocks examined, compacted to the KV best AND scores before the
+    # element-gather stages (posting-index recovery + position verify);
+    # anchor position bags past MAX_PP would blow the (B, PP, KV) verify
+    # tensor — such queries go host instead
     PRUNED_PHRASE_C = 256
+    PRUNED_PHRASE_KV = 1024
     PRUNED_PHRASE_MAX_PP = 512
 
     def _submit_phrase(self, planned: List[_PlannedQuery]):
@@ -1317,6 +1362,29 @@ class TpuEngine:
             planned, is_phrase=True,
             max_l=min(self.PHRASE_MAX_L, L_BUCKETS[-1]))
         pending += sat_pending
+        # (L, PP) keys whose verify tensor exceeds the lane budget even
+        # at the smallest B bucket (8) would OOM / hang the remote
+        # compiler (observed: L=32768 x PP=2048 = 537M lanes at B=8).
+        # The exact host path is the memory-safe route for these.
+        over_pp = [pq for pq in planned
+                   if _bucket(int(self.packed.df[pq.slot_rows[0]]), L_BUCKETS)
+                   * _bucket(int(self.packed.max_tf[pq.rows[0]]), PP_BUCKETS)
+                   > (1 << 27) // self.PHRASE_B_BUCKETS[0]]
+        if over_pp:
+            keep_ids = {id(pq) for pq in over_pp}
+            planned = [pq for pq in planned if id(pq) not in keep_ids]
+
+            def run_host_pp(res_list, over=tuple(over_pp)):
+                for pq in over:
+                    d, s = self._host_exact(
+                        pq.rows, pq.query.n_results, is_phrase=True)
+                    res = res_list[pq.qi]
+                    res.set_arrays(d, s)
+                    if pq.query.return_snippets and self.doc_bodies is not None:
+                        for e in res.entries:
+                            e.snippet = self._snippet(pq, e.doc_id)
+
+            pending.append(run_host_pp)
         keyfn = lambda pq: (
             len(pq.rows),  # exact T; phrase adjacency needs true slots
             _bucket(int(self.packed.df[pq.slot_rows[0]]), L_BUCKETS),
@@ -1406,6 +1474,7 @@ class TpuEngine:
         pending = []
         NB = self._n_pad_docs // 128
         C = self.PRUNED_PHRASE_C
+        KV = min(self.PRUNED_PHRASE_KV, C * 128 - 1)
         n_bs = K.n_iters_for(self._max_df)
         n_pos = K.n_iters_for(int(self.packed.max_tf.max(initial=1)))
         eps3 = 3.0 * self.rel_eps
@@ -1415,7 +1484,8 @@ class TpuEngine:
                     PP_BUCKETS),
         )
         for (T, PP), group in self._chunked_groups(
-                planned, keyfn, lanes_of=lambda k: k[1] * C * 128,
+                planned, keyfn,
+                lanes_of=lambda k: max(k[0] * C * 128, k[1] * KV),
                 lane_budget=1 << 27, buckets=self.PHRASE_B_BUCKETS):
             B = _bucket(len(group), self.PHRASE_B_BUCKETS)
             starts = np.zeros((B, T), dtype=np.int32)
@@ -1437,10 +1507,10 @@ class TpuEngine:
                     use[i, t] = 1.0
                     idf32_q[i, t] = np.float32(self.packed.idf64[r])
                     idf64_q[i, t] = self.packed.idf64[r]
-            M = min(C * 128, int(ks.max(initial=1)) + self.margin)
+            M = min(KV, int(ks.max(initial=1)) + self.margin)
             if self.columns == "tc":
                 kern = K.make_pruned_phrase_kernel_tc(
-                    T, NB, C, PP, M, n_bs, n_pos, eps3)
+                    T, NB, C, KV, PP, M, n_bs, n_pos, eps3)
                 out = kern(self.d_dense_tc, self.d_avg32,
                            self.d_dense_blockmax, self.d_postings_doc,
                            self.d_positions, self.d_pos_starts,
@@ -1449,7 +1519,7 @@ class TpuEngine:
                            jnp.asarray(anchor), jnp.asarray(ks))
             else:
                 kern = K.make_pruned_phrase_kernel(
-                    T, NB, C, PP, M, n_bs, n_pos, eps3)
+                    T, NB, C, KV, PP, M, n_bs, n_pos, eps3)
                 out = kern(self.d_dense_sc, self.d_dense_tf,
                            self.d_dense_blockmax, self.d_postings_doc,
                            self.d_positions, self.d_pos_starts,

@@ -916,11 +916,23 @@ def make_pruned_dense_kernel_tc(T: int, NB: int, C: int, M: int,
 
 def _pruned_phrase_body(get_row_f32, blockmax, postings_doc, positions,
                         pos_starts, starts, ends, slots, weights, anchor,
-                        ks, *, T, NB, C, PP, M, n_bs_iters, n_pos_iters,
-                        eps3, tc_mode, idf32=None, avg32=None):
+                        ks, *, T, NB, C, KV, PP, M, n_bs_iters,
+                        n_pos_iters, eps3, tc_mode, idf32=None,
+                        avg32=None):
     """slots/starts/ends/weights/idf32 are in QUERY-TERM order (phrase
     adjacency is order-dependent; no candidate-first permutation).
-    anchor: (B,) int32 — the term whose position bag seeds base lanes."""
+    anchor: (B,) int32 — the term whose position bag seeds base lanes.
+
+    Two-stage pruning: (1) block-max selects C blocks; (2) the C*128
+    candidate lanes COMPACT to the KV highest AND scores before the
+    element-gather-heavy stages (posting-index recovery + position
+    verify) — element gathers run at ~0.1 G/s on this backend, so
+    verifying all C*128 lanes measured ~20s/group; KV<<C*128 cuts that
+    ~C*128/KV. Exactness: the (KV+1)-th candidate score bounds every
+    unverified lane, so the guard flags when max(next_ub, that score)
+    could reach the kept k-th. top_k's index-ascending tie order makes
+    the compacted lanes (score desc, doc asc) — the final top_k over
+    them preserves the tie canon."""
     B = slots.shape[0]
     CL = C * 128
     blk, next_ub = _select_ub_blocks(blockmax, slots, weights,
@@ -940,26 +952,35 @@ def _pruned_phrase_body(get_row_f32, blockmax, postings_doc, positions,
                                      idf32[:, t : t + 1], avg32)
         else:
             score = score + p * weights[:, t : t + 1]
+    score = jnp.where(match, score, NEG_INF)
 
-    # per-term posting index for the candidate lanes: matched lanes are
+    # stage-2 compaction: KV best-scored matched lanes
+    top_cs, top_cl = jax.lax.top_k(score, KV + 1)
+    unseen = top_cs[:, KV]  # best unverified candidate score
+    sel_score = top_cs[:, :KV]  # (B, KV) score desc, doc asc on ties
+    sel_l = top_cl[:, :KV]
+    sel_docs = jnp.take_along_axis(cand_docs, sel_l, axis=1)
+    sel_valid = sel_score > NEG_INF
+
+    # per-term posting index for the compacted lanes: matched lanes are
     # guaranteed present in every term's CSR run (the dense rows are
     # built from those very runs), so lower_bound IS the posting index;
-    # unmatched lanes yield in-range garbage masked out of `ok` below
-    targets = jnp.broadcast_to(cand_docs[:, None, :], (B, T, CL))
+    # invalid lanes yield in-range garbage masked out of `ok` below
+    targets = jnp.broadcast_to(sel_docs[:, None, :], (B, T, KV))
     lo = _binary_search(postings_doc, targets,
                         starts[:, :, None], ends[:, :, None], n_bs_iters)
-    ps = _gather1d(pos_starts, lo.reshape(B, -1)).reshape(B, T, CL)
-    pe = _gather1d(pos_starts, lo.reshape(B, -1) + 1).reshape(B, T, CL)
+    ps = _gather1d(pos_starts, lo.reshape(B, -1)).reshape(B, T, KV)
+    pe = _gather1d(pos_starts, lo.reshape(B, -1) + 1).reshape(B, T, KV)
 
     # adjusted-position verify anchored per query: base y = pos_a - a;
     # term i must hold y + i (the anchor's own check is trivially true
-    # and kept for uniformity). (B, PP, CL) with CL minor — see
+    # and kept for uniformity). (B, PP, KV) with KV minor — see
     # make_phrase_verify_kernel layout note.
     a_idx = anchor.astype(jnp.int32)[:, None, None]
-    ps_a = jnp.take_along_axis(ps, a_idx.repeat(CL, 2), axis=1)[:, 0, :]
-    pe_a = jnp.take_along_axis(pe, a_idx.repeat(CL, 2), axis=1)[:, 0, :]
+    ps_a = jnp.take_along_axis(ps, a_idx.repeat(KV, 2), axis=1)[:, 0, :]
+    pe_a = jnp.take_along_axis(pe, a_idx.repeat(KV, 2), axis=1)[:, 0, :]
     plane = jnp.arange(PP, dtype=jnp.int32)
-    base_idx = ps_a[:, None, :] + plane[None, :, None]  # (B, PP, CL)
+    base_idx = ps_a[:, None, :] + plane[None, :, None]  # (B, PP, KV)
     base_valid = base_idx < pe_a[:, None, :]
     base_y = jnp.where(base_valid, _gather1d(positions, base_idx),
                        INT32_MAX - T) - anchor[:, None, None].astype(jnp.int32)
@@ -970,32 +991,36 @@ def _pruned_phrase_body(get_row_f32, blockmax, postings_doc, positions,
                              pe[:, t, None, :], n_pos_iters)
         phit = _gather1d(positions, plo)
         ok = ok & (plo < pe[:, t, None, :]) & (phit == tgt)
-    n_matches = jnp.sum(ok & match[:, None, :], axis=1)
+    n_matches = jnp.sum(ok & sel_valid[:, None, :], axis=1)
 
-    final = match & (n_matches > 0)
-    score = jnp.where(final, score, NEG_INF)
-    top_score, top_l = jax.lax.top_k(score, M)
-    top_docs = jnp.take_along_axis(cand_docs, top_l, axis=1)
+    final_score = jnp.where(sel_valid & (n_matches > 0), sel_score,
+                            NEG_INF)
+    top_score, top_l = jax.lax.top_k(final_score, M)  # canon preserved
+    top_docs = jnp.take_along_axis(sel_docs, top_l, axis=1)
     top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
+    cand_l = jnp.take_along_axis(sel_l, top_l, axis=1)  # kept lanes in CL
 
-    prune_flag = prune_guard_flag(top_score, next_ub, ks, M=M, eps3=eps3)
+    # guard: unexamined blocks bounded by next_ub; unverified candidate
+    # lanes bounded by the (KV+1)-th score
+    bound = jnp.maximum(next_ub, unseen)
+    prune_flag = prune_guard_flag(top_score, bound, ks, M=M, eps3=eps3)
     sat = jnp.zeros((B,), dtype=jnp.int32)
     tfs = []  # tc mode only; raw callers gather tfs from their tf rows
     if tc_mode:
         for t in range(T):
-            top_i = jnp.take_along_axis(payloads[t], top_l,
+            top_i = jnp.take_along_axis(payloads[t], cand_l,
                                         axis=1).astype(jnp.int32)
             sat = sat | (tc_saturated(top_i, top_docs).astype(jnp.int32)
                          * FLAG_TF_SAT)
             tfs.append(jnp.where(top_docs >= 0, top_i & 0xFF, 0))
-    flags = (boundary_truncated(score, top_score, M).astype(jnp.int32)
+    flags = (boundary_truncated(final_score, top_score, M).astype(jnp.int32)
              | prune_flag | sat)
-    return top_docs, top_l, blk, flags, tfs
+    return top_docs, cand_l, blk, flags, tfs
 
 
 @lru_cache(maxsize=32)
-def make_pruned_phrase_kernel(T: int, NB: int, C: int, PP: int, M: int,
-                              n_bs_iters: int, n_pos_iters: int,
+def make_pruned_phrase_kernel(T: int, NB: int, C: int, KV: int, PP: int,
+                              M: int, n_bs_iters: int, n_pos_iters: int,
                               eps3: float):
     """Raw-column pruned dense phrase scan.
 
@@ -1015,17 +1040,17 @@ def make_pruned_phrase_kernel(T: int, NB: int, C: int, PP: int, M: int,
             rows_idx = slots[:, t : t + 1] * np.int32(NB) + blk
             return jnp.take(sc_rows, rows_idx, axis=0)
 
-        top_docs, top_l, blk, flags, _ = _pruned_phrase_body(
+        top_docs, cand_l, blk, flags, _ = _pruned_phrase_body(
             get_row, blockmax, postings_doc, positions, pos_starts,
             starts, ends, slots, use_score, anchor, ks,
-            T=T, NB=NB, C=C, PP=PP, M=M, n_bs_iters=n_bs_iters,
+            T=T, NB=NB, C=C, KV=KV, PP=PP, M=M, n_bs_iters=n_bs_iters,
             n_pos_iters=n_pos_iters, eps3=eps3, tc_mode=False)
         tfs = []
         for t in range(T):
             rows_idx = slots[:, t : t + 1] * np.int32(NB) + blk
             tf_flat = jnp.take(tf_rows, rows_idx, axis=0).reshape(
                 slots.shape[0], -1)
-            top_tf = jnp.take_along_axis(tf_flat, top_l, axis=1)
+            top_tf = jnp.take_along_axis(tf_flat, cand_l, axis=1)
             tfs.append(jnp.where(top_docs >= 0, top_tf, 0))
         return pack_with_flags(
             top_docs,
@@ -1035,9 +1060,9 @@ def make_pruned_phrase_kernel(T: int, NB: int, C: int, PP: int, M: int,
 
 
 @lru_cache(maxsize=32)
-def make_pruned_phrase_kernel_tc(T: int, NB: int, C: int, PP: int, M: int,
-                                 n_bs_iters: int, n_pos_iters: int,
-                                 eps3: float):
+def make_pruned_phrase_kernel_tc(T: int, NB: int, C: int, KV: int,
+                                 PP: int, M: int, n_bs_iters: int,
+                                 n_pos_iters: int, eps3: float):
     """tc-mode pruned dense phrase scan (see make_pruned_phrase_kernel;
     idf32 (B,T) in QUERY order replaces use_score)."""
 
@@ -1054,7 +1079,7 @@ def make_pruned_phrase_kernel_tc(T: int, NB: int, C: int, PP: int, M: int,
         top_docs, _, _, flags, tfs = _pruned_phrase_body(
             get_row, blockmax, postings_doc, positions, pos_starts,
             starts, ends, slots, weights, anchor, ks,
-            T=T, NB=NB, C=C, PP=PP, M=M, n_bs_iters=n_bs_iters,
+            T=T, NB=NB, C=C, KV=KV, PP=PP, M=M, n_bs_iters=n_bs_iters,
             n_pos_iters=n_pos_iters, eps3=eps3, tc_mode=True,
             idf32=idf32, avg32=avg32)
         return pack_with_flags(
