@@ -75,6 +75,31 @@ class TestFactory:
         r = eng.search(SearchQuery(["t0"], n_results=5))
         assert r.size() > 0
 
+    def test_tpu_url_lazy_doc_store_snippets(self, tmp_path):
+        """The factory wires the chunked doc store LAZILY (LRU chunk
+        pool) — snippets must match an engine holding eager bodies, and
+        the whole store must not be inflated into a list."""
+        from wiser_tpu.engine.device import TpuEngine
+        from wiser_tpu.index.doc_store import (ChunkedDocStoreWriter,
+                                               LazyDocBodies)
+
+        docs = synth_docinfos(60, 20, 12, seed=3)
+        packed, oracle = build_index(docs)
+        d = str(tmp_path / "idx_docs")
+        packed.save(d)
+        w = ChunkedDocStoreWriter(f"{d}/docs")
+        for body in oracle.doc_bodies:
+            w.add(body)
+        w.close()
+        eng = create_search_engine(f"tpu:{d}")
+        assert isinstance(eng.doc_bodies, LazyDocBodies)
+        eager = TpuEngine(packed, doc_bodies=oracle.doc_bodies)
+        q = SearchQuery(["t0", "t1"], n_results=5, return_snippets=True)
+        a = [(e.doc_id, e.doc_score, e.snippet) for e in eng.search(q).entries]
+        b = [(e.doc_id, e.doc_score, e.snippet)
+             for e in eager.search(q).entries]
+        assert a == b and a
+
     def test_unknown_scheme(self):
         with pytest.raises(ValueError):
             create_search_engine("bogus:x")

@@ -183,7 +183,7 @@ class TpuEngine:
     def __init__(
         self,
         packed: PackedIndex,
-        doc_bodies: Optional[List[str]] = None,
+        doc_bodies: Optional[Sequence[str]] = None,
         bloom_enable_factor: Optional[int] = 1,
         margin: int = DEFAULT_MARGIN,
         device_merge: bool = False,
@@ -1390,11 +1390,15 @@ class TpuEngine:
             _bucket(int(self.packed.df[pq.slot_rows[0]]), L_BUCKETS),
             _bucket(int(self.packed.max_tf[pq.rows[0]]), PP_BUCKETS),
         )
-        # phrase verify tensors are (B, PP, L) x T-ish: small B buckets
-        # keep the largest live tensor bounded at mega (L, PP) keys
+        # phrase verify tensors are (B, PP, L) x T-ish (or (B, PP, KV)
+        # plus (B, T, L) match tensors on the compacted path): small B
+        # buckets keep the largest live tensor bounded at mega keys
+        KVp = self.PRUNED_PHRASE_KV
         for (T, L, PP), group in self._chunked_groups(
                 planned, keyfn,
-                lanes_of=lambda k: k[1] * max(k[2], 1),
+                lanes_of=lambda k: (max(4 * k[1], k[2] * KVp)
+                                    if k[1] > KVp
+                                    else k[1] * max(k[2], 1)),
                 lane_budget=1 << 27, buckets=self.PHRASE_B_BUCKETS):
             (starts, ends, use_score, idf32_s, idf64_q, slot_of,
              ks) = self._assemble(group, T, buckets=self.PHRASE_B_BUCKETS)
@@ -1405,6 +1409,34 @@ class TpuEngine:
                       use_score=use_score, idf32_s=idf32_s, slot_of=slot_of,
                       ks=ks, probes_np=probes_np):
                 tc = self.columns == "tc"
+                if L > self.PRUNED_PHRASE_KV:
+                    # fused compact pipeline: one dispatch, and only the
+                    # KV best-scored surviving lanes are position-
+                    # verified (kernels.make_compact_phrase_kernel)
+                    KV = self.PRUNED_PHRASE_KV
+                    M = min(KV, int(ks.max(initial=1)) + self.margin)
+                    n_pos = K.n_iters_for(
+                        int(self.packed.max_tf.max(initial=1)))
+                    eps3 = 3.0 * self.rel_eps
+                    kern = K.make_compact_phrase_kernel(
+                        T, L, KV, PP, M, K.n_iters_for(self._max_df),
+                        n_pos, eps3, mode="tc" if tc else "raw")
+                    probes = tuple(jnp.asarray(p) for p in probes_np)
+                    so = jnp.asarray(slot_of.astype(np.int32))
+                    kd = jnp.asarray(ks)
+                    if tc:
+                        return kern(self.d_postings_doc, self.d_postings_tc,
+                                    self.d_avg32, self.d_positions,
+                                    self.d_pos_starts, jnp.asarray(starts),
+                                    jnp.asarray(ends), jnp.asarray(idf32_s),
+                                    so, kd, self.d_bloom_ends,
+                                    self.d_bloom_begins, *probes)
+                    return kern(self.d_postings_doc, self.d_postings_score,
+                                self.d_postings_tf, self.d_positions,
+                                self.d_pos_starts, jnp.asarray(starts),
+                                jnp.asarray(ends), jnp.asarray(use_score),
+                                so, kd, self.d_bloom_ends,
+                                self.d_bloom_begins, *probes)
                 if tc:
                     match_kern = K.make_match_kernel_tc(
                         T, L, K.n_iters_for(self._max_df))

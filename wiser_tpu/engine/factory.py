@@ -41,11 +41,12 @@ def create_search_engine(url: str):
         bodies = None
         docs_dir = os.path.join(rest, "docs")
         if os.path.isdir(docs_dir):
-            from wiser_tpu.index.doc_store import ChunkedDocStoreReader
+            from wiser_tpu.index.doc_store import (ChunkedDocStoreReader,
+                                                   LazyDocBodies)
 
-            r = ChunkedDocStoreReader(docs_dir)
-            bodies = [r.get(i) for i in range(r.n_docs)]
-            r.close()
+            # on-demand LRU-chunk reads — snippets never inflate the
+            # whole store into RAM (doc_store.h:365 BufferPool analog)
+            bodies = LazyDocBodies(ChunkedDocStoreReader(docs_dir))
         return TpuEngine(packed, doc_bodies=bodies,
                          columns="tc" if scheme == "tpu_tc" else "raw")
     if scheme == "sharded":

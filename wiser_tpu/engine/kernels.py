@@ -319,25 +319,33 @@ def make_match_kernel_tc(T: int, L: int, n_bs_iters: int):
         sat_lane = ((ctc & 0xFF) >= TF_SAT) | jnp.any(
             found & ((hit_tc & 0xFF) >= TF_SAT), axis=1)
 
-        # --- bloom gate (identical to the raw kernel) --------------------
-        C = probe_slot.shape[1]
-        slot_pidx = jnp.take_along_axis(pidx, probe_slot[:, :, None], axis=1)
-        W = bloom_ends.shape[1]
-        rows_e = _gather1d(bloom_ends, slot_pidx.reshape(B, -1)).reshape(B, C, L, W)
-        rows_b = _gather1d(bloom_begins, slot_pidx.reshape(B, -1)).reshape(B, C, L, W)
-        rows = jnp.where(probe_begins[:, :, None, None], rows_b, rows_e)
-        H = probe_word.shape[2]
-        pw = jnp.take_along_axis(
-            rows, jnp.broadcast_to(probe_word[:, :, None, :], (B, C, L, H)), axis=3
-        )
-        bit_ok = (pw & probe_mask[:, :, None, :]) == probe_mask[:, :, None, :]
-        probe_pass = jnp.all(bit_ok, axis=3)  # (B, C, L)
-        probe_pass = probe_pass | ~probe_active[:, :, None]
-        bloom_pass = jnp.all(probe_pass, axis=1)  # (B, L)
-
+        bloom_pass = _bloom_gate(pidx, bloom_ends, bloom_begins,
+                                 probe_slot, probe_begins, probe_word,
+                                 probe_mask, probe_active, B=B, L=L)
         return match, bloom_pass, cdocs, pidx, score, sat_lane
 
     return jax.jit(kernel)
+
+
+def _bloom_gate(pidx, bloom_ends, bloom_begins, probe_slot, probe_begins,
+                probe_word, probe_mask, probe_active, *, B, L):
+    """Chained bi-bloom probes over per-lane posting indices (the
+    IsPossibleToPresent analog, query_processing.h:784-807). Returns
+    (B, L) pass flags; a failing lane definitely has no phrase match."""
+    C = probe_slot.shape[1]
+    slot_pidx = jnp.take_along_axis(pidx, probe_slot[:, :, None], axis=1)
+    W = bloom_ends.shape[1]
+    rows_e = _gather1d(bloom_ends, slot_pidx.reshape(B, -1)).reshape(B, C, L, W)
+    rows_b = _gather1d(bloom_begins, slot_pidx.reshape(B, -1)).reshape(B, C, L, W)
+    rows = jnp.where(probe_begins[:, :, None, None], rows_b, rows_e)
+    H = probe_word.shape[2]
+    pw = jnp.take_along_axis(
+        rows, jnp.broadcast_to(probe_word[:, :, None, :], (B, C, L, H)), axis=3
+    )
+    bit_ok = (pw & probe_mask[:, :, None, :]) == probe_mask[:, :, None, :]
+    probe_pass = jnp.all(bit_ok, axis=3)  # (B, C, L)
+    probe_pass = probe_pass | ~probe_active[:, :, None]
+    return jnp.all(probe_pass, axis=1)  # (B, L)
 
 
 @lru_cache(maxsize=64)
@@ -398,22 +406,9 @@ def make_match_kernel(T: int, L: int, n_bs_iters: int):
         score = cscore * use_score[:, 0:1] + jnp.sum(
             partial * use_score[:, 1:, None], axis=1)
 
-        # --- bloom gate -------------------------------------------------
-        C = probe_slot.shape[1]
-        slot_pidx = jnp.take_along_axis(pidx, probe_slot[:, :, None], axis=1)
-        W = bloom_ends.shape[1]
-        rows_e = _gather1d(bloom_ends, slot_pidx.reshape(B, -1)).reshape(B, C, L, W)
-        rows_b = _gather1d(bloom_begins, slot_pidx.reshape(B, -1)).reshape(B, C, L, W)
-        rows = jnp.where(probe_begins[:, :, None, None], rows_b, rows_e)
-        H = probe_word.shape[2]
-        pw = jnp.take_along_axis(
-            rows, jnp.broadcast_to(probe_word[:, :, None, :], (B, C, L, H)), axis=3
-        )
-        bit_ok = (pw & probe_mask[:, :, None, :]) == probe_mask[:, :, None, :]
-        probe_pass = jnp.all(bit_ok, axis=3)  # (B, C, L)
-        probe_pass = probe_pass | ~probe_active[:, :, None]
-        bloom_pass = jnp.all(probe_pass, axis=1)  # (B, L)
-
+        bloom_pass = _bloom_gate(pidx, bloom_ends, bloom_begins,
+                                 probe_slot, probe_begins, probe_word,
+                                 probe_mask, probe_active, B=B, L=L)
         return match, bloom_pass, cdocs, pidx, score
 
     return jax.jit(kernel)
@@ -569,6 +564,151 @@ def make_select_topk_kernel(T: int, L: int, M: int):
 def n_iters_for(max_len: int) -> int:
     """Binary-search iteration count covering lists up to max_len."""
     return max(1, int(np.ceil(np.log2(max(2, int(max_len) + 1)))))
+
+
+@lru_cache(maxsize=64)
+def make_compact_phrase_kernel(T: int, L: int, KV: int, PP: int, M: int,
+                               n_bs_iters: int, n_pos_iters: int,
+                               eps3: float, mode: str = "raw"):
+    """Fused list-path phrase pipeline with score compaction — ONE
+    dispatch replacing the match -> verify -> select chain, and the
+    (B, PP, L) position-verify tensors shrink to (B, PP, KV): only the
+    KV best-scored bloom-surviving AND matches are position-verified.
+    Element gathers run at ~0.1 G/s on this backend, so full-width
+    verify dominated mega-L phrase groups.
+
+    Exactness: bloom-failing lanes are proven non-matches (bi-bloom
+    may-contain semantics) and need no bound; the (KV+1)-th surviving
+    score bounds every unverified lane, so FLAG_PRUNE_MISS fires when it
+    could reach the per-query k-th kept phrase score (same proof as the
+    pruned dense guard). top_k's index-ascending tie order keeps the
+    compacted lanes (score desc, doc asc) — the tie canon survives.
+
+    raw: fn(postings_doc, postings_score, postings_tf, positions,
+            pos_starts, starts, ends, use_score, slot_of, ks,
+            bloom_ends, bloom_begins, *probes) -> packed (B, T+2, M).
+    tc:  postings_tc+avg32+idf32 replace score/tf/use_score columns.
+    Verify is anchored on QUERY term 0 (slot_of re-permutes pidx), like
+    make_phrase_verify_kernel."""
+    tc_mode = mode == "tc"
+
+    def body(postings_doc, postings_score, postings_tf, postings_tc,
+             avg32, positions, pos_starts, starts, ends, use_score,
+             idf32, slot_of, ks, bloom_ends, bloom_begins, probe_slot,
+             probe_begins, probe_word, probe_mask, probe_active):
+        B = starts.shape[0]
+        if tc_mode:
+            cdocs, ctc, cvalid, cs = _candidates(
+                postings_doc, postings_tc, starts, ends, L)
+            ctc = ctc.astype(jnp.int32)
+            cscore = tc_score(ctc, idf32[:, 0:1], avg32)
+        else:
+            cdocs, cscore, cvalid, cs = _candidates(
+                postings_doc, postings_score, starts, ends, L)
+        lane = jnp.arange(L, dtype=jnp.int32)
+        cpidx = cs[:, None] + lane[None, :]
+
+        Tr = T - 1
+        targets = jnp.broadcast_to(cdocs[:, None, :], (B, Tr, L))
+        lo = _binary_search(postings_doc, targets, starts[:, 1:, None],
+                            ends[:, 1:, None], n_bs_iters)
+        hit = _gather1d(postings_doc, lo)
+        found = (lo < ends[:, 1:, None]) & (hit == targets)
+        match = jnp.all(found, axis=1) & cvalid
+        pidx = jnp.concatenate([cpidx[:, None, :], lo], axis=1)  # (B,T,L)
+        if tc_mode:
+            hit_tc = _gather1d(postings_tc, lo).astype(jnp.int32)
+            score = cscore + jnp.sum(
+                jnp.where(found,
+                          tc_score(hit_tc, idf32[:, 1:, None], avg32), 0.0),
+                axis=1)
+            sat_lane = ((ctc & 0xFF) >= TF_SAT) | jnp.any(
+                found & ((hit_tc & 0xFF) >= TF_SAT), axis=1)
+        else:
+            partial = jnp.where(found, _gather1d(postings_score, lo), 0.0)
+            score = cscore * use_score[:, 0:1] + jnp.sum(
+                partial * use_score[:, 1:, None], axis=1)
+            sat_lane = None
+        bloom_pass = _bloom_gate(pidx, bloom_ends, bloom_begins,
+                                 probe_slot, probe_begins, probe_word,
+                                 probe_mask, probe_active, B=B, L=L)
+
+        # compaction: KV best-scored surviving lanes
+        active = match & bloom_pass
+        mscore = jnp.where(active, score, NEG_INF)
+        top_cs, top_cl = jax.lax.top_k(mscore, KV + 1)
+        unseen = top_cs[:, KV]  # bounds every unverified lane
+        sel_score = top_cs[:, :KV]  # score desc, doc asc on ties
+        sel_l = top_cl[:, :KV]
+        sel_docs = jnp.take_along_axis(cdocs, sel_l, axis=1)
+        sel_pidx = jnp.take_along_axis(
+            pidx, sel_l[:, None, :].repeat(T, 1), axis=2)  # (B, T, KV)
+        sel_valid = sel_score > NEG_INF
+
+        # adjusted-position verify in query-term order over KV lanes
+        pidx_q = jnp.take_along_axis(
+            sel_pidx, slot_of[:, :, None].astype(jnp.int32).repeat(KV, 2),
+            axis=1)
+        ps = _gather1d(pos_starts, pidx_q.reshape(B, -1)).reshape(B, T, KV)
+        pe = _gather1d(pos_starts,
+                       pidx_q.reshape(B, -1) + 1).reshape(B, T, KV)
+        plane = jnp.arange(PP, dtype=jnp.int32)
+        base_idx = ps[:, 0, None, :] + plane[None, :, None]  # (B, PP, KV)
+        base_valid = base_idx < pe[:, 0, None, :]
+        base_pos = jnp.where(base_valid, _gather1d(positions, base_idx),
+                             INT32_MAX - T)
+        ok = base_valid
+        for t in range(1, T):
+            tgt = base_pos + t
+            plo = _binary_search(positions, tgt, ps[:, t, None, :],
+                                 pe[:, t, None, :], n_pos_iters)
+            phit = _gather1d(positions, plo)
+            ok = ok & (plo < pe[:, t, None, :]) & (phit == tgt)
+        n_matches = jnp.sum(ok & sel_valid[:, None, :], axis=1)
+
+        final_score = jnp.where(sel_valid & (n_matches > 0), sel_score,
+                                NEG_INF)
+        top_score, top_l = jax.lax.top_k(final_score, M)
+        top_docs = jnp.take_along_axis(sel_docs, top_l, axis=1)
+        top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
+        top_pidx = jnp.take_along_axis(
+            sel_pidx, top_l[:, None, :].repeat(T, 1), axis=2)
+        flags = (boundary_truncated(final_score, top_score, M)
+                 .astype(jnp.int32)
+                 | prune_guard_flag(top_score, unseen, ks, M=M, eps3=eps3))
+        if tc_mode:
+            top_tc = _gather1d(postings_tc, top_pidx).astype(jnp.int32)
+            top_tfs = jnp.where(top_docs[:, None, :] >= 0, top_tc & 0xFF, 0)
+            top_sat = jnp.take_along_axis(
+                jnp.take_along_axis(sat_lane, sel_l, axis=1), top_l, axis=1)
+            sat = jnp.any(top_sat & (top_docs >= 0), axis=1)
+            flags = flags | sat.astype(jnp.int32) * FLAG_TF_SAT
+        else:
+            top_tfs = jnp.where(top_docs[:, None, :] >= 0,
+                                _gather1d(postings_tf, top_pidx), 0)
+        return pack_with_flags(top_docs, top_tfs, flags)
+
+    if tc_mode:
+        def kernel(postings_doc, postings_tc, avg32, positions, pos_starts,
+                   starts, ends, idf32, slot_of, ks, bloom_ends,
+                   bloom_begins, probe_slot, probe_begins, probe_word,
+                   probe_mask, probe_active):
+            return body(postings_doc, None, None, postings_tc, avg32,
+                        positions, pos_starts, starts, ends, None, idf32,
+                        slot_of, ks, bloom_ends, bloom_begins, probe_slot,
+                        probe_begins, probe_word, probe_mask, probe_active)
+    else:
+        def kernel(postings_doc, postings_score, postings_tf, positions,
+                   pos_starts, starts, ends, use_score, slot_of, ks,
+                   bloom_ends, bloom_begins, probe_slot, probe_begins,
+                   probe_word, probe_mask, probe_active):
+            return body(postings_doc, postings_score, postings_tf, None,
+                        None, positions, pos_starts, starts, ends,
+                        use_score, None, slot_of, ks, bloom_ends,
+                        bloom_begins, probe_slot, probe_begins, probe_word,
+                        probe_mask, probe_active)
+
+    return jax.jit(kernel)
 
 
 @lru_cache(maxsize=32)

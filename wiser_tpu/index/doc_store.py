@@ -174,3 +174,21 @@ class ChunkedDocStoreReader:
 
     def close(self) -> None:
         self._f.close()
+
+
+class LazyDocBodies:
+    """Sequence view over ChunkedDocStoreReader: bodies decompress on
+    demand through the reader's LRU chunk pool instead of inflating the
+    whole store into RAM at engine load — the BufferPool behavior of the
+    reference's read path (doc_store.h:365). Engines only need
+    `bodies[doc_id]`, so this drops snippet memory from O(corpus) to
+    O(pool)."""
+
+    def __init__(self, reader: ChunkedDocStoreReader):
+        self._r = reader
+
+    def __len__(self) -> int:
+        return self._r.n_docs
+
+    def __getitem__(self, doc_id: int) -> str:
+        return self._r.get(int(doc_id))

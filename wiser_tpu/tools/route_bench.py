@@ -68,6 +68,15 @@ def build_route_sets(packed, engine, n: int, k: int, seed=3):
         sets["single_term_table"] = [
             SearchQuery([packed.terms[x]], n_results=k)
             for x in pick(tail_rows, n)]
+    # the ladder's config-3 device traffic: Zipf-drawn 2-4 term
+    # conjunctions (single-term excluded — it never reaches the device)
+    order = np.argsort(df)[::-1].astype(np.int64)
+    for nt in (2, 3, 4):
+        ranks = np.minimum(rng.zipf(1.25, size=(n, nt)) - 1,
+                           packed.n_terms - 1)
+        sets[f"zipf_t{nt}"] = [
+            SearchQuery([packed.terms[r] for r in rr], n_results=k)
+            for rr in order[ranks]]
     return sets
 
 
@@ -76,11 +85,17 @@ def run_set(engine, queries, batch):
         engine.search_batch(queries[i : i + batch])
     t0 = time.time()
     done = 0
+    n_dispatch = 0
     for i in range(0, len(queries), batch):
-        done += len(engine.search_batch(queries[i : i + batch]))
+        res, pending = engine.submit_batch(queries[i : i + batch])
+        n_dispatch += len(pending)
+        for f in pending:
+            f(res)
+        done += len(res)
     wall = time.time() - t0
     return {"qps": round(done / wall, 1), "wall_s": round(wall, 2),
-            "n": done, "per_query_us": round(1e6 * wall / max(done, 1), 1)}
+            "n": done, "per_query_us": round(1e6 * wall / max(done, 1), 1),
+            "dispatch_groups": n_dispatch}
 
 
 def main(argv=None):
