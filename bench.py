@@ -95,6 +95,9 @@ def main():
     engine = TpuEngine(packed, columns=COLUMNS)
     log(f"columns={COLUMNS}; device bytes: {engine.device_bytes()}")
     queries = aol_mixed_queries(packed, N_QUERIES)
+    uniq = len({(tuple(q.terms), q.n_results) for q in queries})
+    log(f"{len(queries)} queries, {uniq} unique (batch request "
+        f"coalescing executes repeats once)")
 
     # warmup / compile: run the whole workload once so every shape bucket
     # is compiled before timing (steady-state serving behavior)

@@ -1394,9 +1394,12 @@ class TpuEngine:
         # plus (B, T, L) match tensors on the compacted path): small B
         # buckets keep the largest live tensor bounded at mega keys
         KVp = self.PRUNED_PHRASE_KV
+        # compact-path live tensors: ~(T + bloom W + bs temps) L-wide
+        # int32 planes at once — budget ~10 L-lanes per query (B=1024 at
+        # L=32768 compiled to a 19.4G HBM program and OOMed)
         for (T, L, PP), group in self._chunked_groups(
                 planned, keyfn,
-                lanes_of=lambda k: (max(4 * k[1], k[2] * KVp)
+                lanes_of=lambda k: (max(10 * k[1], k[2] * KVp)
                                     if k[1] > KVp
                                     else k[1] * max(k[2], 1)),
                 lane_budget=1 << 27, buckets=self.PHRASE_B_BUCKETS):
