@@ -103,6 +103,33 @@ def test_dense_disabled_matches(corpus):
     assert_same(oracle.search(q), eng.search(q))
 
 
+def test_mixed_semidense_bs_others(corpus, monkeypatch):
+    """Queries mixing dense others with small non-dense others route
+    through the mixed semi-dense kernel (n_bs > 0) and stay bit-exact —
+    the reference-scale fix for the full-column bs kernel's serial
+    gathers."""
+    import wiser_tpu.engine.kernels as K
+
+    _, oracle, engine = corpus
+    called = []
+    name = ("make_semidense_kernel_tc" if engine.columns == "tc"
+            else "make_semidense_kernel")
+    orig = getattr(K, name)
+
+    def spy(*a, **kw):
+        called.append(a)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(K, name, spy)
+    # r5/r9 are tail (bs others), h0/h1 dense: cand is the smaller tail
+    for terms in (["r5", "r9", "h0"], ["h0", "r5", "h1", "r9"],
+                  ["r3", "h2", "r7"]):
+        q = SearchQuery(terms, n_results=10)
+        assert_same(oracle.search(q), engine.search(q), f"mixed {terms}")
+    assert any(a[4] > 0 for a in called), \
+        f"some group must carry n_bs > 0 slots: {called}"
+
+
 def test_semidense_tail_cand_head_others(corpus, monkeypatch):
     """Tail candidate + all-dense others routes through the semi-dense
     kernel and stays bit-exact."""

@@ -659,17 +659,20 @@ class TpuEngine:
         # would silently scan only the first L postings) are ALWAYS routed
         # to the exact host path — including single-term ones.
         saturated = cand_df.astype(np.int64) > int(lb[-1])
-        # tail-candidate x all-dense-others -> semi-dense kernel (one
-        # doc-indexed gather per lane instead of log2(df) probes); beats
-        # both the bs kernel and the host merge whenever the big sides
-        # are head terms
+        # tail-candidate x (dense + small-bs) others -> mixed semi-dense
+        # kernel: dense others cost one doc-indexed gather per lane, the
+        # remaining small (< dense_min) others a short-span binary search
+        # — ANY dense other qualifies. This replaces the full-column bs
+        # kernel (measured ~190ms/query at T=3, L=32768, 1M docs: 20
+        # serial dependent gathers across multi-MB runs) and the host
+        # merge for every multi-term query touching a head term.
         semi = np.zeros(len(qi_arr), dtype=bool)
         if self._dense_H:
             slot_dense = self._dense_slot[rows_pad] >= 0
             idxs = np.arange(rows_pad.shape[1], dtype=np.int32)[None, :]
-            others_dense = np.all(
-                slot_dense | ~valid | (idxs == cand[:, None]), axis=1)
-            semi = (n_terms > 1) & others_dense & ~windowed & ~saturated
+            any_dense_other = np.any(
+                slot_dense & valid & (idxs != cand[:, None]), axis=1)
+            semi = (n_terms > 1) & any_dense_other & ~windowed & ~saturated
             if semi.any():
                 sm = np.nonzero(semi)[0]
                 pending += self._submit_semidense(
@@ -795,8 +798,9 @@ class TpuEngine:
     # the PRUNED kernel's biggest live tensors are the (B, T, C*128)
     # candidate payloads — lane-budgeted chunks go much wider, cutting
     # the ~30ms-RTT dispatch count ~8x (at 1M docs, 60% of the two-term
-    # workload routes here)
-    PRUNED_DENSE_B_BUCKETS = [8, 128, 1024]
+    # workload routes here; T=3 all-head at chunk 128 measured 42ms/group
+    # = pure dispatch RTT, 32 groups per 4k queries)
+    PRUNED_DENSE_B_BUCKETS = [8, 128, 512, 1024]
 
     def _submit_dense(self, dm, qi_arr, flat_rows, rows_pad, n_terms, ks,
                       queries, results):
@@ -889,13 +893,28 @@ class TpuEngine:
 
     def _submit_semidense(self, sm, qi_arr, flat_rows, n_terms, cand, ks,
                           Lval, queries, results):
-        """Tail-candidate x all-dense-others via the semi-dense kernel."""
+        """Tail-candidate x (dense + small-bs) others via the mixed
+        semi-dense kernel. Slot layout: 0 = candidate, 1..n_bs =
+        non-dense others (short-span binary search), rest = dense
+        others; padded slots repeat the first dense slot with idf 0."""
         pending = []
         groups: Dict[tuple, list] = {}
+        bs_df_max: Dict[tuple, int] = {}
         for i in sm:
+            rows = flat_rows[i]
+            cslot = int(cand[i])
+            bs_rows = [r for t, r in enumerate(rows)
+                       if t != cslot and self._dense_slot[r] < 0]
             T = int(_bucket(int(n_terms[i]), T_BUCKETS))
-            groups.setdefault((T, int(Lval[i])), []).append(int(i))
-        for (T, L), members in groups.items():
+            key = (T, int(Lval[i]), len(bs_rows))
+            groups.setdefault(key, []).append(int(i))
+            if bs_rows:
+                mx = max(int(self.packed.df[r]) for r in bs_rows)
+                bs_df_max[key] = max(bs_df_max.get(key, 0), mx)
+        for (T, L, NBs), members in groups.items():
+            # quantize the bs depth to L buckets so shapes stay few
+            n_it = K.n_iters_for(_bucket(bs_df_max.get((T, L, NBs), 1),
+                                         L_BUCKETS)) if NBs else 0
             # (B, L) gather tensors per non-candidate slot: cap the chunk
             chunk = B_BUCKETS[0]
             fit = (1 << 27) // max((T - 1) * L, 1)
@@ -916,33 +935,41 @@ class TpuEngine:
                 for bi, i in enumerate(m):
                     rows = flat_rows[i]
                     cslot = int(cand[i])
-                    order = [cslot] + [t for t in range(len(rows))
-                                       if t != cslot]
+                    others = [t for t in range(len(rows)) if t != cslot]
+                    bs_t = [t for t in others
+                            if self._dense_slot[rows[t]] < 0]
+                    dn_t = [t for t in others
+                            if self._dense_slot[rows[t]] >= 0]
+                    order = [cslot] + bs_t + dn_t
                     ks_g[bi] = ks[i]
+                    first_dense = 1 + len(bs_t)
                     for slot, t in enumerate(order):
                         r = rows[t]
-                        if slot == 0:
-                            starts[bi, 0] = self._starts32[r]
-                            ends[bi, 0] = self._starts32[r] + self._df32[r]
+                        if slot < first_dense:  # candidate + bs others
+                            starts[bi, slot] = self._starts32[r]
+                            ends[bi, slot] = (self._starts32[r]
+                                              + self._df32[r])
                         else:
                             slots[bi, slot] = self._dense_slot[r]
                         use[bi, slot] = 1.0
                         idf32_s[bi, slot] = np.float32(self.packed.idf64[r])
                         slot_of[bi, t] = slot
                     for slot in range(len(order), T):  # padded slots
-                        slots[bi, slot] = slots[bi, 1] if T > 1 else 0
+                        slots[bi, slot] = slots[bi, first_dense]
                     for t, r in enumerate(rows):
                         idf64_q[bi, t] = self.packed.idf64[r]
                 M = min(L, int(ks_g.max(initial=1)) + self.margin)
                 if self.columns == "tc":
                     kern = K.make_semidense_kernel_tc(
-                        T, L, M, self._n_pad_docs)
+                        T, L, M, self._n_pad_docs, NBs, n_it)
                     out = kern(self.d_postings_doc, self.d_postings_tc,
                                self.d_avg32, self.d_dense_tc,
                                jnp.asarray(starts), jnp.asarray(ends),
                                jnp.asarray(idf32_s), jnp.asarray(slots))
                 else:
-                    kern = K.make_semidense_kernel(T, L, M, self._n_pad_docs)
+                    kern = K.make_semidense_kernel(T, L, M,
+                                                   self._n_pad_docs,
+                                                   NBs, n_it)
                     out = kern(self.d_postings_doc, self.d_postings_score,
                                self.d_postings_tf, self.d_dense_sc,
                                self.d_dense_tf, jnp.asarray(starts),
@@ -1064,7 +1091,8 @@ class TpuEngine:
                                         mode=mode)
         out = kern(*make_args())
 
-        def finalize(res_list):
+        # _shape default: submit-site attribution for profiling probes
+        def finalize(res_list, _shape=(T, L, L2, len(members))):
             def run(first=[True]):
                 nonlocal out
                 if not first[0]:

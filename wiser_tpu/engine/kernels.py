@@ -712,10 +712,13 @@ def make_compact_phrase_kernel(T: int, L: int, KV: int, PP: int, M: int,
 
 
 @lru_cache(maxsize=32)
-def make_semidense_kernel_tc(T: int, L: int, M: int, N_pad: int):
+def make_semidense_kernel_tc(T: int, L: int, M: int, N_pad: int,
+                             n_bs: int = 0, n_bs_iters: int = 0):
     """tc-mode variant of make_semidense_kernel: dense head rows are a
     (H, N_pad) uint16 tc plane (4x the head-term capacity per byte of
-    HBM budget); scores reconstructed via tc_score."""
+    HBM budget); scores reconstructed via tc_score. Slots 1..n_bs are
+    non-dense others resolved by small-span binary search (see the raw
+    variant's note)."""
 
     def kernel(postings_doc, postings_tc, avg32, dense_tc,
                starts, ends, idf32, slots):
@@ -731,7 +734,20 @@ def make_semidense_kernel_tc(T: int, L: int, M: int, N_pad: int):
         match = cvalid
         score = cscore
         lanes_tc = []
-        for t in range(1, T):
+        if n_bs:
+            targets = jnp.broadcast_to(cdocs[:, None, :], (B, n_bs, L))
+            lo = _binary_search(postings_doc, targets,
+                                starts[:, 1 : 1 + n_bs, None],
+                                ends[:, 1 : 1 + n_bs, None], n_bs_iters)
+            hit = _gather1d(postings_doc, lo)
+            found = (lo < ends[:, 1 : 1 + n_bs, None]) & (hit == targets)
+            match = match & jnp.all(found, axis=1)
+            hit_tc = _gather1d(postings_tc, lo).astype(jnp.int32)
+            score = score + jnp.sum(
+                jnp.where(found,
+                          tc_score(hit_tc, idf32[:, 1 : 1 + n_bs, None],
+                                   avg32), 0.0), axis=1)
+        for t in range(1 + n_bs, T):
             idx = slots[:, t : t + 1].astype(jnp.int32) * np.int32(N_pad) \
                 + doc_idx
             p_tc = _gather1d(tc_flat, idx).astype(jnp.int32)  # (B, L)
@@ -745,8 +761,14 @@ def make_semidense_kernel_tc(T: int, L: int, M: int, N_pad: int):
         top_ctc = jnp.take_along_axis(ctc, top_l, axis=1)
         sat = tc_saturated(top_ctc, top_docs)
         tfs = [jnp.where(top_docs >= 0, top_ctc & 0xFF, 0)[:, None, :]]
-        for t in range(1, T):
-            top_t = jnp.take_along_axis(lanes_tc[t - 1], top_l, axis=1)
+        for t in range(1, 1 + n_bs):
+            top_lo = jnp.take_along_axis(lo[:, t - 1, :], top_l, axis=1)
+            top_t = _gather1d(postings_tc, top_lo).astype(jnp.int32)
+            sat = sat | tc_saturated(top_t, top_docs)
+            tfs.append(jnp.where(top_docs >= 0, top_t & 0xFF, 0)[:, None, :])
+        for t in range(1 + n_bs, T):
+            top_t = jnp.take_along_axis(lanes_tc[t - 1 - n_bs], top_l,
+                                        axis=1)
             sat = sat | tc_saturated(top_t, top_docs)
             tfs.append(jnp.where(top_docs >= 0, top_t & 0xFF, 0)[:, None, :])
         flags = (boundary_truncated(score, top_score, M).astype(jnp.int32)
@@ -791,19 +813,25 @@ def make_dense_search_kernel_tc(T: int, N_pad: int, M: int):
 
 
 @lru_cache(maxsize=32)
-def make_semidense_kernel(T: int, L: int, M: int, N_pad: int):
-    """Tail-candidate x all-head-others conjunctions: the candidate list
-    loads contiguously as usual, but every NON-candidate slot is a head
-    term with a dense (N_pad,) score row — membership+score per lane is
+def make_semidense_kernel(T: int, L: int, M: int, N_pad: int,
+                          n_bs: int = 0, n_bs_iters: int = 0):
+    """Tail-candidate x head-others conjunctions: the candidate list
+    loads contiguously as usual; every DENSE non-candidate slot is a
+    head term with a (N_pad,) score row — membership+score per lane is
     ONE doc-indexed gather (ascending cdocs -> near-sequential access)
-    instead of log2(df) binary-search probes. This replaces both the
-    binary-search kernel (20 probes/lane at reference scale) and the
-    host merge for ratio>4 pairs whose big side is dense.
+    instead of log2(df) binary-search probes. Slots 1..n_bs are
+    NON-dense others resolved by binary search over their (small, <
+    dense_min) CSR runs — short spans keep those gathers cache-local,
+    unlike the full-column searches that made the plain bs kernel
+    ~190ms/query at (T=3, L=32768) on the 1M corpus. This replaces the
+    bs kernel and the host merge for every multi-term query with at
+    least one dense term.
 
     fn(postings_doc, postings_score, postings_tf, dense_sc (H, N_pad),
        dense_tf (H, N_pad), starts (B,T), ends (B,T), use_score (B,T),
-       slots (B,T) dense rows for slots 1.. ; slot 0 ignored)
-      -> packed (B, T+2, M).
+       slots (B,T) dense rows for slots 1+n_bs.. ; slots 0..n_bs ignored)
+      -> packed (B, T+2, M). Slot layout: 0 = candidate, 1..n_bs = bs
+    others (CSR bounds in starts/ends), n_bs+1.. = dense others.
     """
 
     def kernel(postings_doc, postings_score, postings_tf, dense_sc,
@@ -820,12 +848,21 @@ def make_semidense_kernel(T: int, L: int, M: int, N_pad: int):
         doc_idx = jnp.clip(cdocs, 0, np.int32(N_pad - 1))
         match = cvalid
         score = cscore * use_score[:, 0:1]
-        partials = []
-        for t in range(1, T):
+        if n_bs:
+            targets = jnp.broadcast_to(cdocs[:, None, :], (B, n_bs, L))
+            lo = _binary_search(postings_doc, targets,
+                                starts[:, 1 : 1 + n_bs, None],
+                                ends[:, 1 : 1 + n_bs, None], n_bs_iters)
+            hit = _gather1d(postings_doc, lo)
+            found = (lo < ends[:, 1 : 1 + n_bs, None]) & (hit == targets)
+            match = match & jnp.all(found, axis=1)
+            partial = jnp.where(found, _gather1d(postings_score, lo), 0.0)
+            score = score + jnp.sum(
+                partial * use_score[:, 1 : 1 + n_bs, None], axis=1)
+        for t in range(1 + n_bs, T):
             idx = slots[:, t : t + 1].astype(jnp.int32) * np.int32(N_pad) \
                 + doc_idx
             p = _gather1d(sc_flat, idx)  # (B, L)
-            partials.append(p)
             match = match & (p > 0)
             score = score + p * use_score[:, t : t + 1]
         score = jnp.where(match, score, NEG_INF)
@@ -835,7 +872,12 @@ def make_semidense_kernel(T: int, L: int, M: int, N_pad: int):
         top_cpidx = jnp.take_along_axis(cpidx, top_l, axis=1)
         cand_tf = jnp.where(top_docs >= 0, _gather1d(postings_tf, top_cpidx), 0)
         tfs = [cand_tf[:, None, :]]
-        for t in range(1, T):
+        for t in range(1, 1 + n_bs):
+            top_lo = jnp.take_along_axis(lo[:, t - 1, :], top_l, axis=1)
+            tfs.append(jnp.where(top_docs >= 0,
+                                 _gather1d(postings_tf, top_lo),
+                                 0)[:, None, :])
+        for t in range(1 + n_bs, T):
             idx = slots[:, t : t + 1].astype(jnp.int32) * np.int32(N_pad) \
                 + jnp.maximum(top_docs, 0)
             tfs.append(jnp.where(top_docs >= 0,

@@ -77,6 +77,27 @@ def build_route_sets(packed, engine, n: int, k: int, seed=3):
         sets[f"zipf_t{nt}"] = [
             SearchQuery([packed.terms[r] for r in rr], n_results=k)
             for rr in order[ranks]]
+    # T=3 decomposition: which tier makes multi-term queries slow?
+    if len(head) >= 3:
+        picks = [pick(head, n) for _ in range(3)]
+        sets["dense_t3"] = [
+            SearchQuery([packed.terms[x], packed.terms[y], packed.terms[z]],
+                        n_results=k)
+            for x, y, z in zip(*picks) if len({x, y, z}) == 3]
+    if len(head) >= 2 and len(tail_rows) >= 1:
+        a = pick(tail_rows, n)
+        b, c = pick(head, n), pick(head, n)
+        sets["semidense_t3"] = [
+            SearchQuery([packed.terms[x], packed.terms[y], packed.terms[z]],
+                        n_results=k)
+            for x, y, z in zip(a, b, c) if y != z]
+    if len(windowed_rows) >= 1 and len(head) >= 2:
+        a = pick(windowed_rows, n)
+        b, c = pick(head, n), pick(head, n)
+        sets["midcand_x_2head_t3"] = [
+            SearchQuery([packed.terms[x], packed.terms[y], packed.terms[z]],
+                        n_results=k)
+            for x, y, z in zip(a, b, c) if y != z]
     return sets
 
 
