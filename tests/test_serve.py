@@ -63,6 +63,30 @@ class TestUnary:
         assert not reply.ok  # packed engine is immutable, like Vacuum
 
 
+class TestBatchSearch:
+    def test_batched_transport_matches_local(self, served_engine, stub):
+        """N queries per wire message (SearchRequestBatch); replies come
+        back per-batch in order and match the local engine."""
+        oracle, _ = served_engine
+
+        def gen():
+            b = pb.SearchRequestBatch()
+            for terms in (["t0"], ["t1", "t2"], ["zzz"], ["t3"]):
+                b.requests.append(pb.SearchRequest(terms=terms, n_results=5))
+            yield b
+            b2 = pb.SearchRequestBatch()
+            b2.requests.append(pb.SearchRequest(terms=["t2"], n_results=3))
+            yield b2
+
+        batches = list(stub.BatchSearch(gen()))
+        assert [len(b.replies) for b in batches] == [4, 1]
+        for terms, reply in zip((["t0"], ["t1", "t2"], ["zzz"], ["t3"]),
+                                batches[0].replies):
+            local = oracle.search(SearchQuery(list(terms), n_results=5))
+            assert [(e.doc_id, e.doc_score) for e in reply.entries] == \
+                   [(e.doc_id, e.doc_score) for e in local.entries], terms
+
+
 class TestStreaming:
     def test_streaming_roundtrips(self, served_engine, stub):
         oracle, _ = served_engine

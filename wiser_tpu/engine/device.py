@@ -191,6 +191,7 @@ class TpuEngine:
         dense_budget_bytes: int = 2 << 30,
         strict_parity: bool = False,
         columns: str = "raw",
+        coarse_buckets: bool = False,
     ):
         # device_merge: route mega-pair queries through the Pallas
         # staircase merge (ops/merge.py) instead of the host merge.
@@ -211,6 +212,19 @@ class TpuEngine:
             raise ValueError("device_merge requires columns='raw' "
                              "(the Pallas merge reads score/tf rows)")
         self.columns = columns
+        # coarse_buckets: merge small L buckets and odd T buckets so a
+        # batch spans FEWER shape groups. Every group dispatch AND fetch
+        # pays ~30ms tunnel RTT, so groups-per-batch bounds closed-loop
+        # serving (measured ~2s cycle over ~35 groups on the 20k corpus
+        # = 90-150 QPS regardless of batch width). Padding lanes/slots
+        # are sentinel-masked, so results are identical; cost is wasted
+        # lanes on small lists (cheap) and one extra bs slot for T=3.
+        if coarse_buckets:
+            self._lb = [2048, 8192, 32768, 131072, 524288, 2097152]
+            self._tb = [1, 2, 4, 8]
+        else:
+            self._lb = list(L_BUCKETS)
+            self._tb = list(T_BUCKETS)
         if packed.n_postings >= 2**31 or len(packed.positions) >= 2**31:
             raise ValueError("index too large for int32 device addressing")
         self.packed = packed
@@ -238,7 +252,7 @@ class TpuEngine:
         # (SURVEY.md §5: "no retries, no replication").
         # slack must cover both the largest candidate dynamic_slice AND the
         # staircase-merge chunk DMA overreach (CHUNK_ROWS rows past a run)
-        pad = _bucket(int(packed.df.max(initial=1)), L_BUCKETS) + 4096
+        pad = _bucket(int(packed.df.max(initial=1)), self._lb) + 4096
         self._h_doc = np.pad(packed.postings_doc, (0, pad),
                              constant_values=K.INT32_MAX).astype(np.int32)
         if columns == "tc":
@@ -614,7 +628,7 @@ class TpuEngine:
         cand = np.argmin(dfs_m, axis=1).astype(np.int32)
         cand_df = np.take_along_axis(dfs_m, cand[:, None], 1)[:, 0]
 
-        lb = np.asarray(L_BUCKETS, dtype=np.int64)
+        lb = np.asarray(self._lb, dtype=np.int64)
         L_idx = np.minimum(np.searchsorted(lb, cand_df), len(lb) - 1)
         l2 = np.max(np.where(valid, dfs, 0), axis=1)
         L2_idx = np.minimum(np.searchsorted(lb, l2), len(lb) - 1)
@@ -623,7 +637,7 @@ class TpuEngine:
         windowed = ((n_terms > 1) & (Lval >= self.WINDOWED_MIN_L)
                     & (Lval <= self.WINDOWED_MAX_L)
                     & (L2val // Lval <= self.WINDOWED_MAX_RATIO))
-        tb = np.asarray(T_BUCKETS, dtype=np.int64)
+        tb = np.asarray(self._tb, dtype=np.int64)
         T_idx = np.minimum(np.searchsorted(tb, n_terms), len(tb) - 1)
 
         pending = []
@@ -811,7 +825,7 @@ class TpuEngine:
                              self.PRUNED_DENSE_C + 1)
         groups: Dict[int, list] = {}
         for i in dm:
-            groups.setdefault(int(_bucket(int(n_terms[i]), T_BUCKETS)),
+            groups.setdefault(int(_bucket(int(n_terms[i]), self._tb)),
                               []).append(int(i))
         for T, members in groups.items():
             if pruned:
@@ -905,7 +919,7 @@ class TpuEngine:
             cslot = int(cand[i])
             bs_rows = [r for t, r in enumerate(rows)
                        if t != cslot and self._dense_slot[r] < 0]
-            T = int(_bucket(int(n_terms[i]), T_BUCKETS))
+            T = int(_bucket(int(n_terms[i]), self._tb))
             key = (T, int(Lval[i]), len(bs_rows))
             groups.setdefault(key, []).append(int(i))
             if bs_rows:
@@ -914,7 +928,7 @@ class TpuEngine:
         for (T, L, NBs), members in groups.items():
             # quantize the bs depth to L buckets so shapes stay few
             n_it = K.n_iters_for(_bucket(bs_df_max.get((T, L, NBs), 1),
-                                         L_BUCKETS)) if NBs else 0
+                                         self._lb)) if NBs else 0
             # (B, L) gather tensors per non-candidate slot: cap the chunk
             chunk = B_BUCKETS[0]
             fit = (1 << 27) // max((T - 1) * L, 1)
@@ -1263,11 +1277,11 @@ class TpuEngine:
     HOST_MERGE_MIN_L = 131072
 
     def _flat_key(self, pq: _PlannedQuery):
-        T = _bucket(len(pq.rows), T_BUCKETS)
-        L = _bucket(int(self.packed.df[pq.slot_rows[0]]), L_BUCKETS)
+        T = _bucket(len(pq.rows), self._tb)
+        L = _bucket(int(self.packed.df[pq.slot_rows[0]]), self._lb)
         if T == 1:
             return (T, L, 0, 0)
-        l2 = _bucket(max(int(self.packed.df[r]) for r in pq.slot_rows), L_BUCKETS)
+        l2 = _bucket(max(int(self.packed.df[r]) for r in pq.slot_rows), self._lb)
         windowed = (self.WINDOWED_MIN_L <= L <= self.WINDOWED_MAX_L
                     and l2 // L <= self.WINDOWED_MAX_RATIO)
         # note: keying on per-group search depth was tried and splits
@@ -1280,7 +1294,7 @@ class TpuEngine:
         the largest L bucket — the kernels would silently scan only the
         first L candidates). They run exactly on host instead."""
         if max_l is None:
-            max_l = L_BUCKETS[-1]
+            max_l = self._lb[-1]
         keep: List[_PlannedQuery] = []
         over: List[_PlannedQuery] = []
         for pq in planned:
@@ -1388,14 +1402,14 @@ class TpuEngine:
                     planned = rest
         planned, sat_pending = self._route_saturated(
             planned, is_phrase=True,
-            max_l=min(self.PHRASE_MAX_L, L_BUCKETS[-1]))
+            max_l=min(self.PHRASE_MAX_L, self._lb[-1]))
         pending += sat_pending
         # (L, PP) keys whose verify tensor exceeds the lane budget even
         # at the smallest B bucket (8) would OOM / hang the remote
         # compiler (observed: L=32768 x PP=2048 = 537M lanes at B=8).
         # The exact host path is the memory-safe route for these.
         over_pp = [pq for pq in planned
-                   if _bucket(int(self.packed.df[pq.slot_rows[0]]), L_BUCKETS)
+                   if _bucket(int(self.packed.df[pq.slot_rows[0]]), self._lb)
                    * _bucket(int(self.packed.max_tf[pq.rows[0]]), PP_BUCKETS)
                    > (1 << 27) // self.PHRASE_B_BUCKETS[0]]
         if over_pp:
@@ -1415,7 +1429,7 @@ class TpuEngine:
             pending.append(run_host_pp)
         keyfn = lambda pq: (
             len(pq.rows),  # exact T; phrase adjacency needs true slots
-            _bucket(int(self.packed.df[pq.slot_rows[0]]), L_BUCKETS),
+            _bucket(int(self.packed.df[pq.slot_rows[0]]), self._lb),
             _bucket(int(self.packed.max_tf[pq.rows[0]]), PP_BUCKETS),
         )
         # phrase verify tensors are (B, PP, L) x T-ish (or (B, PP, KV)

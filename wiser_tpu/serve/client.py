@@ -37,12 +37,14 @@ class Client:
 
     def __init__(self, target: str, producer: QueryProducer,
                  n_threads: int = 8, streaming: bool = True,
-                 duration_s: float = 10.0, n_channels: int = 4):
+                 duration_s: float = 10.0, n_channels: int = 4,
+                 wire_batch: int = 1):
         self.target = target
         self.producer = producer
         self.n_threads = n_threads
         self.streaming = streaming
         self.duration_s = duration_s
+        self.wire_batch = wire_batch
         self.channels = [grpc.insecure_channel(target) for _ in range(n_channels)]
         self.hists = [Histogram() for _ in range(n_threads)]
         self.counts = [0] * n_threads
@@ -51,7 +53,30 @@ class Client:
     def _thread_fn(self, tid: int) -> None:
         stub = WiserEngineStub(self.channels[tid % len(self.channels)])
         hist = self.hists[tid]
-        if self.streaming:
+        if self.wire_batch > 1:
+            # batched transport (wiser.proto SearchRequestBatch): one
+            # message per N queries — the CPython-side cost is per
+            # MESSAGE, so the closed loop measures the wire batch as one
+            # roundtrip and counts N queries against it
+            W = self.wire_batch
+
+            def gen():
+                while not self._stop.is_set():
+                    b = pb.SearchRequestBatch()
+                    for _ in range(W):
+                        b.requests.append(
+                            request_from_query(self.producer.next_query(tid)))
+                    yield b
+
+            t0 = time.monotonic_ns()
+            for reply in stub.BatchSearch(gen()):
+                t1 = time.monotonic_ns()
+                hist.add(t1 - t0)
+                self.counts[tid] += len(reply.replies)
+                t0 = t1
+                if self._stop.is_set():
+                    break
+        elif self.streaming:
             reqs_done = threading.Event()
 
             def gen():
@@ -98,13 +123,13 @@ class Client:
 
 
 def _proc_worker(target, queries, n_threads, streaming, duration,
-                 n_channels, out_q) -> None:
+                 n_channels, out_q, wire_batch=1) -> None:
     """One load-generating process (forked): runs a threaded Client and
     ships mergeable histogram state back over the queue."""
     producer = QueryProducer(queries, n_threads)
     client = Client(target, producer, n_threads=n_threads,
                     streaming=streaming, duration_s=duration,
-                    n_channels=n_channels)
+                    n_channels=n_channels, wire_batch=wire_batch)
     stats = client.run()
     h = stats["histogram"]
     out_q.put((stats["total"], stats["wall_s"],
@@ -112,7 +137,7 @@ def _proc_worker(target, queries, n_threads, streaming, duration,
 
 
 def run_multiprocess(target, queries, n_procs, n_threads, streaming,
-                     duration, n_channels) -> dict:
+                     duration, n_channels, wire_batch: int = 1) -> dict:
     """Closed-loop load from n_procs forked processes x n_threads streams.
 
     The reference client runs 128 C++ threads (grpc_client_impl.h:393-399);
@@ -125,7 +150,8 @@ def run_multiprocess(target, queries, n_procs, n_threads, streaming,
     out_q = ctx.Queue()
     procs = [ctx.Process(target=_proc_worker,
                          args=(target, queries, n_threads, streaming,
-                               duration, n_channels, out_q), daemon=True)
+                               duration, n_channels, out_q, wire_batch),
+                         daemon=True)
              for _ in range(n_procs)]
     t0 = time.time()
     for p in procs:
@@ -160,18 +186,23 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--duration", type=float, default=10.0)
     ap.add_argument("--n-results", type=int, default=10)
     ap.add_argument("--unary", action="store_true")
+    ap.add_argument("--wire-batch", type=int, default=1,
+                    help="queries per wire message (BatchSearch); 1 = "
+                         "per-query streaming like the reference client")
     args = ap.parse_args(argv)
 
     queries = QueryLogReader(args.query_log).read_all(n_results=args.n_results)
     if args.n_procs > 1:
         stats = run_multiprocess(
             args.target, queries, args.n_procs, args.n_threads,
-            not args.unary, args.duration, args.n_channels)
+            not args.unary, args.duration, args.n_channels,
+            wire_batch=args.wire_batch)
     else:
         producer = QueryProducer(queries, args.n_threads)
         client = Client(args.target, producer, n_threads=args.n_threads,
                         streaming=not args.unary, duration_s=args.duration,
-                        n_channels=args.n_channels)
+                        n_channels=args.n_channels,
+                        wire_batch=args.wire_batch)
         stats = client.run()
     print(f"QPS\t{stats['qps']:.1f}")
     print(f"total\t{stats['total']}")

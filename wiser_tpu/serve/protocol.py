@@ -25,6 +25,11 @@ def add_service(server: grpc.Server, servicer) -> None:
             request_deserializer=pb.SearchRequest.FromString,
             response_serializer=pb.SearchReply.SerializeToString,
         ),
+        "BatchSearch": grpc.stream_stream_rpc_method_handler(
+            servicer.BatchSearch,
+            request_deserializer=pb.SearchRequestBatch.FromString,
+            response_serializer=pb.SearchReplyBatch.SerializeToString,
+        ),
         "UnarySearch": grpc.unary_unary_rpc_method_handler(
             servicer.UnarySearch,
             request_deserializer=pb.SearchRequest.FromString,
@@ -54,6 +59,11 @@ class WiserEngineStub:
             f"/{SERVICE}/StreamingSearch",
             request_serializer=pb.SearchRequest.SerializeToString,
             response_deserializer=pb.SearchReply.FromString,
+        )
+        self.BatchSearch = channel.stream_stream(
+            f"/{SERVICE}/BatchSearch",
+            request_serializer=pb.SearchRequestBatch.SerializeToString,
+            response_deserializer=pb.SearchReplyBatch.FromString,
         )
         self.UnarySearch = channel.unary_unary(
             f"/{SERVICE}/UnarySearch",

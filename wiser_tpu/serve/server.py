@@ -45,6 +45,17 @@ class BatchingExecutor:
         self._q.put((query, fut))
         return fut.result(timeout=timeout)
 
+    def search_many(self, queries: List[SearchQuery],
+                    timeout: float = 120.0) -> List[SearchResult]:
+        """Enqueue a whole wire batch at once; the dispatcher still
+        coalesces across streams through the shared queue."""
+        futs = []
+        for q in queries:
+            fut: futures.Future = futures.Future()
+            self._q.put((q, fut))
+            futs.append(fut)
+        return [f.result(timeout=timeout) for f in futs]
+
     def _drain(self) -> List[tuple]:
         items = []
         try:
@@ -127,6 +138,21 @@ class WiserServicer:
         for request in request_iterator:
             q = protocol.query_from_request(request)
             yield protocol.reply_from_result(self.executor.search(q))
+
+    def BatchSearch(self, request_iterator, context):
+        # N queries per wire message (see wiser.proto note): one
+        # serialize/deserialize round amortizes over the whole batch
+        for batch in request_iterator:
+            queries = [protocol.query_from_request(r)
+                       for r in batch.requests]
+            results = self.executor.search_many(queries)
+            out = pb.SearchReplyBatch()
+            for res in results:
+                reply = out.replies.add()
+                for e in res.entries:
+                    reply.entries.add(doc_id=e.doc_id, snippet=e.snippet,
+                                      doc_score=e.doc_score)
+            yield out
 
     def AddDocument(self, request, context):
         # The packed engine is immutable after load (the index IS the
@@ -218,6 +244,9 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--n-threads", type=int, default=512,
                     help="in-flight request cap (see create_server note)")
     ap.add_argument("--columns", default="raw", choices=["raw", "tc"])
+    ap.add_argument("--coarse-buckets", action="store_true",
+                    help="merge shape buckets so batches span fewer "
+                         "dispatch groups (closed-loop latency lever)")
     ap.add_argument("--max-batch", type=int, default=4096)
     ap.add_argument("--max-wait-ms", type=float, default=2.0)
     ap.add_argument("--warmup", action="store_true",
@@ -251,13 +280,16 @@ def main(argv: Optional[List[str]] = None) -> None:
             from wiser_tpu.engine.device import TpuEngine
             from wiser_tpu.index.builder import pack_oracle
 
-            engine = TpuEngine(pack_oracle(oracle), doc_bodies=oracle.doc_bodies)
+            engine = TpuEngine(pack_oracle(oracle),
+                               doc_bodies=oracle.doc_bodies,
+                               coarse_buckets=args.coarse_buckets)
     else:
         from wiser_tpu.engine.device import TpuEngine
         from wiser_tpu.index.format import PackedIndex
 
         engine = TpuEngine(PackedIndex.load(args.index),
-                           columns=args.columns)
+                           columns=args.columns,
+                           coarse_buckets=args.coarse_buckets)
 
     if args.warmup_log:
         from wiser_tpu.bench.query_pool import QueryLogReader

@@ -46,6 +46,9 @@ def main(argv=None):
     ap.add_argument("--duration", type=float, default=15.0)
     ap.add_argument("--warmup-log", default=None)
     ap.add_argument("--columns", default="raw", choices=["raw", "tc"])
+    ap.add_argument("--coarse-buckets", action="store_true")
+    ap.add_argument("--wire-batch", type=int, default=1,
+                    help="queries per wire message (see serve.client)")
     args = ap.parse_args(argv)
 
     proc = None
@@ -58,6 +61,8 @@ def main(argv=None):
                "--columns", args.columns,
                "--n-threads", str(max(args.n_procs * args.n_threads * 2, 64)),
                "--max-wait-ms", "20"]
+        if args.coarse_buckets:
+            cmd += ["--coarse-buckets"]
         if args.warmup_log or args.query_log:
             cmd += ["--warmup-log", args.warmup_log or args.query_log]
         proc = subprocess.Popen(cmd, stderr=subprocess.DEVNULL)
@@ -73,10 +78,12 @@ def main(argv=None):
         queries = QueryLogReader(args.query_log).read_all(n_results=10)
         if args.n_procs > 1:
             stats = run_multiprocess(target, queries, args.n_procs,
-                                     args.n_threads, True, args.duration, 4)
+                                     args.n_threads, True, args.duration, 4,
+                                     wire_batch=args.wire_batch)
         else:
             client = Client(target, QueryProducer(queries, args.n_threads),
-                            n_threads=args.n_threads, duration_s=args.duration)
+                            n_threads=args.n_threads, duration_s=args.duration,
+                            wire_batch=args.wire_batch)
             stats = client.run()
         h = stats.pop("histogram")
         stats["latency_us"] = {f"p{p}": round(h.percentile(p) / 1e3, 1)
