@@ -861,40 +861,53 @@ class TpuEngine:
                         self._n_pad_docs)
                 NB = NBLK
                 C = self.PRUNED_DENSE_C
-                if pruned:
-                    # block-max pruned scan: ~NB/C less lane work; any
-                    # query the guard can't prove exact is flagged to
-                    # the memoized host path (_flags_to_force bit 3).
-                    # Guard slop 3*rel_eps (see kernels module note).
-                    eps3 = 3.0 * self.rel_eps
-                    kd = jnp.asarray(ks_g)
-                    if self.columns == "tc":
-                        kern = K.make_pruned_dense_kernel_tc(T, NB, C, M,
-                                                             eps3)
-                        out = kern(self.d_dense_tc, self.d_avg32,
-                                   self.d_dense_blockmax,
-                                   jnp.asarray(slots), jnp.asarray(idf32_g),
-                                   kd)
-                    else:
-                        kern = K.make_pruned_dense_kernel(T, NB, C, M, eps3)
-                        out = kern(self.d_dense_sc, self.d_dense_tf,
-                                   self.d_dense_blockmax,
-                                   jnp.asarray(slots), jnp.asarray(use), kd)
-                elif self.columns == "tc":
-                    kern = K.make_dense_search_kernel_tc(
-                        T, self._n_pad_docs, M)
-                    out = kern(self.d_dense_tc, self.d_avg32,
-                               jnp.asarray(slots), jnp.asarray(idf32_g))
-                else:
-                    kern = K.make_dense_search_kernel(T, self._n_pad_docs, M)
-                    out = kern(self.d_dense_sc, self.d_dense_tf,
-                               jnp.asarray(slots), jnp.asarray(use))
 
-                def finalize(res_list, out=out, T=T, m=m, slot_of=slot_of,
+                def dispatch(T=T, M=M, slots=slots, idf32_g=idf32_g,
+                             use=use, ks_g=ks_g):
+                    if pruned:
+                        # block-max pruned scan: ~NB/C less lane work;
+                        # any query the guard can't prove exact is
+                        # flagged to the memoized host path
+                        # (_flags_to_force bit 3). Guard slop 3*rel_eps
+                        # (see kernels module note).
+                        eps3 = 3.0 * self.rel_eps
+                        kd = jnp.asarray(ks_g)
+                        if self.columns == "tc":
+                            kern = K.make_pruned_dense_kernel_tc(
+                                T, NB, C, M, eps3)
+                            return kern(self.d_dense_tc, self.d_avg32,
+                                        self.d_dense_blockmax,
+                                        jnp.asarray(slots),
+                                        jnp.asarray(idf32_g), kd)
+                        kern = K.make_pruned_dense_kernel(T, NB, C, M, eps3)
+                        return kern(self.d_dense_sc, self.d_dense_tf,
+                                    self.d_dense_blockmax,
+                                    jnp.asarray(slots), jnp.asarray(use),
+                                    kd)
+                    if self.columns == "tc":
+                        kern = K.make_dense_search_kernel_tc(
+                            T, self._n_pad_docs, M)
+                        return kern(self.d_dense_tc, self.d_avg32,
+                                    jnp.asarray(slots),
+                                    jnp.asarray(idf32_g))
+                    kern = K.make_dense_search_kernel(T, self._n_pad_docs, M)
+                    return kern(self.d_dense_sc, self.d_dense_tf,
+                                jnp.asarray(slots), jnp.asarray(use))
+
+                holder = [dispatch()]
+
+                def finalize(res_list, holder=holder, dispatch=dispatch,
+                             T=T, m=m, slot_of=slot_of,
                              idf64_q=idf64_q, ks_g=ks_g, qi_arr=qi_arr,
                              flat_rows=flat_rows, queries=queries):
+                    def run(first=[True]):
+                        if not first[0]:  # re-dispatch after device loss
+                            holder[0] = dispatch()
+                        first[0] = False
+                        return np.asarray(holder[0])
+
                     n = len(m)
-                    packed_out = np.asarray(out)[:n]
+                    packed_out = self._run_with_recovery(run)[:n]
                     qis = np.asarray([qi_arr[i] for i in m], dtype=np.int64)
                     self._finalize_arrays(
                         packed_out[:, 0, :], packed_out[:, 1 : T + 1, :],
@@ -902,6 +915,7 @@ class TpuEngine:
                         np.asarray(m), queries, res_list,
                         force_host=self._flags_to_force(packed_out[:, T + 1, 0]))
 
+                finalize.out = holder[0]
                 pending.append(finalize)
         return pending
 
@@ -973,28 +987,41 @@ class TpuEngine:
                     for t, r in enumerate(rows):
                         idf64_q[bi, t] = self.packed.idf64[r]
                 M = min(L, int(ks_g.max(initial=1)) + self.margin)
-                if self.columns == "tc":
-                    kern = K.make_semidense_kernel_tc(
-                        T, L, M, self._n_pad_docs, NBs, n_it)
-                    out = kern(self.d_postings_doc, self.d_postings_tc,
-                               self.d_avg32, self.d_dense_tc,
-                               jnp.asarray(starts), jnp.asarray(ends),
-                               jnp.asarray(idf32_s), jnp.asarray(slots))
-                else:
+
+                def dispatch(T=T, L=L, M=M, NBs=NBs, n_it=n_it,
+                             starts=starts, ends=ends, use=use,
+                             idf32_s=idf32_s, slots=slots):
+                    if self.columns == "tc":
+                        kern = K.make_semidense_kernel_tc(
+                            T, L, M, self._n_pad_docs, NBs, n_it)
+                        return kern(self.d_postings_doc, self.d_postings_tc,
+                                    self.d_avg32, self.d_dense_tc,
+                                    jnp.asarray(starts), jnp.asarray(ends),
+                                    jnp.asarray(idf32_s),
+                                    jnp.asarray(slots))
                     kern = K.make_semidense_kernel(T, L, M,
                                                    self._n_pad_docs,
                                                    NBs, n_it)
-                    out = kern(self.d_postings_doc, self.d_postings_score,
-                               self.d_postings_tf, self.d_dense_sc,
-                               self.d_dense_tf, jnp.asarray(starts),
-                               jnp.asarray(ends), jnp.asarray(use),
-                               jnp.asarray(slots))
+                    return kern(self.d_postings_doc, self.d_postings_score,
+                                self.d_postings_tf, self.d_dense_sc,
+                                self.d_dense_tf, jnp.asarray(starts),
+                                jnp.asarray(ends), jnp.asarray(use),
+                                jnp.asarray(slots))
 
-                def finalize(res_list, out=out, T=T, m=m, slot_of=slot_of,
+                holder = [dispatch()]
+
+                def finalize(res_list, holder=holder, dispatch=dispatch,
+                             T=T, m=m, slot_of=slot_of,
                              idf64_q=idf64_q, ks_g=ks_g, qi_arr=qi_arr,
                              flat_rows=flat_rows, queries=queries):
+                    def run(first=[True]):
+                        if not first[0]:  # re-dispatch after device loss
+                            holder[0] = dispatch()
+                        first[0] = False
+                        return np.asarray(holder[0])
+
                     n = len(m)
-                    packed_out = np.asarray(out)[:n]
+                    packed_out = self._run_with_recovery(run)[:n]
                     qis = np.asarray([qi_arr[i] for i in m], dtype=np.int64)
                     self._finalize_arrays(
                         packed_out[:, 0, :], packed_out[:, 1 : T + 1, :],
@@ -1003,6 +1030,7 @@ class TpuEngine:
                         force_host=self._flags_to_force(
                             packed_out[:, T + 1, 0]))
 
+                finalize.out = holder[0]
                 pending.append(finalize)
         return pending
 
@@ -1585,37 +1613,48 @@ class TpuEngine:
                     idf32_q[i, t] = np.float32(self.packed.idf64[r])
                     idf64_q[i, t] = self.packed.idf64[r]
             M = min(KV, int(ks.max(initial=1)) + self.margin)
-            if self.columns == "tc":
-                kern = K.make_pruned_phrase_kernel_tc(
-                    T, NB, C, KV, PP, M, n_bs, n_pos, eps3)
-                out = kern(self.d_dense_tc, self.d_avg32,
-                           self.d_dense_blockmax, self.d_postings_doc,
-                           self.d_positions, self.d_pos_starts,
-                           jnp.asarray(starts), jnp.asarray(ends),
-                           jnp.asarray(slots), jnp.asarray(idf32_q),
-                           jnp.asarray(anchor), jnp.asarray(ks))
-            else:
+
+            def dispatch(T=T, PP=PP, M=M, starts=starts, ends=ends,
+                         slots=slots, idf32_q=idf32_q, use=use,
+                         anchor=anchor, ks=ks):
+                if self.columns == "tc":
+                    kern = K.make_pruned_phrase_kernel_tc(
+                        T, NB, C, KV, PP, M, n_bs, n_pos, eps3)
+                    return kern(self.d_dense_tc, self.d_avg32,
+                                self.d_dense_blockmax, self.d_postings_doc,
+                                self.d_positions, self.d_pos_starts,
+                                jnp.asarray(starts), jnp.asarray(ends),
+                                jnp.asarray(slots), jnp.asarray(idf32_q),
+                                jnp.asarray(anchor), jnp.asarray(ks))
                 kern = K.make_pruned_phrase_kernel(
                     T, NB, C, KV, PP, M, n_bs, n_pos, eps3)
-                out = kern(self.d_dense_sc, self.d_dense_tf,
-                           self.d_dense_blockmax, self.d_postings_doc,
-                           self.d_positions, self.d_pos_starts,
-                           jnp.asarray(starts), jnp.asarray(ends),
-                           jnp.asarray(slots), jnp.asarray(use),
-                           jnp.asarray(anchor), jnp.asarray(ks))
+                return kern(self.d_dense_sc, self.d_dense_tf,
+                            self.d_dense_blockmax, self.d_postings_doc,
+                            self.d_positions, self.d_pos_starts,
+                            jnp.asarray(starts), jnp.asarray(ends),
+                            jnp.asarray(slots), jnp.asarray(use),
+                            jnp.asarray(anchor), jnp.asarray(ks))
 
+            holder = [dispatch()]
             # tfs are already in query-term order: identity slot_of
             slot_id = np.tile(np.arange(T, dtype=np.int64), (B, 1))
 
-            def finalize(results, group=group, out=out, T=T,
-                         slot_id=slot_id, idf64_q=idf64_q, ks=ks):
-                packed_out = np.asarray(out)
+            def finalize(results, group=group, holder=holder,
+                         dispatch=dispatch, T=T, slot_id=slot_id,
+                         idf64_q=idf64_q, ks=ks):
+                def run(first=[True]):
+                    if not first[0]:  # re-dispatch after device loss
+                        holder[0] = dispatch()
+                    first[0] = False
+                    return np.asarray(holder[0])
+
+                packed_out = self._run_with_recovery(run)
                 self._finalize_group(
                     group, packed_out[:, 0, :], packed_out[:, 1 : T + 1, :],
                     slot_id, idf64_q, ks, results,
                     force_host=self._flags_to_force(packed_out[:, T + 1, 0]))
 
-            finalize.out = out
+            finalize.out = holder[0]
             pending.append(finalize)
         return pending
 
