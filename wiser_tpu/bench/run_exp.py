@@ -73,7 +73,7 @@ def default_matrix(quick: bool = False) -> List[Treatment]:
 
 
 def memory_matrix(quick: bool = False, n_docs: int = 50_000,
-                  vocab: int = 20_000) -> List[Treatment]:
+                  vocab: int = 20_000, batch: int = 8192) -> List[Treatment]:
     """The memory-cap grid — the reference's core experiment axis
     (run_exp.py:628-696 sweeps cgroup memory limits over a fixed engine +
     workload and reads the QPS curve). Here the cap is the HBM budget of
@@ -88,7 +88,7 @@ def memory_matrix(quick: bool = False, n_docs: int = 50_000,
             name=f"membudget_{frac}", n_docs=n_docs, vocab=vocab,
             workload="aol_mix", engine="staged", hbm_budget_frac=frac,
             n_queries=2048 if quick else 8192,
-            batch=2048 if quick else 8192))
+            batch=2048 if quick else batch))
     return out
 
 
@@ -183,8 +183,11 @@ def main(argv=None):
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--memory", action="store_true",
                     help="run the HBM-budget grid (the cgroup-cap analog)")
+    ap.add_argument("--batch", type=int, default=8192,
+                    help="memory-grid batch width (smaller batches stage "
+                         "less cold scratch per dispatch)")
     args = ap.parse_args(argv)
-    matrix = (memory_matrix(args.quick) if args.memory
+    matrix = (memory_matrix(args.quick, batch=args.batch) if args.memory
               else default_matrix(args.quick))
     with open(args.out, "w") as f:
         for t in matrix:

@@ -294,7 +294,30 @@ class StagedEngine:
                     from wiser_tpu.engine.topk import (
                         rescore_sorted_arrays, truncation_suspects)
 
-                    packed_out = np.asarray(out)
+                    try:
+                        packed_out = np.asarray(out)
+                    except Exception as e:
+                        # the cold tier's scratch columns die with the
+                        # worker (per-batch uploads, not re-provisionable
+                        # like the resident index) — elastic fallback is
+                        # the exact host path for this chunk; the next
+                        # batch re-stages fresh scratch
+                        msg = str(e)
+                        if not ("UNAVAILABLE" in msg or "restarted" in msg
+                                or "DATA_LOSS" in msg or "INTERNAL" in msg):
+                            raise
+                        import sys as _sys
+                        import time as _time
+                        print(f"wiser_tpu: cold-tier device loss "
+                              f"({msg[:60]}...); host fallback for "
+                              f"{n} queries", file=_sys.stderr)
+                        _time.sleep(3.0)
+                        for i in range(n):
+                            d, s = host_exact_search(
+                                self.packed, self.cache64, rows_of[i],
+                                int(ks[i]))
+                            res_list[int(qis[i])].set_arrays(d, s)
+                        return
                     top_docs = packed_out[:, 0, :]
                     tfs_slot = packed_out[:, 1 : T + 1, :]
                     tf_q = np.take_along_axis(
