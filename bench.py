@@ -35,6 +35,7 @@ VOCAB = int(os.environ.get("WISER_BENCH_VOCAB", 20_000))
 MEAN_LEN = int(os.environ.get("WISER_BENCH_MEAN_LEN", 120))
 N_QUERIES = int(os.environ.get("WISER_BENCH_QUERIES", 131_072))
 COLUMNS = os.environ.get("WISER_BENCH_COLUMNS", "raw")  # raw | tc
+COARSE = bool(int(os.environ.get("WISER_BENCH_COARSE", "0")))
 BATCH = 32_768
 K = 10
 
@@ -92,7 +93,7 @@ def main():
     packed = get_index()
     from wiser_tpu.engine.device import TpuEngine
 
-    engine = TpuEngine(packed, columns=COLUMNS)
+    engine = TpuEngine(packed, columns=COLUMNS, coarse_buckets=COARSE)
     log(f"columns={COLUMNS}; device bytes: {engine.device_bytes()}")
     queries = aol_mixed_queries(packed, N_QUERIES)
     uniq = len({(tuple(q.terms), q.n_results) for q in queries})
