@@ -188,7 +188,7 @@ class TpuEngine:
         margin: int = DEFAULT_MARGIN,
         device_merge: bool = False,
         single_term_depth: int = 64,
-        dense_budget_bytes: int = 2 << 30,
+        dense_budget_bytes: int = 7 << 29,  # 3.5 GB
         strict_parity: bool = False,
         columns: str = "raw",
         coarse_buckets: bool = False,
@@ -295,12 +295,14 @@ class TpuEngine:
 
     # -- dense head-term rows --------------------------------------------
 
-    # terms with df >= n_docs/32 get dense rows: the cutover point where
-    # the dense scan's T*N lane-ops beat list intersection, and low enough
-    # that every (cand, other) pair past the windowed kernel's memory
-    # ceiling is all-dense (measured at 1M docs: host-merge fallbacks at
-    # fraction 8 capped two-term throughput at 57 QPS)
-    DENSE_MIN_DF_FRACTION = 32
+    # terms with df >= n_docs/96 get dense rows (budget-capped, largest
+    # df first). The wider tier converts most mixed-kernel bs-others
+    # (mid-df terms) into one-gather dense slots — the bs slots'
+    # n_iters x L element gathers measured ~80ms/query at (T=3,
+    # L=32768) on the 1M corpus even over short spans. Round-1 note:
+    # fraction 8 was too coarse (host-merge fallbacks at 57 QPS);
+    # fraction 32 left a heavy bs tail.
+    DENSE_MIN_DF_FRACTION = 96
     # block-max pruning (kernels.make_pruned_dense_kernel): engage when
     # the doc space exceeds PRUNED_DENSE_MIN_NB 128-doc blocks — below
     # that the plain dense scan is already cheap (measured 5.4k QPS at
