@@ -446,7 +446,13 @@ class TpuEngine:
             self.d_score_rows = self.d_postings_score.reshape(-1, 128)
             self.d_tf_rows = self.d_postings_tf.reshape(-1, 128)
         self.d_pos_starts = jnp.asarray(packed.pos_starts, dtype=jnp.int32)
-        self.d_positions = jnp.asarray(packed.positions, dtype=jnp.int32)
+        # PW trailing -1 pad: the window verify dynamic-slices PW-wide
+        # bags anywhere in the column; -1 never equals a target >= 0
+        if not hasattr(self, "_h_positions"):
+            self._h_positions = np.concatenate([
+                np.asarray(packed.positions, dtype=np.int32),
+                np.full(self.POS_PAD, -1, dtype=np.int32)])
+        self.d_positions = jnp.asarray(self._h_positions)
         if getattr(self, "_dense_H", 0):
             if self.columns == "tc":
                 self.d_dense_tc = jnp.asarray(self._h_dense_tc_rows)
@@ -1401,12 +1407,14 @@ class TpuEngine:
     PHRASE_B_BUCKETS = [8, 32, 128, 1024, 4096]
     # pruned dense phrase route (kernels.make_pruned_phrase_kernel):
     # C blocks examined, compacted to the KV best AND scores before the
-    # element-gather stages (posting-index recovery + position verify);
-    # anchor position bags past MAX_PP would blow the (B, PP, KV) verify
-    # tensor — such queries go host instead
+    # posting-index recovery + window position verify. PW (every term's
+    # bag bound) past MAX_PW would blow the dense (PP x PW)-per-lane
+    # compare — such queries go host instead.
     PRUNED_PHRASE_C = 256
     PRUNED_PHRASE_KV = 1024
-    PRUNED_PHRASE_MAX_PP = 512
+    PRUNED_PHRASE_MAX_PP = 128
+    PHRASE_MAX_PW = 128
+    POS_PAD = 1024  # trailing -1 pad on the positions column
 
     def _submit_phrase(self, planned: List[_PlannedQuery]):
         pending = []
@@ -1425,7 +1433,10 @@ class TpuEngine:
                           and all(self._dense_slot[r] >= 0 for r in pq.rows)
                           and min(int(self.packed.max_tf[r])
                                   for r in pq.rows)
-                          <= self.PRUNED_PHRASE_MAX_PP)
+                          <= self.PRUNED_PHRASE_MAX_PP
+                          and max(int(self.packed.max_tf[r])
+                                  for r in pq.rows)
+                          <= self.PHRASE_MAX_PW)
                     (pruned if ok else rest).append(pq)
                 if pruned:
                     pending += self._submit_pruned_phrase(pruned)
@@ -1436,12 +1447,19 @@ class TpuEngine:
         pending += sat_pending
         # (L, PP) keys whose verify tensor exceeds the lane budget even
         # at the smallest B bucket (8) would OOM / hang the remote
-        # compiler (observed: L=32768 x PP=2048 = 537M lanes at B=8).
-        # The exact host path is the memory-safe route for these.
-        over_pp = [pq for pq in planned
-                   if _bucket(int(self.packed.df[pq.slot_rows[0]]), self._lb)
-                   * _bucket(int(self.packed.max_tf[pq.rows[0]]), PP_BUCKETS)
-                   > (1 << 27) // self.PHRASE_B_BUCKETS[0]]
+        # compiler (observed: L=32768 x PP=2048 = 537M lanes at B=8),
+        # and compact-path groups need every term's bag within the
+        # window bound. The exact host path is the memory-safe route.
+        KVp = self.PRUNED_PHRASE_KV
+        over_pp = [
+            pq for pq in planned
+            if (_bucket(int(self.packed.df[pq.slot_rows[0]]), self._lb)
+                * _bucket(int(self.packed.max_tf[pq.rows[0]]), PP_BUCKETS)
+                > (1 << 27) // self.PHRASE_B_BUCKETS[0])
+            or (_bucket(int(self.packed.df[pq.slot_rows[0]]), self._lb)
+                > KVp
+                and max(int(self.packed.max_tf[r]) for r in pq.rows)
+                > self.PHRASE_MAX_PW)]
         if over_pp:
             keep_ids = {id(pq) for pq in over_pp}
             planned = [pq for pq in planned if id(pq) not in keep_ids]
@@ -1461,17 +1479,19 @@ class TpuEngine:
             len(pq.rows),  # exact T; phrase adjacency needs true slots
             _bucket(int(self.packed.df[pq.slot_rows[0]]), self._lb),
             _bucket(int(self.packed.max_tf[pq.rows[0]]), PP_BUCKETS),
+            _bucket(max(int(self.packed.max_tf[r]) for r in pq.rows),
+                    PP_BUCKETS),  # PW: every term's bag (window verify)
         )
-        # phrase verify tensors are (B, PP, L) x T-ish (or (B, PP, KV)
-        # plus (B, T, L) match tensors on the compacted path): small B
-        # buckets keep the largest live tensor bounded at mega keys
-        KVp = self.PRUNED_PHRASE_KV
-        # compact-path live tensors: ~(T + bloom W + bs temps) L-wide
-        # int32 planes at once — budget ~10 L-lanes per query (B=1024 at
-        # L=32768 compiled to a 19.4G HBM program and OOMed)
-        for (T, L, PP), group in self._chunked_groups(
+        # phrase verify tensors are (B, PP, L) x T-ish (or (B, KV, PP,
+        # PW) compares plus (B, T, L) match tensors on the compacted
+        # path): small B buckets keep the largest live tensor bounded.
+        # compact-path match stage keeps ~(T + bloom W + bs temps)
+        # L-wide int32 planes live — budget ~10 L-lanes per query
+        # (B=1024 at L=32768 compiled to a 19.4G HBM program and OOMed)
+        for (T, L, PP, PW), group in self._chunked_groups(
                 planned, keyfn,
-                lanes_of=lambda k: (max(10 * k[1], k[2] * KVp)
+                lanes_of=lambda k: (max(10 * k[1], k[0] * KVp * k[3],
+                                        KVp * k[2] * k[3] // 4)
                                     if k[1] > KVp
                                     else k[1] * max(k[2], 1)),
                 lane_budget=1 << 27, buckets=self.PHRASE_B_BUCKETS):
@@ -1480,7 +1500,7 @@ class TpuEngine:
             B = starts.shape[0]
             probes_np = self._assemble_bloom_probes(group, T, B)
 
-            def chain(T=T, L=L, PP=PP, starts=starts, ends=ends,
+            def chain(T=T, L=L, PP=PP, PW=PW, starts=starts, ends=ends,
                       use_score=use_score, idf32_s=idf32_s, slot_of=slot_of,
                       ks=ks, probes_np=probes_np):
                 tc = self.columns == "tc"
@@ -1490,12 +1510,10 @@ class TpuEngine:
                     # verified (kernels.make_compact_phrase_kernel)
                     KV = self.PRUNED_PHRASE_KV
                     M = min(KV, int(ks.max(initial=1)) + self.margin)
-                    n_pos = K.n_iters_for(
-                        int(self.packed.max_tf.max(initial=1)))
                     eps3 = 3.0 * self.rel_eps
                     kern = K.make_compact_phrase_kernel(
-                        T, L, KV, PP, M, K.n_iters_for(self._max_df),
-                        n_pos, eps3, mode="tc" if tc else "raw")
+                        T, L, KV, PP, PW, M, K.n_iters_for(self._max_df),
+                        eps3, mode="tc" if tc else "raw")
                     probes = tuple(jnp.asarray(p) for p in probes_np)
                     so = jnp.asarray(slot_of.astype(np.int32))
                     kd = jnp.asarray(ks)
@@ -1583,16 +1601,19 @@ class TpuEngine:
         C = self.PRUNED_PHRASE_C
         KV = min(self.PRUNED_PHRASE_KV, C * 128 - 1)
         n_bs = K.n_iters_for(self._max_df)
-        n_pos = K.n_iters_for(int(self.packed.max_tf.max(initial=1)))
         eps3 = 3.0 * self.rel_eps
         keyfn = lambda pq: (
             len(pq.rows),  # exact T
             _bucket(min(int(self.packed.max_tf[r]) for r in pq.rows),
-                    PP_BUCKETS),
+                    PP_BUCKETS),  # anchor bag bound (base lanes)
+            _bucket(max(int(self.packed.max_tf[r]) for r in pq.rows),
+                    PP_BUCKETS),  # every term's bag bound (PW windows)
         )
-        for (T, PP), group in self._chunked_groups(
+        for (T, PP, PW), group in self._chunked_groups(
                 planned, keyfn,
-                lanes_of=lambda k: max(k[0] * C * 128, k[1] * KV),
+                lanes_of=lambda k: max(k[0] * C * 128,
+                                       k[0] * KV * k[2],
+                                       KV * k[1] * k[2] // 4),
                 lane_budget=1 << 27, buckets=self.PHRASE_B_BUCKETS):
             B = _bucket(len(group), self.PHRASE_B_BUCKETS)
             starts = np.zeros((B, T), dtype=np.int32)
@@ -1616,12 +1637,12 @@ class TpuEngine:
                     idf64_q[i, t] = self.packed.idf64[r]
             M = min(KV, int(ks.max(initial=1)) + self.margin)
 
-            def dispatch(T=T, PP=PP, M=M, starts=starts, ends=ends,
+            def dispatch(T=T, PP=PP, PW=PW, M=M, starts=starts, ends=ends,
                          slots=slots, idf32_q=idf32_q, use=use,
                          anchor=anchor, ks=ks):
                 if self.columns == "tc":
                     kern = K.make_pruned_phrase_kernel_tc(
-                        T, NB, C, KV, PP, M, n_bs, n_pos, eps3)
+                        T, NB, C, KV, PP, PW, M, n_bs, eps3)
                     return kern(self.d_dense_tc, self.d_avg32,
                                 self.d_dense_blockmax, self.d_postings_doc,
                                 self.d_positions, self.d_pos_starts,
@@ -1629,7 +1650,7 @@ class TpuEngine:
                                 jnp.asarray(slots), jnp.asarray(idf32_q),
                                 jnp.asarray(anchor), jnp.asarray(ks))
                 kern = K.make_pruned_phrase_kernel(
-                    T, NB, C, KV, PP, M, n_bs, n_pos, eps3)
+                    T, NB, C, KV, PP, PW, M, n_bs, eps3)
                 return kern(self.d_dense_sc, self.d_dense_tf,
                             self.d_dense_blockmax, self.d_postings_doc,
                             self.d_positions, self.d_pos_starts,

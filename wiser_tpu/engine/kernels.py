@@ -567,8 +567,8 @@ def n_iters_for(max_len: int) -> int:
 
 
 @lru_cache(maxsize=64)
-def make_compact_phrase_kernel(T: int, L: int, KV: int, PP: int, M: int,
-                               n_bs_iters: int, n_pos_iters: int,
+def make_compact_phrase_kernel(T: int, L: int, KV: int, PP: int, PW: int,
+                               M: int, n_bs_iters: int,
                                eps3: float, mode: str = "raw"):
     """Fused list-path phrase pipeline with score compaction — ONE
     dispatch replacing the match -> verify -> select chain, and the
@@ -645,26 +645,17 @@ def make_compact_phrase_kernel(T: int, L: int, KV: int, PP: int, M: int,
             pidx, sel_l[:, None, :].repeat(T, 1), axis=2)  # (B, T, KV)
         sel_valid = sel_score > NEG_INF
 
-        # adjusted-position verify in query-term order over KV lanes
+        # adjusted-position window verify in query-term order over KV
+        # lanes, anchored on query term 0 (slot_of re-permutes pidx)
         pidx_q = jnp.take_along_axis(
             sel_pidx, slot_of[:, :, None].astype(jnp.int32).repeat(KV, 2),
             axis=1)
         ps = _gather1d(pos_starts, pidx_q.reshape(B, -1)).reshape(B, T, KV)
         pe = _gather1d(pos_starts,
                        pidx_q.reshape(B, -1) + 1).reshape(B, T, KV)
-        plane = jnp.arange(PP, dtype=jnp.int32)
-        base_idx = ps[:, 0, None, :] + plane[None, :, None]  # (B, PP, KV)
-        base_valid = base_idx < pe[:, 0, None, :]
-        base_pos = jnp.where(base_valid, _gather1d(positions, base_idx),
-                             INT32_MAX - T)
-        ok = base_valid
-        for t in range(1, T):
-            tgt = base_pos + t
-            plo = _binary_search(positions, tgt, ps[:, t, None, :],
-                                 pe[:, t, None, :], n_pos_iters)
-            phit = _gather1d(positions, plo)
-            ok = ok & (plo < pe[:, t, None, :]) & (phit == tgt)
-        n_matches = jnp.sum(ok & sel_valid[:, None, :], axis=1)
+        n_matches = _verify_pos_windows(
+            positions, ps, pe, jnp.zeros((B,), dtype=jnp.int32),
+            T=T, NL=KV, PP=PP, PW=PW)
 
         final_score = jnp.where(sel_valid & (n_matches > 0), sel_score,
                                 NEG_INF)
@@ -956,6 +947,46 @@ def _select_ub_blocks(blockmax, slots, weights, *, T, NB, C):
     return blk, next_ub
 
 
+def _verify_pos_windows(positions, ps, pe, anchor, *, T, NL, PP, PW):
+    """Adjusted-position phrase verification with NO element gathers:
+    each (term, lane) position bag loads as ONE contiguous
+    vmap(dynamic_slice) window (the fast load shape on this backend —
+    element gathers run at ~0.1 G elem/s and made verify the dominant
+    phrase cost), then matching is a dense (PP x PW) equality compare
+    per lane on the VPU.
+
+    ps/pe: (B, T, NL) int32 position-bag bounds; anchor: (B,) int32 —
+    base lanes come from the anchor term's window, y = pos - anchor,
+    term i must hold y + i (the anchor's own check is trivially true).
+    PP bounds the ANCHOR bag; PW bounds EVERY term's bag — both are
+    group-keyed buckets >= the true per-term max_tf, so no position is
+    missed (unlike the anchor-only PP of the gather-based verify, the
+    caller must key PW on the max over ALL terms). positions must carry
+    >= PW trailing pad entries of -1 (never equal to a target >= 0).
+
+    Returns (B, NL) int32 phrase-occurrence counts."""
+    B = ps.shape[0]
+    win = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(positions, (s,), (PW,)))(
+        ps.reshape(-1))
+    win = win.reshape(B, T, NL, PW)
+    j = jnp.arange(PW, dtype=jnp.int32)
+    cnt = pe - ps
+    valid = j[None, None, None, :] < cnt[:, :, :, None]  # (B, T, NL, PW)
+    a4 = jnp.broadcast_to(anchor.astype(jnp.int32)[:, None, None, None],
+                          (B, 1, NL, PW))
+    win_a = jnp.take_along_axis(win, a4, axis=1)[:, 0]  # (B, NL, PW)
+    valid_a = jnp.take_along_axis(valid, a4, axis=1)[:, 0]
+    y = win_a[:, :, :PP] - anchor[:, None, None].astype(jnp.int32)
+    ok = valid_a[:, :, :PP]  # (B, NL, PP)
+    for t in range(T):
+        tgt = y + t
+        eq = (tgt[:, :, :, None] == win[:, t][:, :, None, :]) \
+            & valid[:, t][:, :, None, :]
+        ok = ok & jnp.any(eq, axis=3)
+    return jnp.sum(ok, axis=2).astype(jnp.int32)
+
+
 def prune_guard_flag(top_score, next_ub, ks, *, M, eps3):
     """FLAG_PRUNE_MISS word: κ = per-query k-th kept f32 score (NEG_INF
     when fewer than k matches -> any nonzero unexamined ub flags)."""
@@ -1098,9 +1129,8 @@ def make_pruned_dense_kernel_tc(T: int, NB: int, C: int, M: int,
 
 def _pruned_phrase_body(get_row_f32, blockmax, postings_doc, positions,
                         pos_starts, starts, ends, slots, weights, anchor,
-                        ks, *, T, NB, C, KV, PP, M, n_bs_iters,
-                        n_pos_iters, eps3, tc_mode, idf32=None,
-                        avg32=None):
+                        ks, *, T, NB, C, KV, PP, PW, M, n_bs_iters,
+                        eps3, tc_mode, idf32=None, avg32=None):
     """slots/starts/ends/weights/idf32 are in QUERY-TERM order (phrase
     adjacency is order-dependent; no candidate-first permutation).
     anchor: (B,) int32 — the term whose position bag seeds base lanes.
@@ -1153,27 +1183,8 @@ def _pruned_phrase_body(get_row_f32, blockmax, postings_doc, positions,
                         starts[:, :, None], ends[:, :, None], n_bs_iters)
     ps = _gather1d(pos_starts, lo.reshape(B, -1)).reshape(B, T, KV)
     pe = _gather1d(pos_starts, lo.reshape(B, -1) + 1).reshape(B, T, KV)
-
-    # adjusted-position verify anchored per query: base y = pos_a - a;
-    # term i must hold y + i (the anchor's own check is trivially true
-    # and kept for uniformity). (B, PP, KV) with KV minor — see
-    # make_phrase_verify_kernel layout note.
-    a_idx = anchor.astype(jnp.int32)[:, None, None]
-    ps_a = jnp.take_along_axis(ps, a_idx.repeat(KV, 2), axis=1)[:, 0, :]
-    pe_a = jnp.take_along_axis(pe, a_idx.repeat(KV, 2), axis=1)[:, 0, :]
-    plane = jnp.arange(PP, dtype=jnp.int32)
-    base_idx = ps_a[:, None, :] + plane[None, :, None]  # (B, PP, KV)
-    base_valid = base_idx < pe_a[:, None, :]
-    base_y = jnp.where(base_valid, _gather1d(positions, base_idx),
-                       INT32_MAX - T) - anchor[:, None, None].astype(jnp.int32)
-    ok = base_valid
-    for t in range(T):
-        tgt = base_y + t
-        plo = _binary_search(positions, tgt, ps[:, t, None, :],
-                             pe[:, t, None, :], n_pos_iters)
-        phit = _gather1d(positions, plo)
-        ok = ok & (plo < pe[:, t, None, :]) & (phit == tgt)
-    n_matches = jnp.sum(ok & sel_valid[:, None, :], axis=1)
+    n_matches = _verify_pos_windows(positions, ps, pe, anchor,
+                                    T=T, NL=KV, PP=PP, PW=PW)
 
     final_score = jnp.where(sel_valid & (n_matches > 0), sel_score,
                             NEG_INF)
@@ -1202,7 +1213,7 @@ def _pruned_phrase_body(get_row_f32, blockmax, postings_doc, positions,
 
 @lru_cache(maxsize=32)
 def make_pruned_phrase_kernel(T: int, NB: int, C: int, KV: int, PP: int,
-                              M: int, n_bs_iters: int, n_pos_iters: int,
+                              PW: int, M: int, n_bs_iters: int,
                               eps3: float):
     """Raw-column pruned dense phrase scan.
 
@@ -1210,7 +1221,8 @@ def make_pruned_phrase_kernel(T: int, NB: int, C: int, KV: int, PP: int,
        blockmax (H, NB) f32, postings_doc, positions, pos_starts,
        starts (B,T) i32, ends (B,T) i32, slots (B,T) i32,
        use_score (B,T) f32, anchor (B,) i32, ks (B,) i32)
-      -> packed (B, T+2, M) i32. All per-term arrays in QUERY order."""
+      -> packed (B, T+2, M) i32. All per-term arrays in QUERY order.
+    PP bounds the anchor bag, PW every term's bag (window verify)."""
 
     def kernel(dense_sc, dense_tf, blockmax, postings_doc, positions,
                pos_starts, starts, ends, slots, use_score, anchor, ks):
@@ -1225,8 +1237,8 @@ def make_pruned_phrase_kernel(T: int, NB: int, C: int, KV: int, PP: int,
         top_docs, cand_l, blk, flags, _ = _pruned_phrase_body(
             get_row, blockmax, postings_doc, positions, pos_starts,
             starts, ends, slots, use_score, anchor, ks,
-            T=T, NB=NB, C=C, KV=KV, PP=PP, M=M, n_bs_iters=n_bs_iters,
-            n_pos_iters=n_pos_iters, eps3=eps3, tc_mode=False)
+            T=T, NB=NB, C=C, KV=KV, PP=PP, PW=PW, M=M,
+            n_bs_iters=n_bs_iters, eps3=eps3, tc_mode=False)
         tfs = []
         for t in range(T):
             rows_idx = slots[:, t : t + 1] * np.int32(NB) + blk
@@ -1243,8 +1255,8 @@ def make_pruned_phrase_kernel(T: int, NB: int, C: int, KV: int, PP: int,
 
 @lru_cache(maxsize=32)
 def make_pruned_phrase_kernel_tc(T: int, NB: int, C: int, KV: int,
-                                 PP: int, M: int, n_bs_iters: int,
-                                 n_pos_iters: int, eps3: float):
+                                 PP: int, PW: int, M: int,
+                                 n_bs_iters: int, eps3: float):
     """tc-mode pruned dense phrase scan (see make_pruned_phrase_kernel;
     idf32 (B,T) in QUERY order replaces use_score)."""
 
@@ -1261,8 +1273,8 @@ def make_pruned_phrase_kernel_tc(T: int, NB: int, C: int, KV: int,
         top_docs, _, _, flags, tfs = _pruned_phrase_body(
             get_row, blockmax, postings_doc, positions, pos_starts,
             starts, ends, slots, weights, anchor, ks,
-            T=T, NB=NB, C=C, KV=KV, PP=PP, M=M, n_bs_iters=n_bs_iters,
-            n_pos_iters=n_pos_iters, eps3=eps3, tc_mode=True,
+            T=T, NB=NB, C=C, KV=KV, PP=PP, PW=PW, M=M,
+            n_bs_iters=n_bs_iters, eps3=eps3, tc_mode=True,
             idf32=idf32, avg32=avg32)
         return pack_with_flags(
             top_docs,
