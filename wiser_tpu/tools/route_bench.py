@@ -123,6 +123,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
     ap.add_argument("--columns", default="raw", choices=["raw", "tc"])
+    ap.add_argument("--coarse-buckets", action="store_true")
     ap.add_argument("--n-queries", type=int, default=8192)
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--k", type=int, default=10)
@@ -140,7 +141,8 @@ def main(argv=None):
     from wiser_tpu.index.format import PackedIndex
 
     packed = PackedIndex.load(args.index)
-    engine = TpuEngine(packed, columns=args.columns)
+    engine = TpuEngine(packed, columns=args.columns,
+                       coarse_buckets=args.coarse_buckets)
     log(f"engine up; columns={args.columns}; dense_H={engine._dense_H}")
     sets = build_route_sets(packed, engine, args.n_queries, args.k)
     if args.routes:
