@@ -44,7 +44,9 @@ from wiser_tpu.types import SearchQuery, SearchResult, SearchResultEntry
 # sustained 32k-query batches (2026-08-16); this set is the proven-stable
 # compromise.
 L_BUCKETS = [128, 512, 2048, 8192, 32768, 131072, 524288, 2097152]
-B_BUCKETS = [128, 1024, 4096]
+# small buckets matter: a 1-query group padded to B=128 at L=131072
+# burned 2.3s of element gathers on 127 dead rows (measured, 1M corpus)
+B_BUCKETS = [8, 32, 128, 1024, 4096]
 B_CHUNK = 4096
 T_BUCKETS = [1, 2, 3, 4, 8]
 PP_BUCKETS = [8, 32, 128, 512, 2048, 8192]
