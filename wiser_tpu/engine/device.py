@@ -272,6 +272,7 @@ class TpuEngine:
             self._h_score = np.pad(scores64.astype(np.float32), (0, pad))
             self._h_tf = np.pad(packed.postings_tf, (0, pad)).astype(np.int32)
         self._avg32 = np.float32(packed.avg_len)
+        self._build_bloom_sparse()
         self._upload()
 
         self._max_df = int(packed.df.max(initial=1))
@@ -381,6 +382,50 @@ class TpuEngine:
             self.d_dense_tf = jnp.asarray(dense_tf)
         self.d_dense_blockmax = jnp.asarray(self._h_dense_blockmax)
 
+    # Bloom rows are stored on device only for terms with df <= this
+    # ceiling (= PHRASE_MAX_L: higher-df candidates never take the
+    # list-path phrase kernels, and the pruned dense phrase route has no
+    # bloom gate). Probes whose gathered slot's term exceeds it are
+    # host-disabled (probe_active=False -> pass, pruning-only change).
+    # Combined with non-empty-row presence (the reference's BloomBoxWriter
+    # bitmap, flash_containers.h:532-561) and the 1-word fold, device
+    # bloom bytes drop ~24x vs the dense 2x(P,3) layout (measured 1M:
+    # 1.88 GB -> ~0.1 GB) at a slightly higher false-positive rate —
+    # false positives only admit lanes into the position verify, never
+    # change results.
+    BLOOM_DF_CEILING = 32768
+
+    def _build_bloom_sparse(self) -> None:
+        """Host-side sparse folded bloom columns (see kernels._bloom_gate
+        for the device layout). Rebuilt once; uploaded by _upload."""
+        pk = self.packed
+        if pk.bloom_ends is None:
+            self._h_bloom_rows = np.zeros(1, dtype=np.uint32)
+            self._h_bloom_bitmap = np.zeros(2, dtype=np.uint32)
+            self._h_bloom_rank = np.zeros(2, dtype=np.int32)
+            return
+        lens = np.diff(pk.term_starts)
+        term_mask = np.repeat(pk.df <= self.BLOOM_DF_CEILING, lens)
+        rows_parts, bitmap_parts, rank_parts = [], [], []
+        base = 0
+        for rows in (pk.bloom_ends, pk.bloom_begins):
+            fold = rows[:, 0].copy()
+            for w in range(1, rows.shape[1]):
+                np.bitwise_or(fold, rows[:, w], out=fold)
+            stored = (fold != 0) & term_mask
+            rows_parts.append(fold[stored])
+            bitmap_parts.append(
+                np.packbits(stored, bitorder="little").view("<u4"))
+            cnt = stored.reshape(-1, 32).sum(axis=1)
+            rank = np.zeros(len(cnt), dtype=np.int64)
+            np.cumsum(cnt[:-1], out=rank[1:])
+            rank_parts.append((rank + base).astype(np.int32))
+            base += int(stored.sum())
+        self._h_bloom_rows = (np.concatenate(rows_parts) if base
+                              else np.zeros(1, dtype=np.uint32))
+        self._h_bloom_bitmap = np.concatenate(bitmap_parts)
+        self._h_bloom_rank = np.concatenate(rank_parts)
+
     def _build_single_term_table(self, scores64: np.ndarray, depth: int):
         """Impact-ordered per-term top table: a single-term query's top-k
         depends only on the index (score = idf * lossy tfnorm — exactly
@@ -448,12 +493,23 @@ class TpuEngine:
             self.d_score_rows = self.d_postings_score.reshape(-1, 128)
             self.d_tf_rows = self.d_postings_tf.reshape(-1, 128)
         self.d_pos_starts = jnp.asarray(packed.pos_starts, dtype=jnp.int32)
-        # PW trailing -1 pad: the window verify dynamic-slices PW-wide
-        # bags anywhere in the column; -1 never equals a target >= 0
+        # trailing pad: the window verify dynamic-slices PW-wide bags
+        # anywhere in the column, so the tail needs >= PW slack entries
+        # (pad VALUES are masked by per-lane validity; the slack only
+        # prevents dynamic_slice clamping, which would silently load
+        # misaligned real data). uint16 when positions fit (2x less HBM;
+        # kernels cast at load via _pos_gather) — the reference stores
+        # positions as varint deltas for the same byte reason.
         if not hasattr(self, "_h_positions"):
-            self._h_positions = np.concatenate([
-                np.asarray(packed.positions, dtype=np.int32),
-                np.full(self.POS_PAD, -1, dtype=np.int32)])
+            max_pos = int(packed.positions.max(initial=0))
+            if max_pos + self.MAX_T < 2**16 - 1:
+                self._h_positions = np.concatenate([
+                    np.asarray(packed.positions).astype(np.uint16),
+                    np.full(self.POS_PAD, 2**16 - 1, dtype=np.uint16)])
+            else:
+                self._h_positions = np.concatenate([
+                    np.asarray(packed.positions, dtype=np.int32),
+                    np.full(self.POS_PAD, -1, dtype=np.int32)])
         self.d_positions = jnp.asarray(self._h_positions)
         if getattr(self, "_dense_H", 0):
             if self.columns == "tc":
@@ -462,13 +518,9 @@ class TpuEngine:
                 self.d_dense_sc = jnp.asarray(self._h_dense_sc)
                 self.d_dense_tf = jnp.asarray(self._h_dense_tf)
             self.d_dense_blockmax = jnp.asarray(self._h_dense_blockmax)
-        if packed.bloom_ends is not None:
-            self.d_bloom_ends = jnp.asarray(packed.bloom_ends)
-            self.d_bloom_begins = jnp.asarray(packed.bloom_begins)
-        else:
-            w = packed.bloom_cfg.n_words
-            self.d_bloom_ends = jnp.zeros((1, w), dtype=jnp.uint32)
-            self.d_bloom_begins = jnp.zeros((1, w), dtype=jnp.uint32)
+        self.d_bloom_rows = jnp.asarray(self._h_bloom_rows)
+        self.d_bloom_bitmap = jnp.asarray(self._h_bloom_bitmap)
+        self.d_bloom_rank = jnp.asarray(self._h_bloom_rank)
 
     def _host_exact(self, rows, k: int, is_phrase: bool = False):
         """Memoized exact host search (see _host_cache note)."""
@@ -501,7 +553,9 @@ class TpuEngine:
         else:
             dense = 0
         out["dense_tier"] = int(dense)
-        out["blooms"] = int(self.d_bloom_ends.nbytes + self.d_bloom_begins.nbytes)
+        out["blooms"] = int(self.d_bloom_rows.nbytes
+                            + self.d_bloom_bitmap.nbytes
+                            + self.d_bloom_rank.nbytes)
         out["total"] = sum(out.values())
         return out
 
@@ -1524,14 +1578,16 @@ class TpuEngine:
                                     self.d_avg32, self.d_positions,
                                     self.d_pos_starts, jnp.asarray(starts),
                                     jnp.asarray(ends), jnp.asarray(idf32_s),
-                                    so, kd, self.d_bloom_ends,
-                                    self.d_bloom_begins, *probes)
+                                    so, kd, self.d_bloom_rows,
+                                    self.d_bloom_bitmap, self.d_bloom_rank,
+                                    *probes)
                     return kern(self.d_postings_doc, self.d_postings_score,
                                 self.d_postings_tf, self.d_positions,
                                 self.d_pos_starts, jnp.asarray(starts),
                                 jnp.asarray(ends), jnp.asarray(use_score),
-                                so, kd, self.d_bloom_ends,
-                                self.d_bloom_begins, *probes)
+                                so, kd, self.d_bloom_rows,
+                                self.d_bloom_bitmap, self.d_bloom_rank,
+                                *probes)
                 if tc:
                     match_kern = K.make_match_kernel_tc(
                         T, L, K.n_iters_for(self._max_df))
@@ -1540,7 +1596,8 @@ class TpuEngine:
                             self.d_postings_doc, self.d_postings_tc,
                             self.d_avg32, jnp.asarray(starts),
                             jnp.asarray(ends), jnp.asarray(idf32_s),
-                            self.d_bloom_ends, self.d_bloom_begins,
+                            self.d_bloom_rows, self.d_bloom_bitmap,
+                            self.d_bloom_rank,
                             *(jnp.asarray(p) for p in probes_np),
                         )
                 else:
@@ -1550,7 +1607,8 @@ class TpuEngine:
                         self.d_postings_doc, self.d_postings_score,
                         jnp.asarray(starts), jnp.asarray(ends),
                         jnp.asarray(use_score),
-                        self.d_bloom_ends, self.d_bloom_begins,
+                        self.d_bloom_rows, self.d_bloom_bitmap,
+                        self.d_bloom_rank,
                         *(jnp.asarray(p) for p in probes_np),
                     )
                 active = match & bloom_pass
@@ -1684,42 +1742,45 @@ class TpuEngine:
         return pending
 
     def _assemble_bloom_probes(self, group, T: int, B: int):
+        """Folded probe assembly for the sparse bloom gate. A probe is
+        active only if the GATHERED slot's term has device rows (df <=
+        BLOOM_DF_CEILING) — inactive probes pass, a pruning-only change."""
         cfg = self.packed.bloom_cfg
-        C, H = max(1, T - 1), cfg.n_hashes
+        C = max(1, T - 1)
         probe_slot = np.zeros((B, C), dtype=np.int32)
         probe_begins = np.zeros((B, C), dtype=bool)
-        probe_word = np.zeros((B, C, H), dtype=np.int32)
-        probe_mask = np.zeros((B, C, H), dtype=np.uint32)
+        probe_mask = np.zeros((B, C), dtype=np.uint32)
         probe_active = np.zeros((B, C), dtype=bool)
 
         factor = self.bloom_enable_factor
         have_blooms = self.packed.bloom_ends is not None
+        ceil = self.BLOOM_DF_CEILING
         if have_blooms and factor is not None:
             for i, pq in enumerate(group):
                 terms, rows = pq.query.terms, pq.rows
                 slot = pq.slot_of_term
+                dfs = [int(self.packed.df[r]) for r in rows]
                 if len(rows) == 2:
                     # cost-aware side selection (query_processing.h:796-807)
-                    s1, s2 = int(self.packed.df[rows[0]]), int(self.packed.df[rows[1]])
-                    if factor * s1 <= s2:
-                        w, m = cfg.probe_word_masks(terms[1])
+                    s1, s2 = dfs
+                    if factor * s1 <= s2 and s1 <= ceil:
                         probe_slot[i, 0], probe_begins[i, 0] = slot[0], False
-                        probe_word[i, 0], probe_mask[i, 0] = w, m
+                        probe_mask[i, 0] = cfg.probe_mask_folded(terms[1])
                         probe_active[i, 0] = True
-                    elif factor * s2 < s1:
-                        w, m = cfg.probe_word_masks(terms[0])
+                    elif factor * s2 < s1 and s2 <= ceil:
                         probe_slot[i, 0], probe_begins[i, 0] = slot[1], True
-                        probe_word[i, 0], probe_mask[i, 0] = w, m
+                        probe_mask[i, 0] = cfg.probe_mask_folded(terms[0])
                         probe_active[i, 0] = True
                 else:
                     # chained HasNextTerm fallback (query_processing.h:784-794)
                     for c in range(len(rows) - 1):
-                        w, m = cfg.probe_word_masks(terms[c + 1])
+                        if dfs[c] > ceil:
+                            continue
                         probe_slot[i, c], probe_begins[i, c] = slot[c], False
-                        probe_word[i, c], probe_mask[i, c] = w, m
+                        probe_mask[i, c] = cfg.probe_mask_folded(terms[c + 1])
                         probe_active[i, c] = True
 
-        return (probe_slot, probe_begins, probe_word, probe_mask, probe_active)
+        return (probe_slot, probe_begins, probe_mask, probe_active)
 
     # -- snippets ------------------------------------------------------
 

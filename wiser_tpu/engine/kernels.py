@@ -108,6 +108,15 @@ def _gather1d(arr, idx):
     return jnp.take(arr, jnp.clip(idx, 0, arr.shape[0] - 1), axis=0)
 
 
+def _pos_gather(positions, idx):
+    """Position-column gather as int32: the device positions column may be
+    uint16 (half the HBM of int32 when max position < 2^16 - MAX_T, which
+    holds for any real corpus — the reference stores positions as varint
+    deltas for the same reason, posting.h:130-151). Cast-at-load keeps
+    every kernel dtype-agnostic and costs nothing (fused)."""
+    return _gather1d(positions, idx).astype(jnp.int32)
+
+
 def _slice_rows(arr, starts, L):
     """Contiguous (B, L) loads: arr[starts[b] : starts[b]+L] per row.
 
@@ -293,8 +302,8 @@ def make_match_kernel_tc(T: int, L: int, n_bs_iters: int):
     the select stage can flag saturated kept lanes."""
 
     def kernel(postings_doc, postings_tc, avg32, starts, ends, idf32,
-               bloom_ends, bloom_begins,
-               probe_slot, probe_begins, probe_word, probe_mask, probe_active):
+               bloom_rows, bloom_bitmap, bloom_rank,
+               probe_slot, probe_begins, probe_mask, probe_active):
         B = starts.shape[0]
         cdocs, ctc, cvalid, cs = _candidates(
             postings_doc, postings_tc, starts, ends, L)
@@ -319,31 +328,48 @@ def make_match_kernel_tc(T: int, L: int, n_bs_iters: int):
         sat_lane = ((ctc & 0xFF) >= TF_SAT) | jnp.any(
             found & ((hit_tc & 0xFF) >= TF_SAT), axis=1)
 
-        bloom_pass = _bloom_gate(pidx, bloom_ends, bloom_begins,
-                                 probe_slot, probe_begins, probe_word,
+        bloom_pass = _bloom_gate(pidx, bloom_rows, bloom_bitmap,
+                                 bloom_rank, probe_slot, probe_begins,
                                  probe_mask, probe_active, B=B, L=L)
         return match, bloom_pass, cdocs, pidx, score, sat_lane
 
     return jax.jit(kernel)
 
 
-def _bloom_gate(pidx, bloom_ends, bloom_begins, probe_slot, probe_begins,
-                probe_word, probe_mask, probe_active, *, B, L):
+def _bloom_gate(pidx, bloom_rows, bloom_bitmap, bloom_rank, probe_slot,
+                probe_begins, probe_mask, probe_active, *, B, L):
     """Chained bi-bloom probes over per-lane posting indices (the
-    IsPossibleToPresent analog, query_processing.h:784-807). Returns
-    (B, L) pass flags; a failing lane definitely has no phrase match."""
-    C = probe_slot.shape[1]
+    IsPossibleToPresent analog, query_processing.h:784-807) against the
+    SPARSE folded bloom columns (the BloomBoxWriter presence-bitmap
+    layout, flash_containers.h:532-561):
+
+      bloom_bitmap: (2*P/32,) uint32 — presence bits, ends half then
+                    begins half; bit set = a filter row is stored
+      bloom_rank:   (2*P/32,) int32 — stored rows before each 32-group
+      bloom_rows:   (NNZ,) uint32 — single-word folded filter rows
+      probe_mask:   (B, C) uint32 — folded probe masks (bloom.py
+                    probe_mask_folded); pass iff (row & m) == m
+
+    An absent row is BLM_NOT_PRESENT — prune (flash_iterators.h:1045-49);
+    the host disables probes (probe_active=False) for slots whose rows
+    were deliberately not stored (df ceiling), so absence here always
+    means an empty filter. 3 element gathers per (probe, lane) vs the
+    2-side dense layout's 6, and ~24x fewer filter bytes in HBM.
+    Returns (B, L) pass flags; a failing lane has no phrase match."""
+    Pw = bloom_bitmap.shape[0] // 2  # bitmap words per side
     slot_pidx = jnp.take_along_axis(pidx, probe_slot[:, :, None], axis=1)
-    W = bloom_ends.shape[1]
-    rows_e = _gather1d(bloom_ends, slot_pidx.reshape(B, -1)).reshape(B, C, L, W)
-    rows_b = _gather1d(bloom_begins, slot_pidx.reshape(B, -1)).reshape(B, C, L, W)
-    rows = jnp.where(probe_begins[:, :, None, None], rows_b, rows_e)
-    H = probe_word.shape[2]
-    pw = jnp.take_along_axis(
-        rows, jnp.broadcast_to(probe_word[:, :, None, :], (B, C, L, H)), axis=3
-    )
-    bit_ok = (pw & probe_mask[:, :, None, :]) == probe_mask[:, :, None, :]
-    probe_pass = jnp.all(bit_ok, axis=3)  # (B, C, L)
+    sp = slot_pidx + jnp.where(probe_begins[:, :, None],
+                               np.int32(Pw) * 32, 0)  # (B, C, L)
+    w_idx = sp >> 5
+    word = _gather1d(bloom_bitmap, w_idx)  # (B, C, L) uint32
+    bit = (sp & 31).astype(jnp.uint32)
+    present = ((word >> bit) & 1).astype(bool)
+    below = word & ((jnp.uint32(1) << bit) - 1)
+    rank = (_gather1d(bloom_rank, w_idx)
+            + jax.lax.population_count(below).astype(jnp.int32))
+    row = _gather1d(bloom_rows, rank)
+    m = probe_mask[:, :, None]
+    probe_pass = present & ((row & m) == m)  # (B, C, L)
     probe_pass = probe_pass | ~probe_active[:, :, None]
     return jnp.all(probe_pass, axis=1)  # (B, L)
 
@@ -381,12 +407,12 @@ def make_match_kernel(T: int, L: int, n_bs_iters: int):
     784-807): per query, up to T-1 chained probes; probe c tests filter
     row `bloom[probe_slot_c's posting]` for precomputed word/mask pairs.
     The host encodes the cost-aware side choice into
-    (probe_slot, probe_begins, probe_word, probe_mask, probe_active).
+    (probe_slot, probe_begins, probe_mask, probe_active).
     """
 
     def kernel(postings_doc, postings_score, starts, ends, use_score,
-               bloom_ends, bloom_begins,
-               probe_slot, probe_begins, probe_word, probe_mask, probe_active):
+               bloom_rows, bloom_bitmap, bloom_rank,
+               probe_slot, probe_begins, probe_mask, probe_active):
         B = starts.shape[0]
         cdocs, cscore, cvalid, cs = _candidates(
             postings_doc, postings_score, starts, ends, L)
@@ -406,8 +432,8 @@ def make_match_kernel(T: int, L: int, n_bs_iters: int):
         score = cscore * use_score[:, 0:1] + jnp.sum(
             partial * use_score[:, 1:, None], axis=1)
 
-        bloom_pass = _bloom_gate(pidx, bloom_ends, bloom_begins,
-                                 probe_slot, probe_begins, probe_word,
+        bloom_pass = _bloom_gate(pidx, bloom_rows, bloom_bitmap,
+                                 bloom_rank, probe_slot, probe_begins,
                                  probe_mask, probe_active, B=B, L=L)
         return match, bloom_pass, cdocs, pidx, score
 
@@ -444,7 +470,7 @@ def make_phrase_verify_kernel(T: int, L: int, PP: int, n_pos_iters: int):
         lane = jnp.arange(PP, dtype=jnp.int32)
         base_idx = ps[:, 0, None, :] + lane[None, :, None]  # (B, PP, L)
         base_valid = base_idx < pe[:, 0, None, :]
-        base_pos = jnp.where(base_valid, _gather1d(positions, base_idx), INT32_MAX - T)
+        base_pos = jnp.where(base_valid, _pos_gather(positions, base_idx), INT32_MAX - T)
 
         ok = base_valid
         for t in range(1, T):
@@ -452,7 +478,7 @@ def make_phrase_verify_kernel(T: int, L: int, PP: int, n_pos_iters: int):
             lo = _binary_search(
                 positions, tgt, ps[:, t, None, :], pe[:, t, None, :], n_pos_iters
             )
-            hit = _gather1d(positions, lo)
+            hit = _pos_gather(positions, lo)
             ok = ok & (lo < pe[:, t, None, :]) & (hit == tgt)
 
         n_matches = jnp.sum(ok & active[:, None, :], axis=1).astype(jnp.int32)
@@ -498,14 +524,14 @@ def phrase_body(postings_doc, postings_score, postings_tf, positions,
     plane = jnp.arange(PP, dtype=jnp.int32)
     base_idx = ps[:, 0, None, :] + plane[None, :, None]
     base_valid = base_idx < pe[:, 0, None, :]
-    base_pos = jnp.where(base_valid, _gather1d(positions, base_idx),
+    base_pos = jnp.where(base_valid, _pos_gather(positions, base_idx),
                          INT32_MAX - T)
     ok = base_valid
     for t in range(1, T):
         tgt = base_pos + t
         plo = _binary_search(positions, tgt, ps[:, t, None, :],
                              pe[:, t, None, :], n_pos_iters)
-        phit = _gather1d(positions, plo)
+        phit = _pos_gather(positions, plo)
         ok = ok & (plo < pe[:, t, None, :]) & (phit == tgt)
     n_matches = jnp.sum(ok & match[:, None, :], axis=1)
 
@@ -594,8 +620,8 @@ def make_compact_phrase_kernel(T: int, L: int, KV: int, PP: int, PW: int,
 
     def body(postings_doc, postings_score, postings_tf, postings_tc,
              avg32, positions, pos_starts, starts, ends, use_score,
-             idf32, slot_of, ks, bloom_ends, bloom_begins, probe_slot,
-             probe_begins, probe_word, probe_mask, probe_active):
+             idf32, slot_of, ks, bloom_rows, bloom_bitmap, bloom_rank,
+             probe_slot, probe_begins, probe_mask, probe_active):
         B = starts.shape[0]
         if tc_mode:
             cdocs, ctc, cvalid, cs = _candidates(
@@ -629,8 +655,8 @@ def make_compact_phrase_kernel(T: int, L: int, KV: int, PP: int, PW: int,
             score = cscore * use_score[:, 0:1] + jnp.sum(
                 partial * use_score[:, 1:, None], axis=1)
             sat_lane = None
-        bloom_pass = _bloom_gate(pidx, bloom_ends, bloom_begins,
-                                 probe_slot, probe_begins, probe_word,
+        bloom_pass = _bloom_gate(pidx, bloom_rows, bloom_bitmap,
+                                 bloom_rank, probe_slot, probe_begins,
                                  probe_mask, probe_active, B=B, L=L)
 
         # compaction: KV best-scored surviving lanes
@@ -681,22 +707,22 @@ def make_compact_phrase_kernel(T: int, L: int, KV: int, PP: int, PW: int,
 
     if tc_mode:
         def kernel(postings_doc, postings_tc, avg32, positions, pos_starts,
-                   starts, ends, idf32, slot_of, ks, bloom_ends,
-                   bloom_begins, probe_slot, probe_begins, probe_word,
+                   starts, ends, idf32, slot_of, ks, bloom_rows,
+                   bloom_bitmap, bloom_rank, probe_slot, probe_begins,
                    probe_mask, probe_active):
             return body(postings_doc, None, None, postings_tc, avg32,
                         positions, pos_starts, starts, ends, None, idf32,
-                        slot_of, ks, bloom_ends, bloom_begins, probe_slot,
-                        probe_begins, probe_word, probe_mask, probe_active)
+                        slot_of, ks, bloom_rows, bloom_bitmap, bloom_rank,
+                        probe_slot, probe_begins, probe_mask, probe_active)
     else:
         def kernel(postings_doc, postings_score, postings_tf, positions,
                    pos_starts, starts, ends, use_score, slot_of, ks,
-                   bloom_ends, bloom_begins, probe_slot, probe_begins,
-                   probe_word, probe_mask, probe_active):
+                   bloom_rows, bloom_bitmap, bloom_rank, probe_slot,
+                   probe_begins, probe_mask, probe_active):
             return body(postings_doc, postings_score, postings_tf, None,
                         None, positions, pos_starts, starts, ends,
-                        use_score, None, slot_of, ks, bloom_ends,
-                        bloom_begins, probe_slot, probe_begins, probe_word,
+                        use_score, None, slot_of, ks, bloom_rows,
+                        bloom_bitmap, bloom_rank, probe_slot, probe_begins,
                         probe_mask, probe_active)
 
     return jax.jit(kernel)
@@ -969,7 +995,7 @@ def _verify_pos_windows(positions, ps, pe, anchor, *, T, NL, PP, PW):
     win = jax.vmap(
         lambda s: jax.lax.dynamic_slice(positions, (s,), (PW,)))(
         ps.reshape(-1))
-    win = win.reshape(B, T, NL, PW)
+    win = win.reshape(B, T, NL, PW).astype(jnp.int32)
     j = jnp.arange(PW, dtype=jnp.int32)
     cnt = pe - ps
     valid = j[None, None, None, :] < cnt[:, :, :, None]  # (B, T, NL, PW)

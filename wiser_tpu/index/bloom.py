@@ -113,6 +113,20 @@ class BloomConfig:
         mask = (np.uint32(1) << (bits % 32).astype(np.uint32)).astype(np.uint32)
         return word_idx, mask
 
+    def probe_mask_folded(self, key: str) -> np.uint32:
+        """Single-word folded probe mask for the sparse device bloom
+        layout: original bit x maps to bit x%32 of the OR-fold of the
+        row's words (word w's bit b is original bit 32w+b, so OR-ing
+        words preserves residues mod 32). Superset semantics — a key
+        present in the exact row always passes the folded check, so the
+        fold can only ADMIT more lanes (slightly higher false-positive
+        rate), never prune a true phrase match."""
+        bits = self.probe_bits(key).astype(np.int64)
+        m = np.uint32(0)
+        for b in (bits % 32).tolist():
+            m |= np.uint32(1) << np.uint32(b)
+        return m
+
     # -- filter construction ---------------------------------------------
 
     def build_filter_words(self, keys) -> np.ndarray:

@@ -107,16 +107,24 @@ def run_set(engine, queries, batch):
     t0 = time.time()
     done = 0
     n_dispatch = 0
+    submit_s = 0.0
+    final_s = 0.0
     for i in range(0, len(queries), batch):
+        ts = time.time()
         res, pending = engine.submit_batch(queries[i : i + batch])
+        submit_s += time.time() - ts
         n_dispatch += len(pending)
+        ts = time.time()
         for f in pending:
             f(res)
+        final_s += time.time() - ts
         done += len(res)
     wall = time.time() - t0
     return {"qps": round(done / wall, 1), "wall_s": round(wall, 2),
             "n": done, "per_query_us": round(1e6 * wall / max(done, 1), 1),
-            "dispatch_groups": n_dispatch}
+            "dispatch_groups": n_dispatch,
+            "submit_s": round(submit_s, 2),  # host planning + async dispatch
+            "finalize_s": round(final_s, 2)}  # fetch waits + host re-rank
 
 
 def main(argv=None):
