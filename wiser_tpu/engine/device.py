@@ -194,6 +194,7 @@ class TpuEngine:
         strict_parity: bool = False,
         columns: str = "raw",
         coarse_buckets: bool = False,
+        io_workers: int = 8,
     ):
         # device_merge: route mega-pair queries through the Pallas
         # staircase merge (ops/merge.py) instead of the host merge.
@@ -214,6 +215,33 @@ class TpuEngine:
             raise ValueError("device_merge requires columns='raw' "
                              "(the Pallas merge reads score/tf rows)")
         self.columns = columns
+        # io_workers: overlap the tunnel's ~30ms PER-GROUP round trips.
+        # A batch spans many shape groups; submitting each group's XLA
+        # execution is one blocking RPC, and fetching its packed output is
+        # another — serially that is ~60ms x n_groups of pure wire wait
+        # (the measured dominator for multi-term mixes: zipf_t3 at 1,362
+        # us/query vs 244 for its constituent route). Two small thread
+        # pools overlap them: dispatch closures run on _io_pool (submit
+        # RTTs in flight together), finalizers run on _fetch_pool (fetch
+        # RTTs in flight together). Groups are independent XLA programs
+        # over immutable columns, and every query belongs to exactly one
+        # group, so cross-thread writes never alias. 0 disables (serial).
+        self.io_workers = io_workers
+        self._io_pool = None
+        self._fetch_pool = None
+        if io_workers and io_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # separate pools: a finalizer blocks on its group's dispatch
+            # future; sharing one pool could starve queued dispatches
+            # behind blocked finalizers under pipelined serving
+            self._io_pool = ThreadPoolExecutor(
+                io_workers, thread_name_prefix="wiser-dispatch")
+            self._fetch_pool = ThreadPoolExecutor(
+                io_workers, thread_name_prefix="wiser-fetch")
+        import threading
+
+        self._recover_lock = threading.Lock()
         # coarse_buckets: merge small L buckets and odd T buckets so a
         # batch spans FEWER shape groups. Every group dispatch AND fetch
         # pays ~30ms tunnel RTT, so groups-per-batch bounds closed-loop
@@ -561,6 +589,21 @@ class TpuEngine:
 
     MAX_DEVICE_RETRIES = 2
 
+    def _dispatch_async(self, fn):
+        """Run a dispatch closure on the IO pool (submit RTTs of separate
+        groups ride the wire concurrently) or inline when pooling is off.
+        Returns either the device array or a Future of it — resolve with
+        _resolve."""
+        if self._io_pool is not None:
+            return self._io_pool.submit(fn)
+        return fn()
+
+    @staticmethod
+    def _resolve(out):
+        """Future-or-array -> array (re-raises dispatch-side errors so
+        _run_with_recovery sees them)."""
+        return out.result() if hasattr(out, "result") else out
+
     def _run_with_recovery(self, run):
         """Execute run() (dispatch + fetch); on a device-loss error,
         re-upload the index columns and retry."""
@@ -579,14 +622,17 @@ class TpuEngine:
                 print(f"wiser_tpu: device lost ({msg[:80]}...); "
                       f"re-provisioning (attempt {attempt + 1})",
                       file=_sys.stderr)
-                _time.sleep(3.0 * (attempt + 1))  # let the worker restart
-                try:
-                    import jax as _jax
+                # concurrent finalizers all hit the same device loss:
+                # exactly one re-provisions, the rest wait then retry
+                with self._recover_lock:
+                    _time.sleep(3.0 * (attempt + 1))  # worker restart
+                    try:
+                        import jax as _jax
 
-                    _jax.clear_caches()
-                except Exception:
-                    pass
-                self._upload()
+                        _jax.clear_caches()
+                    except Exception:
+                        pass
+                    self._upload()
 
     # ------------------------------------------------------------------
 
@@ -595,9 +641,26 @@ class TpuEngine:
 
     def search_batch(self, queries: List[SearchQuery]) -> List[SearchResult]:
         results, pending = self.submit_batch(queries)
-        for finalize in pending:
-            finalize(results)
+        self.run_pending(results, pending)
         return results
+
+    def run_pending(self, results, pending) -> None:
+        """Drain finalizers; independent ones run on the fetch pool so
+        their device->host RTTs overlap (each group's fetch is one ~30ms
+        tunnel roundtrip — serial draining made that the dominant cost of
+        multi-group batches). Finalizers marked .barrier (the coalescing
+        fan-out, which reads other queries' results) run after."""
+        barrier = [f for f in pending if getattr(f, "barrier", False)]
+        plain = [f for f in pending if not getattr(f, "barrier", False)]
+        if self._fetch_pool is not None and len(plain) > 1:
+            futs = [self._fetch_pool.submit(f, results) for f in plain]
+            for fu in futs:
+                fu.result()
+        else:
+            for f in plain:
+                f(results)
+        for f in barrier:
+            f(results)
 
     MAX_T = 8  # hard cap on query terms in the vectorized flat path
 
@@ -668,6 +731,7 @@ class TpuEngine:
                     else:
                         dst._entries = list(src._entries)
 
+            copy_dups.barrier = True  # reads primaries' results: run last
             pending.append(copy_dups)
         return results, pending
 
@@ -958,7 +1022,7 @@ class TpuEngine:
                     return kern(self.d_dense_sc, self.d_dense_tf,
                                 jnp.asarray(slots), jnp.asarray(use))
 
-                holder = [dispatch()]
+                holder = [self._dispatch_async(dispatch)]
 
                 def finalize(res_list, holder=holder, dispatch=dispatch,
                              T=T, m=m, slot_of=slot_of,
@@ -968,7 +1032,7 @@ class TpuEngine:
                         if not first[0]:  # re-dispatch after device loss
                             holder[0] = dispatch()
                         first[0] = False
-                        return np.asarray(holder[0])
+                        return np.asarray(self._resolve(holder[0]))
 
                     n = len(m)
                     packed_out = self._run_with_recovery(run)[:n]
@@ -979,7 +1043,6 @@ class TpuEngine:
                         np.asarray(m), queries, res_list,
                         force_host=self._flags_to_force(packed_out[:, T + 1, 0]))
 
-                finalize.out = holder[0]
                 pending.append(finalize)
         return pending
 
@@ -1072,7 +1135,7 @@ class TpuEngine:
                                 jnp.asarray(ends), jnp.asarray(use),
                                 jnp.asarray(slots))
 
-                holder = [dispatch()]
+                holder = [self._dispatch_async(dispatch)]
 
                 def finalize(res_list, holder=holder, dispatch=dispatch,
                              T=T, m=m, slot_of=slot_of,
@@ -1082,7 +1145,7 @@ class TpuEngine:
                         if not first[0]:  # re-dispatch after device loss
                             holder[0] = dispatch()
                         first[0] = False
-                        return np.asarray(holder[0])
+                        return np.asarray(self._resolve(holder[0]))
 
                     n = len(m)
                     packed_out = self._run_with_recovery(run)[:n]
@@ -1094,7 +1157,6 @@ class TpuEngine:
                         force_host=self._flags_to_force(
                             packed_out[:, T + 1, 0]))
 
-                finalize.out = holder[0]
                 pending.append(finalize)
         return pending
 
@@ -1195,16 +1257,15 @@ class TpuEngine:
         else:
             kern = K.make_search_kernel(T, L, M, K.n_iters_for(self._max_df),
                                         mode=mode)
-        out = kern(*make_args())
+        holder = [self._dispatch_async(lambda: kern(*make_args()))]
 
         # _shape default: submit-site attribution for profiling probes
         def finalize(res_list, _shape=(T, L, L2, len(members))):
             def run(first=[True]):
-                nonlocal out
                 if not first[0]:
-                    out = kern(*make_args())  # re-dispatch after recovery
+                    holder[0] = kern(*make_args())  # re-dispatch after recovery
                 first[0] = False
-                return np.asarray(out)
+                return np.asarray(self._resolve(holder[0]))
 
             packed = self._run_with_recovery(run)
             # per-query flags (boundary-class truncation / window
@@ -1215,7 +1276,6 @@ class TpuEngine:
                 ks, qis, flat_rows, members, queries, res_list,
                 force_host=force_host)
 
-        finalize.out = out  # exposes the device buffer for async host copy
         return finalize
 
     def _flags_to_force(self, flags: np.ndarray) -> np.ndarray:
@@ -1432,16 +1492,16 @@ class TpuEngine:
             if L2:  # windowed block-intersection path
                 kern = K.make_windowed_search_kernel(T, L, L2 // 128, M,
                                                      mode=mode)
-                out = kern(*args)
             else:
                 kern = K.make_search_kernel(
                     T, L, M, iters or K.n_iters_for(self._max_df), mode=mode)
-                out = kern(*args)
+            out = self._dispatch_async(lambda kern=kern, args=args:
+                                       kern(*args))
 
             def finalize(results, group=group, out=out,
                          slot_of=slot_of, idf64_q=idf64_q, ks=ks,
                          args=args, T=T, L=L, M=M):
-                packed = np.asarray(out)  # ONE device->host roundtrip
+                packed = np.asarray(self._resolve(out))  # ONE roundtrip
                 force_host = self._flags_to_force(packed[:, T + 1, 0])
                 top_docs = packed[:, 0, :]
                 top_tfs = packed[:, 1 : T + 1, :]
@@ -1449,7 +1509,6 @@ class TpuEngine:
                                      idf64_q, ks, results,
                                      force_host=force_host)
 
-            finalize.out = out
             pending.append(finalize)
         return pending
 
@@ -1630,16 +1689,15 @@ class TpuEngine:
                 select = K.make_select_topk_kernel(T, L, M)
                 return select(self.d_postings_tf, cdocs, pidx, score, final)
 
-            out = chain()
+            holder = [self._dispatch_async(chain)]
 
-            def finalize(results, group=group, out=out, chain=chain,
+            def finalize(results, group=group, holder=holder, chain=chain,
                          slot_of=slot_of, idf64_q=idf64_q, ks=ks, T=T):
                 def run(first=[True]):
-                    nonlocal out
                     if not first[0]:
-                        out = chain()
+                        holder[0] = chain()
                     first[0] = False
-                    return np.asarray(out)
+                    return np.asarray(self._resolve(holder[0]))
 
                 packed = self._run_with_recovery(run)
                 self._finalize_group(group, packed[:, 0, :],
@@ -1647,7 +1705,6 @@ class TpuEngine:
                                      idf64_q, ks, results,
                                      force_host=self._flags_to_force(packed[:, T + 1, 0]))
 
-            finalize.out = out
             pending.append(finalize)
         return pending
 
@@ -1718,7 +1775,7 @@ class TpuEngine:
                             jnp.asarray(slots), jnp.asarray(use),
                             jnp.asarray(anchor), jnp.asarray(ks))
 
-            holder = [dispatch()]
+            holder = [self._dispatch_async(dispatch)]
             # tfs are already in query-term order: identity slot_of
             slot_id = np.tile(np.arange(T, dtype=np.int64), (B, 1))
 
@@ -1729,7 +1786,7 @@ class TpuEngine:
                     if not first[0]:  # re-dispatch after device loss
                         holder[0] = dispatch()
                     first[0] = False
-                    return np.asarray(holder[0])
+                    return np.asarray(self._resolve(holder[0]))
 
                 packed_out = self._run_with_recovery(run)
                 self._finalize_group(
@@ -1737,7 +1794,6 @@ class TpuEngine:
                     slot_id, idf64_q, ks, results,
                     force_host=self._flags_to_force(packed_out[:, T + 1, 0]))
 
-            finalize.out = holder[0]
             pending.append(finalize)
         return pending
 

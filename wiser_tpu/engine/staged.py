@@ -154,9 +154,13 @@ class StagedEngine:
 
     def search_batch(self, queries: List[SearchQuery]) -> List[SearchResult]:
         results, pending = self.submit_batch(queries)
-        for f in pending:
-            f(results)
+        self.run_pending(results, pending)
         return results
+
+    def run_pending(self, results, pending) -> None:
+        """Drain via the hot engine's fetch pool (overlapped group RTTs;
+        device.py run_pending) — cold finalizers are independent too."""
+        self.hot.run_pending(results, pending)
 
     def submit_batch(self, queries: List[SearchQuery]):
         results = [SearchResult() for _ in queries]
@@ -181,10 +185,14 @@ class StagedEngine:
             results[qi] = hot_results[j]  # shared objects, filled below
 
         # inner finalizers index by the INNER batch numbering: bind them to
-        # hot_results, not the outer list
-        pending = [
-            (lambda res_list, f=f: f(hot_results)) for f in hot_pending
-        ]
+        # hot_results, not the outer list (barrier marks must survive the
+        # wrap — run_pending orders on them)
+        pending = []
+        for f in hot_pending:
+            w = (lambda res_list, f=f: f(hot_results))
+            if getattr(f, "barrier", False):
+                w.barrier = True
+            pending.append(w)
         pending += self._submit_cold(cold, queries, results)
         return results, pending
 

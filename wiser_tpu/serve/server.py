@@ -98,8 +98,11 @@ class BatchingExecutor:
             if in_flight is not None:
                 f_items, f_results, f_pending = in_flight
                 try:
-                    for f in f_pending:
-                        f(f_results)
+                    if hasattr(self.engine, "run_pending"):
+                        self.engine.run_pending(f_results, f_pending)
+                    else:
+                        for f in f_pending:
+                            f(f_results)
                     for (_, fut), res in zip(f_items, f_results):
                         fut.set_result(res)
                 except Exception as e:
