@@ -36,6 +36,13 @@ MEAN_LEN = int(os.environ.get("WISER_BENCH_MEAN_LEN", 120))
 N_QUERIES = int(os.environ.get("WISER_BENCH_QUERIES", 131_072))
 COLUMNS = os.environ.get("WISER_BENCH_COLUMNS", "raw")  # raw | tc
 COARSE = bool(int(os.environ.get("WISER_BENCH_COARSE", "0")))
+IO_WORKERS = int(os.environ.get("WISER_BENCH_IO_WORKERS", "8"))
+# measured (2026-08-17, v5e): fetch-pooling alone wins at 20k docs
+# (15.1k off / 21.7k fetch / 19.8k both QPS — dispatch threads contend
+# with finalizers on the single host core at short group runtimes);
+# "both" wins at 1M where groups are compute-heavy (zipf_t3 1769 vs
+# 1660). The engine default is "both"; the 20k headline uses fetch.
+IO_MODE = os.environ.get("WISER_BENCH_IO_MODE", "fetch")
 BATCH = 32_768
 K = 10
 
@@ -93,7 +100,8 @@ def main():
     packed = get_index()
     from wiser_tpu.engine.device import TpuEngine
 
-    engine = TpuEngine(packed, columns=COLUMNS, coarse_buckets=COARSE)
+    engine = TpuEngine(packed, columns=COLUMNS, coarse_buckets=COARSE,
+                       io_workers=IO_WORKERS, io_mode=IO_MODE)
     log(f"columns={COLUMNS}; device bytes: {engine.device_bytes()}")
     queries = aol_mixed_queries(packed, N_QUERIES)
     uniq = len({(tuple(q.terms), q.n_results) for q in queries})
@@ -119,13 +127,11 @@ def main():
         in_flight.append((bt, engine.submit_batch(queries[i : i + BATCH])))
         while len(in_flight) > PIPELINE:
             bt0, (res, pending) = in_flight.pop(0)
-            for f in pending:
-                f(res)
+            engine.run_pending(res, pending)  # overlapped group fetches
             lat.append(time.time() - bt0)
             done += len(res)
     for bt0, (res, pending) in in_flight:
-        for f in pending:
-            f(res)
+        engine.run_pending(res, pending)
         lat.append(time.time() - bt0)
         done += len(res)
     wall = time.time() - t0

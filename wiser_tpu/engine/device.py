@@ -164,6 +164,29 @@ def _host_phrase_mask(positions: np.ndarray, pos_starts: np.ndarray,
     return out
 
 
+def build_single_term_table(packed: PackedIndex, scores64: np.ndarray,
+                            depth: int):
+    """Impact-ordered per-term top tables (see TpuEngine note). Shared by
+    the single-device and sharded engines — the table depends only on the
+    global index, not the device layout.
+
+    Returns (tt_starts int64[T+1], tt_docs int64[...], tt_scores f64)."""
+    lens = np.diff(packed.term_starts)
+    term_of = np.repeat(np.arange(packed.n_terms, dtype=np.int64), lens)
+    # sentinel pads score exactly 0.0 < any real score -> sorted last
+    order = np.lexsort((packed.postings_doc, -scores64, term_of))
+    # cap by actual run length too: a staged hot view keeps global df
+    # for cold rows but gives them zero-length runs
+    cnt = np.minimum(np.minimum(packed.df, lens), depth).astype(np.int64)
+    tt_starts = np.zeros(packed.n_terms + 1, dtype=np.int64)
+    np.cumsum(cnt, out=tt_starts[1:])
+    total = int(tt_starts[-1])
+    seg = packed.term_starts.astype(np.int64)
+    idx = order[np.repeat(seg[:-1], cnt)
+                + np.arange(total) - np.repeat(tt_starts[:-1], cnt)]
+    return tt_starts, packed.postings_doc[idx].astype(np.int64), scores64[idx]
+
+
 @dataclass
 class _PlannedQuery:
     qi: int  # index into the input batch
@@ -195,6 +218,7 @@ class TpuEngine:
         columns: str = "raw",
         coarse_buckets: bool = False,
         io_workers: int = 8,
+        io_mode: str = "both",
     ):
         # device_merge: route mega-pair queries through the Pallas
         # staircase merge (ops/merge.py) instead of the host merge.
@@ -227,21 +251,29 @@ class TpuEngine:
         # over immutable columns, and every query belongs to exactly one
         # group, so cross-thread writes never alias. 0 disables (serial).
         self.io_workers = io_workers
+        if io_mode not in ("both", "dispatch", "fetch", "off"):
+            raise ValueError(f"unknown io_mode {io_mode!r}")
         self._io_pool = None
         self._fetch_pool = None
-        if io_workers and io_workers > 1:
+        if io_workers and io_workers > 1 and io_mode != "off":
             from concurrent.futures import ThreadPoolExecutor
 
             # separate pools: a finalizer blocks on its group's dispatch
             # future; sharing one pool could starve queued dispatches
             # behind blocked finalizers under pipelined serving
-            self._io_pool = ThreadPoolExecutor(
-                io_workers, thread_name_prefix="wiser-dispatch")
-            self._fetch_pool = ThreadPoolExecutor(
-                io_workers, thread_name_prefix="wiser-fetch")
+            if io_mode in ("both", "dispatch"):
+                self._io_pool = ThreadPoolExecutor(
+                    io_workers, thread_name_prefix="wiser-dispatch")
+            if io_mode in ("both", "fetch"):
+                self._fetch_pool = ThreadPoolExecutor(
+                    io_workers, thread_name_prefix="wiser-fetch")
         import threading
 
         self._recover_lock = threading.Lock()
+        # cheap execution counters (flag rates, host-fallback cost) — the
+        # profiling substrate for route attribution and the parity audit
+        self._stats_lock = threading.Lock()
+        self.stats: Dict[str, float] = {}
         # coarse_buckets: merge small L buckets and odd T buckets so a
         # batch spans FEWER shape groups. Every group dispatch AND fetch
         # pays ~30ms tunnel RTT, so groups-per-batch bounds closed-loop
@@ -334,6 +366,7 @@ class TpuEngine:
     # fraction 8 was too coarse (host-merge fallbacks at 57 QPS);
     # fraction 32 left a heavy bs tail.
     DENSE_MIN_DF_FRACTION = 96
+    DENSE_MIN_DF_FLOOR = 1024  # class attr so tests/dryruns can shrink it
     # block-max pruning (kernels.make_pruned_dense_kernel): engage when
     # the doc space exceeds PRUNED_DENSE_MIN_NB 128-doc blocks — below
     # that the plain dense scan is already cheap (measured 5.4k QPS at
@@ -353,7 +386,8 @@ class TpuEngine:
         packed = self.packed
         n = packed.n_docs
         self._dense_slot = np.full(packed.n_terms, -1, dtype=np.int32)
-        dense_min = max(1024, n // self.DENSE_MIN_DF_FRACTION)
+        dense_min = max(self.DENSE_MIN_DF_FLOOR,
+                        n // self.DENSE_MIN_DF_FRACTION)
         rows = np.nonzero(packed.df >= dense_min)[0]
         if len(rows) == 0:
             return
@@ -466,23 +500,8 @@ class TpuEngine:
 
         Table rows are sorted by the exact oracle canon (f64 score desc,
         doc asc), so any k <= depth (or k >= df) is served bit-exactly."""
-        packed = self.packed
-        lens = np.diff(packed.term_starts)
-        term_of = np.repeat(np.arange(packed.n_terms, dtype=np.int64), lens)
-        # sentinel pads score exactly 0.0 < any real score -> sorted last
-        order = np.lexsort((packed.postings_doc, -scores64, term_of))
-        # cap by actual run length too: a staged hot view keeps global df
-        # for cold rows but gives them zero-length runs
-        cnt = np.minimum(np.minimum(packed.df, lens), depth).astype(np.int64)
-        tt_starts = np.zeros(packed.n_terms + 1, dtype=np.int64)
-        np.cumsum(cnt, out=tt_starts[1:])
-        total = int(tt_starts[-1])
-        seg = packed.term_starts.astype(np.int64)
-        idx = order[np.repeat(seg[:-1], cnt)
-                    + np.arange(total) - np.repeat(tt_starts[:-1], cnt)]
-        self._tt_starts = tt_starts
-        self._tt_docs = packed.postings_doc[idx].astype(np.int64)
-        self._tt_scores = scores64[idx]
+        self._tt_starts, self._tt_docs, self._tt_scores = \
+            build_single_term_table(self.packed, scores64, depth)
 
     def _serve_single_term(self, qi: int, row: int, q: SearchQuery,
                            results: List[SearchResult]) -> bool:
@@ -550,16 +569,34 @@ class TpuEngine:
         self.d_bloom_bitmap = jnp.asarray(self._h_bloom_bitmap)
         self.d_bloom_rank = jnp.asarray(self._h_bloom_rank)
 
+    def _bump(self, **deltas) -> None:
+        with self._stats_lock:
+            for k, v in deltas.items():
+                self.stats[k] = self.stats.get(k, 0) + v
+
+    def stats_take(self) -> Dict[str, float]:
+        """Return and reset the counters (per-measurement attribution)."""
+        with self._stats_lock:
+            out, self.stats = self.stats, {}
+        return out
+
     def _host_exact(self, rows, k: int, is_phrase: bool = False):
         """Memoized exact host search (see _host_cache note)."""
         key = (tuple(rows), int(k), bool(is_phrase))
         hit = self._host_cache.get(key)
         if hit is None:
+            import time as _time
+
             if len(self._host_cache) >= self.HOST_CACHE_CAP:
                 self._host_cache.clear()
+            t0 = _time.time()
             hit = host_exact_search(self.packed, self.cache64, rows, k,
                                     is_phrase=is_phrase)
+            self._bump(host_exact_calls=1,
+                       host_exact_s=_time.time() - t0)
             self._host_cache[key] = hit
+        else:
+            self._bump(host_exact_hits=1)
         return hit
 
     def device_bytes(self) -> dict:
@@ -1295,6 +1332,13 @@ class TpuEngine:
                           | K.FLAG_PRUNE_MISS)) != 0
         if self.strict_parity:
             force = force | ((flags & K.FLAG_TRUNC) != 0)
+        self._bump(
+            q_flag_seen=len(flags),
+            flag_trunc=int(((flags & K.FLAG_TRUNC) != 0).sum()),
+            flag_overflow=int(((flags & K.FLAG_OVERFLOW) != 0).sum()),
+            flag_tf_sat=int(((flags & K.FLAG_TF_SAT) != 0).sum()),
+            flag_prune_miss=int(((flags & K.FLAG_PRUNE_MISS) != 0).sum()),
+            forced_host=int(force.sum()))
         return force
 
     def _finalize_arrays(self, top_docs, top_tfs_slot, slot_of, idf64_q, ks,
@@ -1311,6 +1355,7 @@ class TpuEngine:
                                        rel_eps=self.rel_eps)
         if force_host is not None:
             suspects = suspects | force_host[: len(suspects)]
+        self._bump(host_fallback_q=int(suspects.sum()))
         for i in range(n):
             qi = int(qis[i])
             res = results[qi]
@@ -1394,6 +1439,7 @@ class TpuEngine:
                                        rel_eps=self.rel_eps)
         if force_host is not None:
             suspects = suspects | force_host[: len(suspects)]
+        self._bump(host_fallback_q=int(suspects.sum()))
         for i, pq in enumerate(group):
             res = results[pq.qi]
             if suspects[i]:

@@ -37,7 +37,7 @@ from wiser_tpu.engine.device import (
     _bucket,
     DEFAULT_MARGIN,
 )
-from wiser_tpu.index.format import PackedIndex
+from wiser_tpu.index.format import BLOCK, PackedIndex
 from wiser_tpu.scoring import Bm25Similarity
 from wiser_tpu.types import SearchQuery, SearchResult
 
@@ -72,7 +72,12 @@ class ShardedIndex:
         from wiser_tpu.index.format import BLOCK, SENTINEL_DOC
 
         N, T = packed.n_docs, packed.n_terms
-        bounds = np.linspace(0, N, n_shards + 1).astype(np.int64)
+        # equal-width 128-aligned ranges: shard s owns docs
+        # [s*Npd, (s+1)*Npd). The dense doc-space tier partitions on the
+        # SAME grid, so a shard's postings reference exactly its dense
+        # rows' doc range (local dense index = global doc - s*Npd).
+        npd = (N + n_shards * BLOCK - 1) // (n_shards * BLOCK) * BLOCK
+        bounds = np.minimum(np.arange(n_shards + 1, dtype=np.int64) * npd, N)
         scores = packed.partial_scores(
             Bm25Similarity(packed.avg_len).cache
         ).astype(np.float32)
@@ -244,6 +249,213 @@ def make_sharded_phrase_kernel(T: int, L: int, PP: int, M: int,
     return jax.jit(step)
 
 
+def _merge_gathered(top_docs, top_score, tfs, ltrunc, *, T, M):
+    """Shared merge tail: all-gather per-shard (docs, score, slot tfs,
+    local trunc), re-top-k over the D*M gathered lanes. Gathered lane
+    order is shard-major and shards own ascending doc ranges, so top_k's
+    lowest-index tie keep preserves the (score desc, doc asc) canon.
+    Returns (d2 (B,M), s2 (B,M), t2 (B,T,M), trunc (B,) — local OR
+    merged boundary-class truncation)."""
+    g_d = jax.lax.all_gather(top_docs, "d")  # (D, B, M)
+    g_s = jax.lax.all_gather(top_score, "d")
+    g_t = jax.lax.all_gather(tfs, "d")  # (D, B, T, M)
+    g_f = jax.lax.all_gather(ltrunc, "d")  # (D, B)
+    D = g_d.shape[0]
+    B = top_docs.shape[0]
+    gd = jnp.transpose(g_d, (1, 0, 2)).reshape(B, D * M)
+    gs = jnp.transpose(g_s, (1, 0, 2)).reshape(B, D * M)
+    gt = jnp.transpose(g_t, (1, 2, 0, 3)).reshape(B, T, D * M)
+    s2, i2 = jax.lax.top_k(gs, M)
+    d2 = jnp.take_along_axis(gd, i2, axis=1)
+    t2 = jnp.take_along_axis(gt, i2[:, None, :].repeat(T, 1), axis=2)
+    trunc = jnp.any(g_f, axis=0) | K.boundary_truncated(gs, s2, M)
+    return d2, s2, t2, trunc
+
+
+@lru_cache(maxsize=32)
+def make_sharded_dense_kernel(T: int, Npd: int, M: int, mesh: Mesh):
+    """All-head conjunctions on the mesh: each shard scans its (H, Npd)
+    dense doc-range slice (the single-device dense tier split on the doc
+    axis — device.py _build_dense_rows), then all-gather + merge. Work
+    per shard is T*Npd lane-ops = 1/D of the single-device dense scan;
+    the collective moves only (D, B, T+2, M) ints over ICI.
+
+    fn(dense_sc (D, H, Npd), dense_tf (D, H, Npd), slots (B,T) i32
+       global dense rows, use_score (B,T)) -> packed (B, T+2, M) repl."""
+
+    def local(dense_sc, dense_tf, slots, use_score):
+        dsc, dtf = dense_sc[0], dense_tf[0]
+        B = slots.shape[0]
+        sid = jax.lax.axis_index("d").astype(jnp.int32)
+        score = jnp.zeros((B, Npd), dtype=jnp.float32)
+        match = jnp.ones((B, Npd), dtype=bool)
+        for t in range(T):
+            sc_t = jnp.take(dsc, slots[:, t], axis=0)  # (B, Npd)
+            match = match & (sc_t > 0)
+            score = score + sc_t * use_score[:, t : t + 1]
+        score = jnp.where(match, score, K.NEG_INF)
+        top_score, top_l = jax.lax.top_k(score, M)  # lane = LOCAL doc
+        valid = top_score > K.NEG_INF
+        top_docs = jnp.where(valid, sid * np.int32(Npd) + top_l, -1)
+        tf_flat = dtf.reshape(-1)
+        tfs = []
+        for t in range(T):
+            idx = (slots[:, t : t + 1].astype(jnp.int32) * np.int32(Npd)
+                   + jnp.maximum(top_l, 0))
+            tfs.append(jnp.where(valid, K._gather1d(tf_flat, idx), 0))
+        tfs = jnp.concatenate([x[:, None, :] for x in tfs], axis=1)
+        ltrunc = K.boundary_truncated(score, top_score, M)
+        d2, s2, t2, trunc = _merge_gathered(top_docs, top_score, tfs,
+                                            ltrunc, T=T, M=M)
+        return K.pack_with_flags(d2, t2, trunc.astype(jnp.int32))
+
+    step = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("d"), P("d"), P(), P()),
+        out_specs=P(), check_vma=False)
+    return jax.jit(step)
+
+
+@lru_cache(maxsize=32)
+def make_sharded_pruned_dense_kernel(T: int, NB: int, C: int, M: int,
+                                     eps3: float, mesh: Mesh):
+    """Block-max pruned dense scan on the mesh (kernels module note): each
+    shard ranks its OWN NB 128-doc blocks and examines its top C; the
+    prune guard runs AFTER the merge against the max of the shards'
+    next_ub bounds — exactly the single-device proof with "unexamined
+    block" ranging over every shard (a per-shard guard against local
+    k-th scores would over-flag shards with few local matches).
+
+    fn(dense_sc (D,H,NB*128), dense_tf, blockmax (D,H,NB), slots (B,T),
+       use_score (B,T), ks (B,)) -> packed (B, T+2, M) replicated."""
+
+    def local(dense_sc, dense_tf, blockmax, slots, use_score, ks):
+        dsc, dtf, bm = dense_sc[0], dense_tf[0], blockmax[0]
+        B = slots.shape[0]
+        H = dsc.shape[0]
+        sid = jax.lax.axis_index("d").astype(jnp.int32)
+        sc_rows = dsc.reshape(H * NB, 128)
+        tf_rows = dtf.reshape(H * NB, 128)
+        blk, next_ub = K._select_ub_blocks(bm, slots, use_score,
+                                           T=T, NB=NB, C=C)
+        lane = jnp.arange(128, dtype=jnp.int32)
+        cand_local = (blk[:, :, None] * 128 + lane[None, None, :]
+                      ).reshape(B, C * 128)
+        match = jnp.ones((B, C, 128), dtype=bool)
+        score = jnp.zeros((B, C, 128), dtype=jnp.float32)
+        payload_tf = []
+        for t in range(T):
+            rows_idx = slots[:, t : t + 1] * np.int32(NB) + blk
+            p = jnp.take(sc_rows, rows_idx, axis=0)  # (B, C, 128)
+            payload_tf.append(jnp.take(tf_rows, rows_idx, axis=0))
+            match = match & (p > 0)
+            score = score + p * use_score[:, t, None, None]
+        score = jnp.where(match, score, K.NEG_INF).reshape(B, -1)
+        top_score, top_l = jax.lax.top_k(score, M)
+        valid = top_score > K.NEG_INF
+        loc = jnp.take_along_axis(cand_local, top_l, axis=1)
+        top_docs = jnp.where(valid, sid * np.int32(NB * 128) + loc, -1)
+        tfs = []
+        for t in range(T):
+            flat = payload_tf[t].reshape(B, -1)
+            tfs.append(jnp.where(valid,
+                                 jnp.take_along_axis(flat, top_l, axis=1),
+                                 0))
+        tfs = jnp.concatenate([x[:, None, :] for x in tfs], axis=1)
+        ltrunc = K.boundary_truncated(score, top_score, M)
+        d2, s2, t2, trunc = _merge_gathered(top_docs, top_score, tfs,
+                                            ltrunc, T=T, M=M)
+        g_ub = jax.lax.all_gather(next_ub, "d")  # (D, B)
+        bound = jnp.max(g_ub, axis=0)
+        flags = (trunc.astype(jnp.int32)
+                 | K.prune_guard_flag(s2, bound, ks, M=M, eps3=eps3))
+        return K.pack_with_flags(d2, t2, flags)
+
+    step = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("d"), P("d"), P("d"), P(), P(), P()),
+        out_specs=P(), check_vma=False)
+    return jax.jit(step)
+
+
+@lru_cache(maxsize=32)
+def make_sharded_semidense_kernel(T: int, L: int, M: int, Npd: int,
+                                  n_bs: int, n_bs_iters: int, mesh: Mesh):
+    """Mixed semi-dense kernel on the mesh (the single-device
+    make_semidense_kernel split by doc range): slot 0 = candidate's LOCAL
+    CSR run, slots 1..n_bs = non-dense others by local binary search,
+    rest = dense others via one local doc-indexed gather (local index =
+    global doc - s*Npd, in range because posting shards and dense slices
+    partition on the same 128-aligned grid). Merge as usual.
+
+    fn(pd, psc, pt, ts, dfs (all (D,...)), dense_sc (D,H,Npd), dense_tf,
+       rows (B,T) slot-ordered term rows, use_score (B,T),
+       slots (B,T) dense rows for slots n_bs+1..) -> packed (B,T+2,M)."""
+
+    def local(pd, psc, pt, ts, dfs, dense_sc, dense_tf, rows, use_score,
+              slots):
+        pd, psc, pt, ts, dfs = pd[0], psc[0], pt[0], ts[0], dfs[0]
+        dsc, dtf = dense_sc[0], dense_tf[0]
+        B = rows.shape[0]
+        sid = jax.lax.axis_index("d").astype(jnp.int32)
+        starts = ts[rows]
+        ends = starts + dfs[rows]
+        cdocs, cscore, cvalid, cs = K._candidates(pd, psc, starts, ends, L)
+        lane = jnp.arange(L, dtype=jnp.int32)
+        cpidx = cs[:, None] + lane[None, :]
+        match = cvalid
+        score = cscore * use_score[:, 0:1]
+        if n_bs:
+            targets = jnp.broadcast_to(cdocs[:, None, :], (B, n_bs, L))
+            lo = K._binary_search(pd, targets, starts[:, 1 : 1 + n_bs, None],
+                                  ends[:, 1 : 1 + n_bs, None], n_bs_iters)
+            hit = K._gather1d(pd, lo)
+            found = (lo < ends[:, 1 : 1 + n_bs, None]) & (hit == targets)
+            match = match & jnp.all(found, axis=1)
+            partial = jnp.where(found, K._gather1d(psc, lo), 0.0)
+            score = score + jnp.sum(
+                partial * use_score[:, 1 : 1 + n_bs, None], axis=1)
+        sc_flat = dsc.reshape(-1)
+        tf_flat = dtf.reshape(-1)
+        loc_doc = jnp.clip(cdocs - sid * np.int32(Npd), 0,
+                           np.int32(Npd - 1))
+        for t in range(1 + n_bs, T):
+            idx = (slots[:, t : t + 1].astype(jnp.int32) * np.int32(Npd)
+                   + loc_doc)
+            p = K._gather1d(sc_flat, idx)  # (B, L)
+            match = match & (p > 0)
+            score = score + p * use_score[:, t : t + 1]
+        score = jnp.where(match, score, K.NEG_INF)
+        top_score, top_l = jax.lax.top_k(score, M)
+        valid = top_score > K.NEG_INF
+        top_docs = jnp.where(valid,
+                             jnp.take_along_axis(cdocs, top_l, axis=1), -1)
+        top_cpidx = jnp.take_along_axis(cpidx, top_l, axis=1)
+        tfs = [jnp.where(valid, K._gather1d(pt, top_cpidx), 0)[:, None, :]]
+        for t in range(1, 1 + n_bs):
+            top_lo = jnp.take_along_axis(lo[:, t - 1, :], top_l, axis=1)
+            tfs.append(jnp.where(valid, K._gather1d(pt, top_lo),
+                                 0)[:, None, :])
+        top_loc = jnp.take_along_axis(loc_doc, top_l, axis=1)
+        for t in range(1 + n_bs, T):
+            idx = (slots[:, t : t + 1].astype(jnp.int32) * np.int32(Npd)
+                   + top_loc)
+            tfs.append(jnp.where(valid, K._gather1d(tf_flat, idx),
+                                 0)[:, None, :])
+        tfs = jnp.concatenate(tfs, axis=1)
+        ltrunc = K.boundary_truncated(score, top_score, M)
+        d2, s2, t2, trunc = _merge_gathered(top_docs, top_score, tfs,
+                                            ltrunc, T=T, M=M)
+        return K.pack_with_flags(d2, t2, trunc.astype(jnp.int32))
+
+    step = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("d"), P("d"), P("d"), P("d"), P("d"), P("d"), P("d"),
+                  P(), P(), P()),
+        out_specs=P(), check_vma=False)
+    return jax.jit(step)
+
+
 def host_exact_search_sharded(sh: ShardedIndex, cache64: np.ndarray,
                               rows, k: int, is_phrase: bool = False):
     """Exact host re-search over the sharded host columns (the fallback
@@ -313,6 +525,8 @@ class ShardedEngine:
         margin: int = DEFAULT_MARGIN,
         doc_bodies: Optional[List[str]] = None,
         strict_parity: bool = False,
+        dense_budget_bytes: int = 7 << 29,
+        single_term_depth: int = 64,
     ):
         if mesh is None:
             devs = np.array(jax.devices()[: sharded.n_shards])
@@ -344,6 +558,98 @@ class ShardedEngine:
         self.strict_parity = strict_parity
         # per-shard max df per term: the tight L bucket + saturation check
         self._df_shard_max = sharded.df_shard.max(axis=0).astype(np.int64)
+
+        # single-chip feature parity on the mesh (round-3): dense doc-
+        # space tier (split on the shard doc grid), block-max pruning,
+        # mixed semi-dense route, host impact table, request coalescing.
+        # All need the global column view — retained in sharded.source;
+        # without it (exotic hand-built ShardedIndex) the engine falls
+        # back to the plain bs route, results identical.
+        D = sharded.n_shards
+        from wiser_tpu.index.format import BLOCK
+
+        self._npd = ((sharded.n_docs + D * BLOCK - 1) // (D * BLOCK)
+                     * BLOCK)
+        self._dense_H = 0
+        self._dense_slot = np.full(len(sharded.df), -1, dtype=np.int32)
+        self._tt = None
+        src = sharded.source
+        if src is not None:
+            scores64 = src.partial_scores(self.cache64)
+            if dense_budget_bytes:
+                self._build_dense_rows(src, scores64, dense_budget_bytes)
+            if single_term_depth:
+                from wiser_tpu.engine.device import build_single_term_table
+
+                self._tt = build_single_term_table(src, scores64,
+                                                   single_term_depth)
+        self._st_depth = single_term_depth
+
+    # same tier constants as the single-device engine (device.py)
+    DENSE_MIN_DF_FRACTION = 96
+    DENSE_MIN_DF_FLOOR = 1024
+    PRUNED_DENSE_MIN_NB = 2048
+    PRUNED_DENSE_C = 512
+
+    def _build_dense_rows(self, src: PackedIndex, scores64: np.ndarray,
+                          budget_bytes: int) -> None:
+        """Dense (H, D*Npd) head-term rows split on the shard doc grid ->
+        (D, H, Npd) device arrays sharded on axis 0 (the single-device
+        tier of device.py _build_dense_rows, partitioned the TPU way)."""
+        sh = self.sharded
+        n, D = sh.n_docs, sh.n_shards
+        dense_min = max(self.DENSE_MIN_DF_FLOOR,
+                        n // self.DENSE_MIN_DF_FRACTION)
+        rows = np.nonzero(sh.df >= dense_min)[0]
+        if len(rows) == 0:
+            return
+        N_pad = self._npd * D
+        cap = max(1, int(budget_bytes // (N_pad * 8)))
+        if len(rows) > cap:
+            rows = rows[np.argsort(sh.df[rows])[::-1][:cap]]
+        H = len(rows)
+        scores32 = scores64.astype(np.float32)
+        lens = np.diff(src.term_starts)
+        dense_sc = np.zeros((H, N_pad), dtype=np.float32)
+        dense_tf = np.zeros((H, N_pad), dtype=np.int32)
+        for slot, r in enumerate(rows.tolist()):
+            s = int(src.term_starts[r])
+            m = min(int(src.df[r]), int(lens[r]))
+            docs = src.postings_doc[s : s + m]
+            dense_sc[slot, docs] = scores32[s : s + m]
+            dense_tf[slot, docs] = src.postings_tf[s : s + m]
+            self._dense_slot[r] = slot
+        self._dense_H = H
+        NBg = N_pad // BLOCK
+        blockmax = dense_sc.reshape(H, NBg, BLOCK).max(axis=2)
+        shard_spec = NamedSharding(self.mesh, P("d"))
+        self.d_dense_sc = jax.device_put(
+            np.ascontiguousarray(
+                dense_sc.reshape(H, D, self._npd).transpose(1, 0, 2)),
+            shard_spec)
+        self.d_dense_tf = jax.device_put(
+            np.ascontiguousarray(
+                dense_tf.reshape(H, D, self._npd).transpose(1, 0, 2)),
+            shard_spec)
+        self.d_dense_blockmax = jax.device_put(
+            np.ascontiguousarray(
+                blockmax.reshape(H, D, self._npd // BLOCK)
+                .transpose(1, 0, 2)),
+            shard_spec)
+
+    def _serve_single_term(self, qi: int, row: int, q: SearchQuery,
+                           results) -> bool:
+        """Host impact-table answer (device.py analog); False = deeper
+        than the table, go through the device path."""
+        tt_starts, tt_docs, tt_scores = self._tt
+        s, e = int(tt_starts[row]), int(tt_starts[row + 1])
+        cnt = e - s
+        if q.n_results > cnt and int(self.sharded.df[row]) > cnt:
+            return False
+        take = min(q.n_results, cnt)
+        self._fill_result(results[qi], tt_docs[s : s + take],
+                          tt_scores[s : s + take], [row], q)
+        return True
 
     def lookup(self, term: str) -> int:
         return self.term_to_row.get(term, -1)
@@ -454,9 +760,11 @@ class ShardedEngine:
 
     def _finalize_group(self, results, docs, tfs_slot, group, slot_of,
                         idf64_q, ks, is_phrase: bool,
-                        force_host=None) -> None:
+                        force_host=None, force_always=None) -> None:
         """Exact f64 re-rank + tie-class truncation guard + snippets —
-        the sharded mirror of TpuEngine._finalize_arrays."""
+        the sharded mirror of TpuEngine._finalize_arrays. force_host
+        (boundary-class truncation) forces only under strict_parity;
+        force_always (prune-guard misses etc.) always forces."""
         from wiser_tpu.engine.topk import (rescore_sorted_arrays,
                                            truncation_suspects)
 
@@ -469,6 +777,8 @@ class ShardedEngine:
         suspects = truncation_suspects(score_f, n_valid, ks)
         if force_host is not None and self.strict_parity:
             suspects = suspects | force_host[: len(suspects)]
+        if force_always is not None:
+            suspects = suspects | force_always[: len(suspects)]
         for i, (qi, rows, q) in enumerate(group):
             if suspects[i]:
                 d, s = self._host_exact(rows, int(ks[i]), is_phrase)
@@ -491,11 +801,25 @@ class ShardedEngine:
         results = [SearchResult() for _ in queries]
         planned = []
         phrase = []
+        # request coalescing (device.py analog): identical queries in a
+        # batch execute once and fan out
+        dedup: Dict[tuple, int] = {}
+        dups: List[tuple] = []
         for qi, q in enumerate(queries):
             if q.n_results <= 0 or not q.terms:
                 continue
             rows = [self.lookup(t) for t in q.terms]
             if any(r < 0 for r in rows):
+                continue
+            key = (tuple(rows), q.n_results, q.is_phrase,
+                   q.return_snippets, q.n_snippet_passages)
+            prim = dedup.get(key)
+            if prim is not None:
+                dups.append((qi, prim))
+                continue
+            dedup[key] = qi
+            if (len(rows) == 1 and self._tt is not None
+                    and self._serve_single_term(qi, rows[0], q, results)):
                 continue
             if q.is_phrase and len(rows) >= 2:
                 phrase.append((qi, rows, q))
@@ -505,6 +829,27 @@ class ShardedEngine:
         pending = self._run_phrase(phrase, results)
         planned, host_pending = self._route_saturated(planned, is_phrase=False)
         pending += host_pending
+
+        # df-tier routing (device.py analog): all-head -> dense scan;
+        # tail candidate x any head other -> semi-dense; rest -> bs
+        bs_items = []
+        dense_items = []
+        semi_items = []
+        for item in planned:
+            _, rows, _ = item
+            if self._dense_H and len(rows) > 1:
+                ds = [int(self._dense_slot[r]) for r in rows]
+                if all(s >= 0 for s in ds):
+                    dense_items.append(item)
+                    continue
+                cand = int(np.argmin([self.sharded.df[r] for r in rows]))
+                if any(s >= 0 for t, s in enumerate(ds) if t != cand):
+                    semi_items.append(item)
+                    continue
+            bs_items.append(item)
+        pending += self._submit_dense(dense_items, results)
+        pending += self._submit_semidense(semi_items, results)
+        planned = bs_items
 
         groups: Dict[Tuple[int, int], list] = {}
         for item in planned:
@@ -554,4 +899,156 @@ class ShardedEngine:
                                      force_host=np.asarray(trunc))
 
             pending.append(finalize)
+
+        if dups:
+            def copy_dups(res_list, dups=dups):
+                for dqi, pqi in dups:
+                    src, dst = res_list[pqi], res_list[dqi]
+                    if src._docs is not None:
+                        dst.set_arrays(src._docs, src._scores)
+                        dst._entries = list(src._entries)
+                    else:
+                        dst._entries = list(src._entries)
+
+            copy_dups.barrier = True  # reads primaries' results: run last
+            pending.append(copy_dups)
         return results, pending
+
+    # -- dense / semi-dense mesh routes --------------------------------
+
+    def _submit_dense(self, items, results) -> list:
+        """All-head conjunctions via the sharded dense scan (pruned when
+        each shard has enough 128-blocks to make block-max selection
+        worthwhile, mirroring device.py thresholds on the LOCAL slice)."""
+        if not items:
+            return []
+        pending = []
+        repl = NamedSharding(self.mesh, P())
+        NB = self._npd // BLOCK
+        C = self.PRUNED_DENSE_C
+        pruned = NB >= max(self.PRUNED_DENSE_MIN_NB, C + 1)
+        eps3 = 3.0e-6
+        groups: Dict[int, list] = {}
+        for item in items:
+            groups.setdefault(_bucket(len(item[1]), T_BUCKETS),
+                              []).append(item)
+        for T, group in groups.items():
+            B = _bucket(len(group), B_BUCKETS)
+            slots = np.zeros((B, T), dtype=np.int32)
+            use = np.zeros((B, T), dtype=np.float32)
+            idf64_q = np.zeros((B, T), dtype=np.float64)
+            slot_of = np.tile(np.arange(T, dtype=np.int64), (B, 1))
+            ks = np.zeros(B, dtype=np.int32)
+            for i, (_, rows, q) in enumerate(group):
+                ks[i] = q.n_results
+                for t in range(T):
+                    r = rows[t] if t < len(rows) else rows[0]
+                    slots[i, t] = self._dense_slot[r]
+                    if t < len(rows):
+                        use[i, t] = 1.0
+                        idf64_q[i, t] = self.sharded.idf64[r]
+            M = min(int(ks.max(initial=1)) + self.margin, self._npd)
+            if pruned:
+                kern = make_sharded_pruned_dense_kernel(
+                    T, NB, C, M, eps3, self.mesh)
+                out = kern(self.d_dense_sc, self.d_dense_tf,
+                           self.d_dense_blockmax,
+                           jax.device_put(slots, repl),
+                           jax.device_put(use, repl),
+                           jax.device_put(ks, repl))
+            else:
+                kern = make_sharded_dense_kernel(T, self._npd, M, self.mesh)
+                out = kern(self.d_dense_sc, self.d_dense_tf,
+                           jax.device_put(slots, repl),
+                           jax.device_put(use, repl))
+
+            def finalize(res_list, out=out, group=group, T=T,
+                         slot_of=slot_of, idf64_q=idf64_q, ks=ks):
+                packed = np.asarray(out)  # full B rows (group <= B)
+                flags = packed[:, T + 1, 0]
+                self._finalize_group(
+                    res_list, packed[:, 0, :], packed[:, 1 : T + 1, :],
+                    group, slot_of, idf64_q, ks, is_phrase=False,
+                    force_host=(flags & K.FLAG_TRUNC) != 0,
+                    force_always=(flags & (K.FLAG_OVERFLOW | K.FLAG_TF_SAT
+                                           | K.FLAG_PRUNE_MISS)) != 0)
+
+            pending.append(finalize)
+        return pending
+
+    def _submit_semidense(self, items, results) -> list:
+        """Tail-candidate x (dense + small-bs) others via the sharded
+        mixed semi-dense kernel (device.py _submit_semidense, doc-
+        partitioned). Slot layout: 0 = candidate, 1..n_bs = non-dense
+        others, rest = dense others; pads repeat the first dense slot."""
+        if not items:
+            return []
+        pending = []
+        repl = NamedSharding(self.mesh, P())
+        groups: Dict[tuple, list] = {}
+        bs_df_max: Dict[tuple, int] = {}
+        for item in items:
+            _, rows, _ = item
+            cand = int(np.argmin([self.sharded.df[r] for r in rows]))
+            bs_rows = [r for t, r in enumerate(rows)
+                       if t != cand and self._dense_slot[r] < 0]
+            T = _bucket(len(rows), T_BUCKETS)
+            L = _bucket(int(self._df_shard_max[rows[cand]]), L_BUCKETS)
+            key = (T, L, len(bs_rows))
+            groups.setdefault(key, []).append(item)
+            if bs_rows:
+                mx = max(int(self._df_shard_max[r]) for r in bs_rows)
+                bs_df_max[key] = max(bs_df_max.get(key, 0), mx)
+        for (T, L, NBs), group in groups.items():
+            n_it = K.n_iters_for(_bucket(bs_df_max.get((T, L, NBs), 1),
+                                         L_BUCKETS)) if NBs else 0
+            B = _bucket(len(group), B_BUCKETS)
+            rows_arr = np.zeros((B, T), dtype=np.int32)
+            use = np.zeros((B, T), dtype=np.float32)
+            slots = np.zeros((B, T), dtype=np.int32)
+            idf64_q = np.zeros((B, T), dtype=np.float64)
+            slot_of = np.zeros((B, T), dtype=np.int64)
+            ks = np.zeros(B, dtype=np.int32)
+            for i, (_, rows, q) in enumerate(group):
+                cand = int(np.argmin([self.sharded.df[r] for r in rows]))
+                others = [t for t in range(len(rows)) if t != cand]
+                bs_t = [t for t in others if self._dense_slot[rows[t]] < 0]
+                dn_t = [t for t in others if self._dense_slot[rows[t]] >= 0]
+                order = [cand] + bs_t + dn_t
+                ks[i] = q.n_results
+                first_dense = 1 + len(bs_t)
+                for slot, t in enumerate(order):
+                    r = rows[t]
+                    rows_arr[i, slot] = r
+                    if slot >= first_dense:
+                        slots[i, slot] = self._dense_slot[r]
+                    use[i, slot] = 1.0
+                    slot_of[i, t] = slot
+                for slot in range(len(order), T):  # padded slots
+                    rows_arr[i, slot] = rows_arr[i, first_dense]
+                    slots[i, slot] = slots[i, first_dense]
+                for t, r in enumerate(rows):
+                    idf64_q[i, t] = self.sharded.idf64[r]
+            M = min(L, int(ks.max(initial=1)) + self.margin)
+            kern = make_sharded_semidense_kernel(
+                T, L, M, self._npd, NBs, n_it, self.mesh)
+            out = kern(self.d_postings_doc, self.d_postings_score,
+                       self.d_postings_tf, self.d_term_starts,
+                       self.d_df_shard, self.d_dense_sc, self.d_dense_tf,
+                       jax.device_put(rows_arr, repl),
+                       jax.device_put(use, repl),
+                       jax.device_put(slots, repl))
+
+            def finalize(res_list, out=out, group=group, T=T,
+                         slot_of=slot_of, idf64_q=idf64_q, ks=ks):
+                packed = np.asarray(out)  # full B rows (group <= B)
+                flags = packed[:, T + 1, 0]
+                self._finalize_group(
+                    res_list, packed[:, 0, :], packed[:, 1 : T + 1, :],
+                    group, slot_of, idf64_q, ks, is_phrase=False,
+                    force_host=(flags & K.FLAG_TRUNC) != 0,
+                    force_always=(flags & (K.FLAG_OVERFLOW | K.FLAG_TF_SAT
+                                           | K.FLAG_PRUNE_MISS)) != 0)
+
+            pending.append(finalize)
+        return pending

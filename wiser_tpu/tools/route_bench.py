@@ -104,6 +104,8 @@ def build_route_sets(packed, engine, n: int, k: int, seed=3):
 def run_set(engine, queries, batch):
     for i in range(0, len(queries), batch):  # warmup/compile pass
         engine.search_batch(queries[i : i + batch])
+    if hasattr(engine, "stats_take"):
+        engine.stats_take()  # reset: attribute counters to the timed pass
     t0 = time.time()
     done = 0
     n_dispatch = 0
@@ -115,16 +117,23 @@ def run_set(engine, queries, batch):
         submit_s += time.time() - ts
         n_dispatch += len(pending)
         ts = time.time()
-        for f in pending:
-            f(res)
+        if hasattr(engine, "run_pending"):
+            engine.run_pending(res, pending)
+        else:
+            for f in pending:
+                f(res)
         final_s += time.time() - ts
         done += len(res)
     wall = time.time() - t0
-    return {"qps": round(done / wall, 1), "wall_s": round(wall, 2),
-            "n": done, "per_query_us": round(1e6 * wall / max(done, 1), 1),
-            "dispatch_groups": n_dispatch,
-            "submit_s": round(submit_s, 2),  # host planning + async dispatch
-            "finalize_s": round(final_s, 2)}  # fetch waits + host re-rank
+    out = {"qps": round(done / wall, 1), "wall_s": round(wall, 2),
+           "n": done, "per_query_us": round(1e6 * wall / max(done, 1), 1),
+           "dispatch_groups": n_dispatch,
+           "submit_s": round(submit_s, 2),  # host planning + async dispatch
+           "finalize_s": round(final_s, 2)}  # fetch waits + host re-rank
+    if hasattr(engine, "stats_take"):
+        out["stats"] = {k: round(v, 3) for k, v in
+                        sorted(engine.stats_take().items())}
+    return out
 
 
 def main(argv=None):
