@@ -79,6 +79,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.wiser_lz4_compress.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
         lib.wiser_lz4_decompress.restype = ctypes.c_int64
         lib.wiser_lz4_decompress.argtypes = [u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+        lib.wiser_linedoc_chunk.restype = ctypes.c_int64
+        lib.wiser_linedoc_chunk.argtypes = [u8p, i64p, ctypes.c_int64, i64p,
+                                            i64p, ctypes.c_int64, ctypes.c_int,
+                                            u8p, ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -162,6 +166,31 @@ def lz4_decompress(data: bytes, out_len: int) -> bytes:
     if n != out_len:
         raise RuntimeError("lz4 decompress failed")
     return dst[:out_len].tobytes()
+
+
+def linedoc_chunk(vocab_blob: np.ndarray, vocab_offs: np.ndarray,
+                  ids: np.ndarray, bounds: np.ndarray,
+                  with_blooms: bool) -> Optional[bytes]:
+    """Assemble one chunk of canonical linedoc rows (data/scale_corpus
+    layout) from flat token ids; returns the row bytes (each row
+    newline-terminated) or None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    bounds = np.ascontiguousarray(bounds, dtype=np.int64)
+    vocab_offs = np.ascontiguousarray(vocab_offs, dtype=np.int64)
+    n_vocab = len(vocab_offs) - 1
+    cap = int(len(ids)) * 140 + int(len(bounds)) * 64 + 4096
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        n = lib.wiser_linedoc_chunk(
+            _u8(vocab_blob), _i64(vocab_offs), n_vocab, _i64(ids),
+            _i64(bounds), len(bounds) - 1, 1 if with_blooms else 0,
+            _u8(out), cap)
+        if n >= 0:
+            return out[:n].tobytes()
+        cap *= 2
 
 
 def pack_blocks(vals: np.ndarray, widths: np.ndarray) -> np.ndarray:

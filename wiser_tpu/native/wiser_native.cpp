@@ -298,3 +298,161 @@ int64_t wiser_lz4_decompress(const uint8_t* src, int64_t n, uint8_t* dst,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Linedoc chunk assembler — the string-building half of
+// data/scale_corpus.generate_linedoc (the reference generates its linedocs
+// with scripts/generate_linedoc.py on many cores; this box has ONE, so the
+// per-token Python grouping loop caps corpus synthesis at ~270 docs/s).
+// Python keeps the RNG draws (vocab + Zipf token ids, bit-identical
+// sequences); this function turns one chunk's flat token ids into the
+// canonical linedoc rows: body, first-occurrence-unique tokenized column,
+// ";"-grouped offsets/positions, and optional sorted-unique neighbor bloom
+// columns, matching the Python writer byte-for-byte (verified by test).
+// ---------------------------------------------------------------------------
+
+#include <string>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+struct TermGroup {
+  std::vector<int32_t> pos;
+  std::vector<int64_t> off_start, off_end;
+  std::vector<int32_t> ends_set, begins_set;  // neighbor term ids (unsorted)
+};
+
+inline void append_int(std::string& s, int64_t v) {
+  char buf[24];
+  int n = snprintf(buf, sizeof buf, "%lld", (long long)v);
+  s.append(buf, n);
+}
+
+}  // namespace
+
+extern "C" {
+
+// vocab_blob/vocab_offs: concatenated word bytes + int64[n_vocab+1] offsets.
+// ids: int64[total] flat token ids; bounds: int64[n_docs+1] doc boundaries.
+// out/out_cap: destination buffer; returns bytes written, or -1 if the
+// buffer is too small (caller grows and retries).
+int64_t wiser_linedoc_chunk(const uint8_t* vocab_blob, const int64_t* vocab_offs,
+                            int64_t n_vocab, const int64_t* ids,
+                            const int64_t* bounds, int64_t n_docs,
+                            int with_blooms, uint8_t* out, int64_t out_cap) {
+  std::string row;
+  std::vector<TermGroup> groups;
+  std::vector<int32_t> uniq;
+  std::vector<int32_t> slot_of(n_vocab, -1);
+  std::vector<const char*> wptr(n_vocab);
+  std::vector<int32_t> wlen(n_vocab);
+  for (int64_t t = 0; t < n_vocab; t++) {
+    wptr[t] = (const char*)vocab_blob + vocab_offs[t];
+    wlen[t] = (int32_t)(vocab_offs[t + 1] - vocab_offs[t]);
+  }
+  int64_t written = 0;
+  std::vector<std::string> neigh;  // scratch for sorted bloom words
+  for (int64_t d = 0; d < n_docs; d++) {
+    const int64_t* tok = ids + bounds[d];
+    int64_t n = bounds[d + 1] - bounds[d];
+    row.clear();
+    row += "d\t";
+    // body + per-token char starts (start_i = sum of len+1 of previous)
+    std::vector<int64_t> starts(n);
+    int64_t cur = 0;
+    for (int64_t i = 0; i < n; i++) {
+      int32_t t = (int32_t)tok[i];
+      starts[i] = cur;
+      row.append(wptr[t], wlen[t]);
+      cur += wlen[t] + 1;
+      if (i + 1 < n) row += ' ';
+    }
+    row += '\t';
+    // group by term in first-occurrence order
+    uniq.clear();
+    for (int64_t i = 0; i < n; i++) {
+      int32_t t = (int32_t)tok[i];
+      int32_t s = slot_of[t];
+      if (s < 0) {
+        s = (int32_t)uniq.size();
+        slot_of[t] = s;
+        uniq.push_back(t);
+        if ((size_t)s == groups.size()) groups.emplace_back();
+      }
+      TermGroup& g = groups[s];
+      g.pos.push_back((int32_t)i);
+      g.off_start.push_back(starts[i]);
+      g.off_end.push_back(starts[i] + wlen[t] - 1);  // inclusive
+      if (with_blooms) {
+        if (i + 1 < n) g.ends_set.push_back((int32_t)tok[i + 1]);
+        if (i > 0) g.begins_set.push_back((int32_t)tok[i - 1]);
+      }
+    }
+    // tokenized column
+    for (size_t u = 0; u < uniq.size(); u++) {
+      if (u) row += ' ';
+      row.append(wptr[uniq[u]], wlen[uniq[u]]);
+    }
+    row += '\t';
+    // offsets column: "a,b;c,d;." per group
+    for (size_t u = 0; u < uniq.size(); u++) {
+      TermGroup& g = groups[u];
+      for (size_t j = 0; j < g.pos.size(); j++) {
+        if (j) row += ';';
+        append_int(row, g.off_start[j]);
+        row += ',';
+        append_int(row, g.off_end[j]);
+      }
+      row += ";.";
+    }
+    row += '\t';
+    // positions column: "p1;p2;." per group
+    for (size_t u = 0; u < uniq.size(); u++) {
+      TermGroup& g = groups[u];
+      for (size_t j = 0; j < g.pos.size(); j++) {
+        if (j) row += ';';
+        append_int(row, g.pos[j]);
+      }
+      row += ";.";
+    }
+    if (with_blooms) {
+      for (int side = 0; side < 2; side++) {
+        row += '\t';
+        for (size_t u = 0; u < uniq.size(); u++) {
+          TermGroup& g = groups[u];
+          std::vector<int32_t>& ids_set = side ? g.begins_set : g.ends_set;
+          std::sort(ids_set.begin(), ids_set.end());
+          ids_set.erase(std::unique(ids_set.begin(), ids_set.end()),
+                        ids_set.end());
+          neigh.clear();
+          for (int32_t t : ids_set) neigh.emplace_back(wptr[t], wlen[t]);
+          std::sort(neigh.begin(), neigh.end());
+          for (size_t j = 0; j < neigh.size(); j++) {
+            if (j) row += ' ';
+            row += neigh[j];
+          }
+          row += '!';
+        }
+      }
+    }
+    row += '\n';
+    if (written + (int64_t)row.size() > out_cap) return -1;
+    memcpy(out + written, row.data(), row.size());
+    written += row.size();
+    // reset per-doc state (touch only the slots used; group vectors keep
+    // their capacity — per-doc free/realloc churn halves throughput)
+    for (int32_t t : uniq) slot_of[t] = -1;
+    for (size_t u = 0; u < uniq.size(); u++) {
+      TermGroup& g = groups[u];
+      g.pos.clear();
+      g.off_start.clear();
+      g.off_end.clear();
+      g.ends_set.clear();
+      g.begins_set.clear();
+    }
+  }
+  return written;
+}
+
+}  // extern "C"
