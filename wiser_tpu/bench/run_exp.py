@@ -42,6 +42,14 @@ class Treatment:
     # posting bytes resident and the rest is staged per batch.
     hbm_budget_frac: Optional[float] = None
     columns: str = "raw"  # raw | tc (compressed device columns)
+    # prebuilt PackedIndex directory: skip corpus synthesis and serve this
+    # index instead (the reference grid runs against a prebuilt on-flash
+    # index too; building 1M+ docs per treatment would swamp the sweep)
+    index_dir: Optional[str] = None
+    # hot-tier admission policy (engine="staged"): "df" = df-greedy prior;
+    # "qfreq" = per-term access counts from the first half of the query
+    # log (train split), evaluated on the second half
+    residency: str = "df"
 
 
 @dataclass
@@ -73,7 +81,10 @@ def default_matrix(quick: bool = False) -> List[Treatment]:
 
 
 def memory_matrix(quick: bool = False, n_docs: int = 50_000,
-                  vocab: int = 20_000, batch: int = 8192) -> List[Treatment]:
+                  vocab: int = 20_000, batch: int = 8192,
+                  index_dir: Optional[str] = None,
+                  columns: str = "raw",
+                  n_queries: Optional[int] = None) -> List[Treatment]:
     """The memory-cap grid — the reference's core experiment axis
     (run_exp.py:628-696 sweeps cgroup memory limits over a fixed engine +
     workload and reads the QPS curve). Here the cap is the HBM budget of
@@ -87,8 +98,29 @@ def memory_matrix(quick: bool = False, n_docs: int = 50_000,
         out.append(Treatment(
             name=f"membudget_{frac}", n_docs=n_docs, vocab=vocab,
             workload="aol_mix", engine="staged", hbm_budget_frac=frac,
-            n_queries=2048 if quick else 8192,
-            batch=2048 if quick else batch))
+            n_queries=2048 if quick else (n_queries or 8192),
+            batch=2048 if quick else batch, index_dir=index_dir,
+            columns=columns))
+    return out
+
+
+def residency_matrix(index_dir: Optional[str], batch: int = 8192,
+                     fracs=(0.05, 0.1, 0.25), n_queries: int = 16384,
+                     ) -> List[Treatment]:
+    """df-greedy vs workload-aware (qfreq) hot-tier admission at equal
+    budget, on a workload whose access pattern DIVERGES from df order
+    (worklocal_mix: half the queries hit a small working set of mid-df
+    terms). On pure Zipf-by-df-rank logs the two policies admit the same
+    set — divergence is what the reference's locality logs model
+    (gen_synthetic_log.py)."""
+    out = []
+    for frac in fracs:
+        for residency in ("df", "qfreq"):
+            out.append(Treatment(
+                name=f"residency_{residency}_{frac}",
+                workload="worklocal_mix", engine="staged",
+                hbm_budget_frac=frac, residency=residency,
+                n_queries=n_queries, batch=batch, index_dir=index_dir))
     return out
 
 
@@ -114,17 +146,77 @@ def build_workload(packed, oracle, t: Treatment):
         for q in qs:
             q.n_results = t.n_results
         return qs
+    if t.workload == "worklocal_mix":
+        # half the traffic hits a small working set of mid-df terms (usage
+        # hot, byte cheap), half is the Zipf-by-df-rank mix — the access
+        # pattern the locality logs model, where df order is a BAD
+        # residency predictor
+        import numpy as np
+
+        from wiser_tpu.types import SearchQuery
+
+        rng = np.random.default_rng(23)
+        order = np.argsort(np.asarray(dfs))[::-1]
+        n = len(order)
+        band = order[min(n - 1, n // 50) : max(1, n // 2)]  # mid-df band
+        ws = rng.choice(band, size=min(2000, len(band)), replace=False)
+        base = aol_shape_mixed_log(terms, dfs, t.n_queries,
+                                   n_results=t.n_results)
+        out = []
+        for q in base:
+            if rng.random() < 0.5:
+                nt = len(q.terms)
+                out.append(SearchQuery(
+                    [terms[r] for r in rng.choice(ws, size=nt)],
+                    n_results=t.n_results))
+            else:
+                out.append(q)
+        return out
     return aol_shape_mixed_log(terms, dfs, t.n_queries, n_results=t.n_results)
 
 
 def run_treatment(t: Treatment) -> ExpResult:
-    from wiser_tpu.data.synth import synth_docinfos
-    from wiser_tpu.index.builder import build_index
+    if t.index_dir:
+        from wiser_tpu.index.format import PackedIndex
 
-    docs = synth_docinfos(t.n_docs, t.vocab, t.mean_len, seed=42,
-                          with_blooms=(t.workload == "phrase"))
-    packed, oracle = build_index(docs, with_blooms=(t.workload == "phrase"))
+        packed = PackedIndex.load(t.index_dir)
+        oracle = None  # phrase mining needs the oracle; other workloads
+        # only touch terms/dfs
+    else:
+        from wiser_tpu.data.synth import synth_docinfos
+        from wiser_tpu.index.builder import build_index
+
+        docs = synth_docinfos(t.n_docs, t.vocab, t.mean_len, seed=42,
+                              with_blooms=(t.workload == "phrase"))
+        packed, oracle = build_index(
+            docs, with_blooms=(t.workload == "phrase"))
     queries = build_workload(packed, oracle, t)
+
+    term_weights = None
+    if t.engine == "staged" and t.residency == "qfreq":
+        # Workload-aware admission weight = per-BATCH presence rate from
+        # the TRAIN half (the timed run sees only the EVAL half). Staging
+        # is deduplicated per batch, so a cold term costs its run bytes
+        # once per batch it APPEARS IN, not once per query — benefit/byte
+        # of residency is the batch-presence probability (raw query
+        # counts over-admit rarely-batched tail terms and measured
+        # SLOWER than df-greedy on this very workload).
+        import numpy as np
+
+        lookup = packed.term_to_row.get
+        term_weights = np.zeros(packed.n_terms, dtype=np.int64)
+        train = queries[: len(queries) // 2]
+        win = min(t.batch, 1024)  # finer windows: same ranking, better
+        # resolution when the train split spans few engine batches
+        for b0 in range(0, len(train), win):
+            rows = {lookup(term, -1)
+                    for q in train[b0 : b0 + win] for term in q.terms}
+            rows.discard(-1)
+            for r in rows:
+                term_weights[r] += 1
+    if t.engine == "staged" and t.residency in ("df", "qfreq") \
+            and t.workload == "worklocal_mix":
+        queries = queries[len(queries) // 2 :]
 
     if t.engine == "oracle":
         t0 = time.time()
@@ -135,17 +227,19 @@ def run_treatment(t: Treatment) -> ExpResult:
 
     hot_fraction = None
     budget = None
+    doc_bodies = oracle.doc_bodies if oracle is not None else None
     if t.engine == "staged":
         from wiser_tpu.engine.staged import BYTES_PER_POSTING, StagedEngine
 
         total_bytes = int(packed.n_postings) * BYTES_PER_POSTING
         budget = int(total_bytes * (t.hbm_budget_frac or 1.0))
-        engine = StagedEngine(packed, budget, doc_bodies=oracle.doc_bodies)
+        engine = StagedEngine(packed, budget, doc_bodies=doc_bodies,
+                              columns=t.columns, term_weights=term_weights)
         hot_fraction = round(engine.hot_fraction, 4)
     else:
         from wiser_tpu.engine.device import TpuEngine
 
-        engine = TpuEngine(packed, doc_bodies=oracle.doc_bodies,
+        engine = TpuEngine(packed, doc_bodies=doc_bodies,
                            bloom_enable_factor=t.bloom_factor,
                            columns=t.columns)
     w0 = time.time()
@@ -186,9 +280,27 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=8192,
                     help="memory-grid batch width (smaller batches stage "
                          "less cold scratch per dispatch)")
+    ap.add_argument("--index", default=None,
+                    help="prebuilt PackedIndex dir (reference-scale grids)")
+    ap.add_argument("--columns", default="raw", choices=["raw", "tc"])
+    ap.add_argument("--n-queries", type=int, default=None)
+    ap.add_argument("--residency-compare", action="store_true",
+                    help="df-greedy vs workload-aware hot-tier admission "
+                         "at equal budget (worklocal_mix workload)")
     args = ap.parse_args(argv)
-    matrix = (memory_matrix(args.quick, batch=args.batch) if args.memory
-              else default_matrix(args.quick))
+
+    from wiser_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    if args.residency_compare:
+        matrix = residency_matrix(args.index, batch=args.batch,
+                                  n_queries=args.n_queries or 16384)
+    elif args.memory:
+        matrix = memory_matrix(args.quick, batch=args.batch,
+                               index_dir=args.index, columns=args.columns,
+                               n_queries=args.n_queries)
+    else:
+        matrix = default_matrix(args.quick)
     with open(args.out, "w") as f:
         for t in matrix:
             print(f"== {t.name}", file=sys.stderr)

@@ -50,12 +50,23 @@ BYTES_PER_POSTING_TC = 6  # doc + uint16 tc (compressed layout)
 
 def _hot_view(packed: PackedIndex, hbm_budget_bytes: int,
               bytes_per_posting: int = BYTES_PER_POSTING,
+              term_weights: np.ndarray = None,
               ) -> Tuple[PackedIndex, np.ndarray]:
     """Build a PackedIndex whose posting columns contain only the hottest
-    terms (greedy by df desc within budget); cold terms keep their real df
-    (global stats must stay global) but point at an empty run."""
+    terms (greedy within budget); cold terms keep their real df (global
+    stats must stay global) but point at an empty run.
+
+    Admission order: with `term_weights` (per-term expected access
+    frequency, e.g. counts from a query log), greedy by weight — the
+    benefit of residency is access_freq x staged bytes and the cost is the
+    same bytes, so benefit/byte = access_freq alone. Without weights,
+    df-greedy (the Zipf-rank prior: frequent terms are queried most)."""
     lens = np.diff(packed.term_starts)
-    order = np.argsort(packed.df)[::-1]
+    if term_weights is not None:
+        # weight desc, df desc as tiebreak (np.lexsort: last key primary)
+        order = np.lexsort((-packed.df, -np.asarray(term_weights)))
+    else:
+        order = np.argsort(packed.df)[::-1]
     budget = hbm_budget_bytes // bytes_per_posting
     hot = np.zeros(packed.n_terms, dtype=bool)
     used = 0
@@ -123,7 +134,8 @@ def _hot_view(packed: PackedIndex, hbm_budget_bytes: int,
 class StagedEngine:
     def __init__(self, packed: PackedIndex, hbm_budget_bytes: int,
                  doc_bodies=None, margin: int = 54,
-                 strict_parity: bool = False, columns: str = "raw"):
+                 strict_parity: bool = False, columns: str = "raw",
+                 term_weights: np.ndarray = None):
         # columns="tc": the HOT tier serves from compressed uint16 columns
         # (device.py) — the budget then buys ~2x the resident terms. The
         # per-batch cold scratch stays raw (it is transient and
@@ -132,7 +144,8 @@ class StagedEngine:
         self.strict_parity = strict_parity
         hot_view, self.hot_mask = _hot_view(
             packed, hbm_budget_bytes,
-            BYTES_PER_POSTING_TC if columns == "tc" else BYTES_PER_POSTING)
+            BYTES_PER_POSTING_TC if columns == "tc" else BYTES_PER_POSTING,
+            term_weights=term_weights)
         self.hot = TpuEngine(hot_view, doc_bodies=doc_bodies, margin=margin,
                              strict_parity=strict_parity, columns=columns)
         self.margin = margin
