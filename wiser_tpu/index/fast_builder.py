@@ -61,7 +61,12 @@ class _ChunkAccum:
         self.off_b: List[np.ndarray] = []
         self.off_e: List[np.ndarray] = []
         self.doc_lengths: List[np.ndarray] = []
-        self.bloom_ends_keys: List[tuple] = []  # (blob, key_bounds, entry_of)
+        # (a_hash u32, b_hash u32, entry_of i64) per chunk: neighbor keys
+        # are murmur-hashed AT PARSE TIME — holding the key strings for
+        # the whole corpus measured ~20 GB of the builder's 31 GB peak at
+        # 1M docs (100M+ small Python strings), and the bloom writer only
+        # ever needs the two hashes
+        self.bloom_ends_keys: List[tuple] = []
         self.bloom_begins_keys: List[tuple] = []
         self.n_docs = 0
 
@@ -207,32 +212,43 @@ def _accumulate_chunk(acc: _ChunkAccum, chunk: tuple,
         for colz, store in ((ends_cols, acc.bloom_ends_keys),
                             (begins_cols, acc.bloom_begins_keys)):
             keys, entry_of = _parse_bloom_col(colz, E, "bloom")
-            store.append((keys, entry_of + entry_base))
+            a, b = _hash_bloom_keys(keys)
+            store.append((a, b, entry_of + entry_base))
     acc.n_docs += n_docs
+
+
+def _hash_bloom_keys(keys: List[str]) -> Tuple[np.ndarray, np.ndarray]:
+    """Double-hash pass over neighbor keys (libbloom's a + i*b probe
+    sequence needs exactly these two murmur values per key)."""
+    from wiser_tpu.native.lib import murmur2_batch_seeded
+
+    if not keys:
+        z = np.zeros(0, dtype=np.uint32)
+        return z, z
+    blob = "\x00".join(keys).encode("utf-8")
+    lens = np.fromiter((len(k.encode("utf-8")) for k in keys),
+                       dtype=np.int64, count=len(keys))
+    starts = np.zeros(len(keys), dtype=np.int64)
+    np.cumsum(lens[:-1] + 1, out=starts[1:])
+    ends = starts + lens
+    a = murmur2_batch_seeded(blob, starts, ends, None)  # seed=MURMUR
+    b = murmur2_batch_seeded(blob, starts, ends, a)
+    return a, b
 
 
 def _bloom_rows(key_chunks, n_entries: int, order_inv: np.ndarray,
                 pidx: np.ndarray, P: int, cfg: BloomConfig) -> np.ndarray:
-    """Build columnar bloom rows (P, n_words) from (keys, entry_of)
-    chunks. entry ids are pre-sort; order_inv maps them to sorted entry
-    order, pidx maps sorted entries to padded posting indices."""
-    from wiser_tpu.native.lib import murmur2_batch_seeded
-
+    """Build columnar bloom rows (P, n_words) from pre-hashed
+    (a, b, entry_of) chunks. entry ids are pre-sort; order_inv maps them
+    to sorted entry order, pidx maps sorted entries to padded posting
+    indices."""
     rows = np.zeros((P, cfg.n_words), dtype=np.uint32)
     H = cfg.n_hashes
     bits = np.uint64(cfg.bits)
     i_h = np.arange(H, dtype=np.uint64)[None, :]
-    for keys, entry_of in key_chunks:
-        if not keys:
+    for a, b, entry_of in key_chunks:
+        if not len(a):
             continue
-        blob = "\x00".join(keys).encode("utf-8")
-        lens = np.fromiter((len(k.encode("utf-8")) for k in keys),
-                           dtype=np.int64, count=len(keys))
-        starts = np.zeros(len(keys), dtype=np.int64)
-        np.cumsum(lens[:-1] + 1, out=starts[1:])
-        ends = starts + lens
-        a = murmur2_batch_seeded(blob, starts, ends, None)  # seed=MURMUR
-        b = murmur2_batch_seeded(blob, starts, ends, a)
         x = ((a.astype(np.uint64)[:, None] + i_h * b.astype(np.uint64)[:, None])
              & np.uint64(0xFFFFFFFF)) % bits
         word = (x // 32).astype(np.int64)

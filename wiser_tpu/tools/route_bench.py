@@ -21,6 +21,35 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def build_phrase_route_sets(packed, engine, linedoc: str, n: int, k: int,
+                            seed=3):
+    """Phrase routes from text-mined adjacent pairs, split by the tier
+    that executes them: list (compact fused kernel), mega (pruned dense
+    phrase scan), mixed (one dense + one list term)."""
+    from wiser_tpu.tools.scale_bench import mine_phrases_from_linedoc
+    from wiser_tpu.types import SearchQuery
+
+    rng = np.random.default_rng(seed)
+    pairs = mine_phrases_from_linedoc(linedoc, packed, max_pairs=4000)
+    if not pairs:
+        return {}
+    dense = lambda t: engine._dense_slot[packed.lookup(t)] >= 0
+    classes = {"phrase_list": [], "phrase_mega": [], "phrase_mixed": []}
+    for a, b in pairs:
+        da, db = dense(a), dense(b)
+        key = ("phrase_mega" if (da and db)
+               else "phrase_list" if not (da or db) else "phrase_mixed")
+        classes[key].append((a, b))
+    sets = {}
+    for name, cls in classes.items():
+        if not cls:
+            continue
+        idx = rng.integers(0, len(cls), size=n)
+        sets[name] = [SearchQuery(list(cls[i]), n_results=k, is_phrase=True)
+                      for i in idx]
+    return sets
+
+
 def build_route_sets(packed, engine, n: int, k: int, seed=3):
     """Query sets keyed by the route they exercise, derived from df/tier
     boundaries the same way the planner routes them."""
@@ -145,6 +174,8 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--routes", default=None, help="comma-separated subset")
+    ap.add_argument("--linedoc", default=None,
+                    help="mine adjacent pairs for the phrase routes")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -162,6 +193,9 @@ def main(argv=None):
                        coarse_buckets=args.coarse_buckets)
     log(f"engine up; columns={args.columns}; dense_H={engine._dense_H}")
     sets = build_route_sets(packed, engine, args.n_queries, args.k)
+    if args.linedoc:
+        sets.update(build_phrase_route_sets(
+            packed, engine, args.linedoc, min(args.n_queries, 4096), args.k))
     if args.routes:
         keep = set(args.routes.split(","))
         sets = {k: v for k, v in sets.items() if k in keep}
