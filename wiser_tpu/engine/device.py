@@ -358,14 +358,26 @@ class TpuEngine:
 
     # -- dense head-term rows --------------------------------------------
 
-    # terms with df >= n_docs/96 get dense rows (budget-capped, largest
-    # df first). The wider tier converts most mixed-kernel bs-others
-    # (mid-df terms) into one-gather dense slots — the bs slots'
-    # n_iters x L element gathers measured ~80ms/query at (T=3,
-    # L=32768) on the 1M corpus even over short spans. Round-1 note:
-    # fraction 8 was too coarse (host-merge fallbacks at 57 QPS);
-    # fraction 32 left a heavy bs tail.
-    DENSE_MIN_DF_FRACTION = 96
+    # terms with df >= n_docs/DENSE_ELIGIBLE_FRACTION are ELIGIBLE for
+    # dense rows (budget-capped, largest df first). The wider tier
+    # converts most mixed-kernel bs-others (mid-df terms) into one-gather
+    # dense slots — the bs slots' n_iters x L element gathers measured
+    # ~80ms/query at (T=3, L=32768) on the 1M corpus even over short
+    # spans, and the windowed route runs ~590us/q vs semidense's ~190
+    # (round-3 route profile). Round-1 note: fraction 8 was too coarse
+    # (host-merge fallbacks at 57 QPS); fraction 32 left a heavy bs tail.
+    # The budget cap is the real limiter: raw rows cost 8 B/doc (at 1M
+    # docs the 3.76 GB default budget saturates at ~470 rows), tc rows 2.
+    DENSE_ELIGIBLE_FRACTION = 384
+    # ALL-dense conjunctions route to the doc-space (pruned) dense scan
+    # only when plentiful: candidate df above SEMI_FROM_DENSE_MAX_CAND_L
+    # or expected intersection >= 4k. Sparse all-head combos (random
+    # head triples: expected matches << k) made the prune guard flag
+    # ~95% of queries to host — the top-C ub blocks rarely contain the
+    # few (or zero) true matches; the semidense kernel answers the same
+    # queries exactly with L x (T-1) gathers and no flag tail.
+    DENSE_MIN_DF_FRACTION = 96  # retained: min-df for the ALL-dense route
+    SEMI_FROM_DENSE_MAX_CAND_L = 16384
     DENSE_MIN_DF_FLOOR = 1024  # class attr so tests/dryruns can shrink it
     # block-max pruning (kernels.make_pruned_dense_kernel): engage when
     # the doc space exceeds PRUNED_DENSE_MIN_NB 128-doc blocks — below
@@ -387,7 +399,7 @@ class TpuEngine:
         n = packed.n_docs
         self._dense_slot = np.full(packed.n_terms, -1, dtype=np.int32)
         dense_min = max(self.DENSE_MIN_DF_FLOOR,
-                        n // self.DENSE_MIN_DF_FRACTION)
+                        n // self.DENSE_ELIGIBLE_FRACTION)
         rows = np.nonzero(packed.df >= dense_min)[0]
         if len(rows) == 0:
             return
@@ -811,6 +823,21 @@ class TpuEngine:
         if self._dense_H:
             slot_dense = self._dense_slot[rows_pad] >= 0
             all_dense = np.all(slot_dense | ~valid, axis=1) & (n_terms > 1)
+            # sparse all-head combos go SEMIDENSE: the prune guard can
+            # only prove exactness when the top-C blocks hold >= k
+            # matches, so expected-intersection-poor queries (random head
+            # triples: ~95% flag rate measured at 1M) would all fall back
+            # to host. Expected matches under independence =
+            # N * prod(df_i/N); semidense answers exactly at L x (T-1)
+            # gathers when the candidate list is small enough.
+            with np.errstate(divide="ignore"):
+                log_df = np.where(valid, np.log(np.maximum(dfs, 1)), 0.0)
+            logN = np.log(max(self.packed.n_docs, 1))
+            exp_matches = np.exp(
+                log_df.sum(axis=1) - (n_terms - 1) * logN)
+            all_dense &= ((cand_df.astype(np.int64)
+                           > self.SEMI_FROM_DENSE_MAX_CAND_L)
+                          | (exp_matches >= 4.0 * ks))
             if all_dense.any():
                 dm = np.nonzero(all_dense)[0]
                 pending += self._submit_dense(
@@ -851,7 +878,12 @@ class TpuEngine:
             idxs = np.arange(rows_pad.shape[1], dtype=np.int32)[None, :]
             any_dense_other = np.any(
                 slot_dense & valid & (idxs != cand[:, None]), axis=1)
-            semi = (n_terms > 1) & any_dense_other & ~windowed & ~saturated
+            # semidense OUTRANKS the windowed kernel when a dense other
+            # exists: one doc-indexed gather per lane (~190-220us/q
+            # measured at 1M) vs the windowed block compare's eq-tensor
+            # traffic (~590us/q); with the widened dense-eligibility tier
+            # this absorbs most former windowed traffic in tc mode.
+            semi = (n_terms > 1) & any_dense_other & ~saturated
             if semi.any():
                 sm = np.nonzero(semi)[0]
                 pending += self._submit_semidense(
