@@ -1674,6 +1674,13 @@ class TpuEngine:
             _bucket(int(self.packed.max_tf[pq.rows[0]]), PP_BUCKETS),
             _bucket(max(int(self.packed.max_tf[r]) for r in pq.rows),
                     PP_BUCKETS),  # PW: every term's bag (window verify)
+            # semidense match stage: every non-candidate term dense ->
+            # dense-plane membership + KV compaction replaces the L-wide
+            # bs match AND the L-wide bloom gate
+            # (kernels.make_semidense_phrase_kernel); only worthwhile
+            # where the compact path would run L-wide stages
+            _bucket(int(self.packed.df[pq.slot_rows[0]]), self._lb) > KVp
+            and all(self._dense_slot[r] >= 0 for r in pq.slot_rows[1:]),
         )
         # phrase verify tensors are (B, PP, L) x T-ish (or (B, KV, PP,
         # PW) compares plus (B, T, L) match tensors on the compacted
@@ -1681,7 +1688,7 @@ class TpuEngine:
         # compact-path match stage keeps ~(T + bloom W + bs temps)
         # L-wide int32 planes live — budget ~10 L-lanes per query
         # (B=1024 at L=32768 compiled to a 19.4G HBM program and OOMed)
-        for (T, L, PP, PW), group in self._chunked_groups(
+        for (T, L, PP, PW, sd), group in self._chunked_groups(
                 planned, keyfn,
                 lanes_of=lambda k: (max(10 * k[1], k[0] * KVp * k[3],
                                         KVp * k[2] * k[3] // 4)
@@ -1691,12 +1698,46 @@ class TpuEngine:
             (starts, ends, use_score, idf32_s, idf64_q, slot_of,
              ks) = self._assemble(group, T, buckets=self.PHRASE_B_BUCKETS)
             B = starts.shape[0]
-            probes_np = self._assemble_bloom_probes(group, T, B)
+            slots_arr = None
+            if sd:
+                slots_arr = np.zeros((B, T), dtype=np.int32)
+                for bi, pq in enumerate(group):
+                    for t, r in enumerate(pq.slot_rows[1:], start=1):
+                        slots_arr[bi, t] = self._dense_slot[r]
+            probes_np = (None if sd
+                         else self._assemble_bloom_probes(group, T, B))
 
-            def chain(T=T, L=L, PP=PP, PW=PW, starts=starts, ends=ends,
-                      use_score=use_score, idf32_s=idf32_s, slot_of=slot_of,
-                      ks=ks, probes_np=probes_np):
+            def chain(T=T, L=L, PP=PP, PW=PW, sd=sd, starts=starts,
+                      ends=ends, use_score=use_score, idf32_s=idf32_s,
+                      slot_of=slot_of, ks=ks, probes_np=probes_np,
+                      slots_arr=slots_arr):
                 tc = self.columns == "tc"
+                if sd:
+                    # semidense match + KV compaction before every
+                    # element-gather stage; no bloom columns touched
+                    KV = self.PRUNED_PHRASE_KV
+                    M = min(KV, int(ks.max(initial=1)) + self.margin)
+                    eps3 = 3.0 * self.rel_eps
+                    kern = K.make_semidense_phrase_kernel(
+                        T, L, KV, PP, PW, M, self._n_pad_docs,
+                        K.n_iters_for(self._max_df), eps3,
+                        mode="tc" if tc else "raw")
+                    so = jnp.asarray(slot_of.astype(np.int32))
+                    kd = jnp.asarray(ks)
+                    sl = jnp.asarray(slots_arr)
+                    if tc:
+                        return kern(self.d_postings_doc,
+                                    self.d_postings_tc, self.d_avg32,
+                                    self.d_dense_tc, self.d_positions,
+                                    self.d_pos_starts,
+                                    jnp.asarray(starts), jnp.asarray(ends),
+                                    jnp.asarray(idf32_s), sl, so, kd)
+                    return kern(self.d_postings_doc,
+                                self.d_postings_score,
+                                self.d_postings_tf, self.d_dense_sc,
+                                self.d_positions, self.d_pos_starts,
+                                jnp.asarray(starts), jnp.asarray(ends),
+                                jnp.asarray(use_score), sl, so, kd)
                 if L > self.PRUNED_PHRASE_KV:
                     # fused compact pipeline: one dispatch, and only the
                     # KV best-scored surviving lanes are position-

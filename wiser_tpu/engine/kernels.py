@@ -729,6 +729,148 @@ def make_compact_phrase_kernel(T: int, L: int, KV: int, PP: int, PW: int,
 
 
 @lru_cache(maxsize=32)
+def make_semidense_phrase_kernel(T: int, L: int, KV: int, PP: int, PW: int,
+                                 M: int, N_pad: int, n_rec_iters: int,
+                                 eps3: float, mode: str = "raw"):
+    """List-path phrase pipeline whose MATCH stage is semidense: every
+    non-candidate term is a dense-tier head, so membership+score per
+    candidate lane is ONE doc-indexed gather from the (H, N_pad) dense
+    plane instead of log2(df) binary-search probes — and, following the
+    pruned dense phrase scan (_pruned_phrase_body), the candidate lanes
+    COMPACT to the KV best AND scores BEFORE any element-gather stage:
+    posting-index recovery (binary search, KV lanes only) and the window
+    position verify. The L-wide bloom gate of make_compact_phrase_kernel
+    disappears with the L-wide stages it guarded; exactness never needed
+    it (bloom passes are only ever a pruning hint — the position verify
+    is the ground truth, flash_iterators.h:994-1058).
+
+    Exactness: the (KV+1)-th AND-match score bounds every unverified
+    lane (a superset of the bloom-surviving bound the compact kernel
+    uses — same guard, weaker bound, identical proof shape), so
+    FLAG_PRUNE_MISS fires whenever it could reach the per-query k-th
+    kept phrase score. top_k's index-ascending tie order keeps the
+    compacted lanes (score desc, doc asc) — the tie canon survives.
+
+    raw: fn(postings_doc, postings_score, postings_tf, dense_sc,
+            positions, pos_starts, starts, ends, use_score,
+            slots, slot_of, ks) -> packed (B, T+2, M); tfs for every
+            slot come from postings_tf at the recovered pidx.
+    tc:  fn(postings_doc, postings_tc, avg32, dense_tc, positions,
+            pos_starts, starts, ends, idf32, slots, slot_of, ks).
+    slots: (B, T) dense rows for slots 1.. (slot 0 = candidate term,
+    unused); verify is anchored on QUERY term 0 (slot_of re-permutes)."""
+    tc_mode = mode == "tc"
+
+    def body(postings_doc, postings_score, postings_tf, postings_tc,
+             avg32, dense_a, positions, pos_starts, starts,
+             ends, use_score, idf32, slots, slot_of, ks):
+        B = starts.shape[0]
+        if tc_mode:
+            cdocs, ctc, cvalid, cs = _candidates(
+                postings_doc, postings_tc, starts, ends, L)
+            ctc = ctc.astype(jnp.int32)
+            cscore = tc_score(ctc, idf32[:, 0:1], avg32)
+        else:
+            cdocs, cscore, cvalid, cs = _candidates(
+                postings_doc, postings_score, starts, ends, L)
+        lane = jnp.arange(L, dtype=jnp.int32)
+        cpidx = cs[:, None] + lane[None, :]
+
+        a_flat = dense_a.reshape(-1)
+        doc_idx = jnp.clip(cdocs, 0, np.int32(N_pad - 1))
+        match = cvalid
+        score = cscore if tc_mode else cscore * use_score[:, 0:1]
+        payloads = []
+        for t in range(1, T):
+            idx = slots[:, t : t + 1].astype(jnp.int32) * np.int32(N_pad) \
+                + doc_idx
+            p = _gather1d(a_flat, idx)  # (B, L) tc u16 / score f32
+            payloads.append(p)
+            match = match & (p > 0)
+            if tc_mode:
+                score = score + tc_score(p.astype(jnp.int32),
+                                         idf32[:, t : t + 1], avg32)
+            else:
+                score = score + p * use_score[:, t : t + 1]
+        mscore = jnp.where(match, score, NEG_INF)
+
+        # compaction: KV best-scored AND matches (score desc, doc asc)
+        top_cs, top_cl = jax.lax.top_k(mscore, KV + 1)
+        unseen = top_cs[:, KV]  # bounds every unverified lane
+        sel_score = top_cs[:, :KV]
+        sel_l = top_cl[:, :KV]
+        sel_docs = jnp.take_along_axis(cdocs, sel_l, axis=1)
+        sel_valid = sel_score > NEG_INF
+
+        # per-term posting-index recovery over KV lanes only: matched
+        # docs are guaranteed present in every term's CSR run (the dense
+        # rows are built from those runs), so lower_bound IS the posting
+        # index; invalid lanes yield in-range garbage masked below
+        sel_cpidx = cs[:, None] + sel_l  # (B, KV)
+        targets = jnp.broadcast_to(sel_docs[:, None, :], (B, T - 1, KV))
+        lo = _binary_search(postings_doc, targets, starts[:, 1:, None],
+                            ends[:, 1:, None], n_rec_iters)
+        sel_pidx = jnp.concatenate([sel_cpidx[:, None, :], lo], axis=1)
+
+        # adjusted-position window verify in query-term order, anchored
+        # on query term 0 (slot_of re-permutes pidx)
+        pidx_q = jnp.take_along_axis(
+            sel_pidx, slot_of[:, :, None].astype(jnp.int32).repeat(KV, 2),
+            axis=1)
+        ps = _gather1d(pos_starts, pidx_q.reshape(B, -1)).reshape(B, T, KV)
+        pe = _gather1d(pos_starts,
+                       pidx_q.reshape(B, -1) + 1).reshape(B, T, KV)
+        n_matches = _verify_pos_windows(
+            positions, ps, pe, jnp.zeros((B,), dtype=jnp.int32),
+            T=T, NL=KV, PP=PP, PW=PW)
+
+        final_score = jnp.where(sel_valid & (n_matches > 0), sel_score,
+                                NEG_INF)
+        top_score, top_l = jax.lax.top_k(final_score, M)
+        top_docs = jnp.take_along_axis(sel_docs, top_l, axis=1)
+        top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
+        flags = (boundary_truncated(final_score, top_score, M)
+                 .astype(jnp.int32)
+                 | prune_guard_flag(top_score, unseen, ks, M=M, eps3=eps3))
+        if tc_mode:
+            top_ctc = jnp.take_along_axis(
+                jnp.take_along_axis(ctc, sel_l, axis=1), top_l, axis=1)
+            tfs = [jnp.where(top_docs >= 0, top_ctc & 0xFF, 0)]
+            sat = tc_saturated(top_ctc, top_docs)
+            for t in range(1, T):
+                p_i = jnp.take_along_axis(
+                    jnp.take_along_axis(payloads[t - 1], sel_l, axis=1),
+                    top_l, axis=1).astype(jnp.int32)
+                tfs.append(jnp.where(top_docs >= 0, p_i & 0xFF, 0))
+                sat = sat | tc_saturated(p_i, top_docs)
+            flags = flags | sat.astype(jnp.int32) * FLAG_TF_SAT
+        else:
+            top_pidx = jnp.take_along_axis(
+                sel_pidx, top_l[:, None, :].repeat(T, 1), axis=2)
+            top_tfs = jnp.where(top_docs[:, None, :] >= 0,
+                                _gather1d(postings_tf, top_pidx), 0)
+            return pack_with_flags(top_docs, top_tfs, flags)
+        return pack_with_flags(
+            top_docs, jnp.stack(tfs, axis=1), flags)
+
+    if tc_mode:
+        def kernel(postings_doc, postings_tc, avg32, dense_tc, positions,
+                   pos_starts, starts, ends, idf32, slots, slot_of, ks):
+            return body(postings_doc, None, None, postings_tc, avg32,
+                        dense_tc, positions, pos_starts, starts,
+                        ends, None, idf32, slots, slot_of, ks)
+    else:
+        def kernel(postings_doc, postings_score, postings_tf, dense_sc,
+                   positions, pos_starts, starts, ends,
+                   use_score, slots, slot_of, ks):
+            return body(postings_doc, postings_score, postings_tf, None,
+                        None, dense_sc, positions, pos_starts,
+                        starts, ends, use_score, None, slots, slot_of, ks)
+
+    return jax.jit(kernel)
+
+
+@lru_cache(maxsize=32)
 def make_semidense_kernel_tc(T: int, L: int, M: int, N_pad: int,
                              n_bs: int = 0, n_bs_iters: int = 0):
     """tc-mode variant of make_semidense_kernel: dense head rows are a
