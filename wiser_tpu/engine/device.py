@@ -408,6 +408,10 @@ class TpuEngine:
         # uint16 tc lane = 2 compressed (4x the head capacity per byte)
         row_bytes = 2 if self.columns == "tc" else 8
         cap = max(1, int(budget_bytes // (self._n_pad_docs * row_bytes)))
+        # the semidense kernels flat-index (slot * N_pad + doc) in int32;
+        # cap H so the largest flat index stays < 2^31 (at 5M padded
+        # docs the tc budget cap alone would reach ~376 rows = 1.88e9)
+        cap = min(cap, (2**31 - 1) // self._n_pad_docs - 1)
         if len(rows) > cap:
             rows = rows[np.argsort(packed.df[rows])[::-1][:cap]]
         H = len(rows)
