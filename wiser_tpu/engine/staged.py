@@ -25,8 +25,10 @@ runs and run the bloomless phrase pipeline against the scratch columns.
 from __future__ import annotations
 
 from dataclasses import replace
+from functools import lru_cache
 from typing import Dict, List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -46,6 +48,36 @@ from wiser_tpu.types import SearchQuery, SearchResult
 SCRATCH_BUCKETS = [1 << 15, 1 << 17, 1 << 19, 1 << 21, 1 << 23]
 BYTES_PER_POSTING = 12  # doc + tf + score columns (raw layout)
 BYTES_PER_POSTING_TC = 6  # doc + uint16 tc (compressed layout)
+
+# packed cold transport: staged doc blocks whose delta width fits
+# PACK_WIDTH ship as bit-packed words and decode ON DEVICE
+# (ops/unpack.py — the LittleIntPacker analog finally on the serving
+# path); wider blocks (delta >= 2^16 <=> doc gaps > 65535, i.e. terms
+# with df <~ n_docs/512) ship raw in a trailing segment. The scratch is
+# transfer-bound at scale (~30 MB/s tunnel), so bytes ARE latency here.
+PACK_WIDTH = 16
+_G16_BUCKETS = [1 << 8, 1 << 10, 1 << 12, 1 << 14, 1 << 16]
+_GRAW_BUCKETS = [1 << 6, 1 << 9, 1 << 12, 1 << 16]
+
+
+@lru_cache(maxsize=64)
+def _make_doc_combine(G16: int, Graw: int, cap: int, width: int):
+    """Jitted device-side scratch-doc-column reassembly: unpack the
+    width-`width` delta blocks into [0, G16*128), then overlay the raw
+    segment at its true offset (padding junk lands in slack past the
+    last run — every consumer masks by CSR ends/cvalid)."""
+    from wiser_tpu.ops.unpack import delta_decode_docs, unpack_blocks_xla
+
+    def f(words, first, raw_flat, off_raw):
+        dec = delta_decode_docs(unpack_blocks_xla(words, width),
+                                first)
+        out = jnp.zeros((cap,), dtype=jnp.int32)
+        out = jax.lax.dynamic_update_slice(out, dec.reshape(-1), (0,))
+        if Graw:
+            out = jax.lax.dynamic_update_slice(out, raw_flat, (off_raw,))
+        return out
+
+    return jax.jit(f)
 
 
 def _hot_view(packed: PackedIndex, hbm_budget_bytes: int,
@@ -135,11 +167,21 @@ class StagedEngine:
     def __init__(self, packed: PackedIndex, hbm_budget_bytes: int,
                  doc_bodies=None, margin: int = 54,
                  strict_parity: bool = False, columns: str = "raw",
-                 term_weights: np.ndarray = None):
-        # columns="tc": the HOT tier serves from compressed uint16 columns
-        # (device.py) — the budget then buys ~2x the resident terms. The
-        # per-batch cold scratch stays raw (it is transient and
-        # bandwidth-, not capacity-, bound).
+                 term_weights: np.ndarray = None,
+                 cold_transfer: str = "packed"):
+        # columns="tc": the HOT tier serves from compressed uint16
+        # columns (device.py) — the budget then buys ~2x the resident
+        # terms — and the cold FLAT scratch ships compressed too
+        # (uint16 tc; phrase batches still stage raw score/tf, their
+        # kernels read them). cold_transfer="packed" additionally ships
+        # staged doc ids as 16-bit delta blocks decoded on device
+        # (ops/unpack.py): the cold tier is bandwidth-bound, not
+        # capacity-bound, so the win is transfer wall time (~30 MB/s
+        # tunnel): raw 12 B/posting -> ~4 (tc) / ~8 (raw columns).
+        if cold_transfer not in ("raw", "packed"):
+            raise ValueError(f"unknown cold_transfer {cold_transfer!r}")
+        self.cold_transfer = cold_transfer
+        self.columns = columns
         self.packed = packed
         self.strict_parity = strict_parity
         hot_view, self.hot_mask = _hot_view(
@@ -157,6 +199,18 @@ class StagedEngine:
         self._df32 = packed.df.astype(np.int32)
         self._lens = np.diff(packed.term_starts).astype(np.int64)
         self._max_df = int(packed.df.max(initial=1))
+        if cold_transfer == "packed":
+            from wiser_tpu.ops.unpack import doc_block_widths
+
+            # one full-column pass at init: per-term "all blocks pack at
+            # PACK_WIDTH" flag (runs are 128-aligned, so a term's blocks
+            # are a contiguous block-range; reduceat = segment max)
+            bw = doc_block_widths(packed.postings_doc)
+            tb0 = (packed.term_starts[:-1] // BLOCK).astype(np.int64)
+            self._pack16 = (np.maximum.reduceat(bw, tb0) <= PACK_WIDTH
+                            if len(bw) else np.zeros(0, dtype=bool))
+        if columns == "tc":
+            self._code_u16 = packed.doc_len_code.astype(np.uint16)
 
     @property
     def hot_fraction(self) -> float:
@@ -214,33 +268,83 @@ class StagedEngine:
     def _submit_cold(self, cold, queries, results):
         if not cold:
             return []
+        phrase = [(qi, rows, q) for qi, rows, q in cold
+                  if q.is_phrase and len(rows) >= 2]
+        flat = [(qi, rows, q) for qi, rows, q in cold
+                if not (q.is_phrase and len(rows) >= 2)]
         # stage every involved term's padded run once
         staged_terms = sorted({r for _, rows, _ in cold for r in rows})
+        packed_mode = self.cold_transfer == "packed"
+        if packed_mode:
+            # pack16-eligible runs first: the packed segment must be a
+            # contiguous prefix so decoded blocks land in place
+            staged_terms.sort(key=lambda r: (not self._pack16[r], r))
+        tc_flat = self.columns == "tc" and bool(flat)
+        # phrase kernels read raw score/tf scratch; flat tc batches skip
+        # shipping those columns entirely
+        need_raw_cols = bool(phrase) or not tc_flat
         run_lens = self._lens[staged_terms]
         offs = np.zeros(len(staged_terms) + 1, dtype=np.int64)
         np.cumsum(run_lens, out=offs[1:])
         total = int(offs[-1])
         lmax = _bucket(int(self._df32[staged_terms].max(initial=1)), L_BUCKETS)
         cap = _bucket(total + lmax, SCRATCH_BUCKETS)
+        nA = int(np.searchsorted(
+            np.fromiter((not self._pack16[r] for r in staged_terms),
+                        dtype=bool, count=len(staged_terms)), True)) \
+            if packed_mode else 0
+        A_total = int(offs[nA])
+        if packed_mode:
+            G16b = _bucket(max(A_total // BLOCK, 1), _G16_BUCKETS)
+            graw = (total - A_total + BLOCK - 1) // BLOCK
+            Grawb = _bucket(graw, _GRAW_BUCKETS) if graw else 0
+            cap = _bucket(max(total + lmax, G16b * BLOCK,
+                              A_total + Grawb * BLOCK), SCRATCH_BUCKETS)
         s_doc = np.full(cap, SENTINEL_DOC, dtype=np.int32)
-        s_tf = np.zeros(cap, dtype=np.int32)
-        s_sc = np.zeros(cap, dtype=np.float32)
+        s_tf = np.zeros(cap, dtype=np.int32) if need_raw_cols else None
+        s_sc = np.zeros(cap, dtype=np.float32) if need_raw_cols else None
+        s_tc = np.zeros(cap, dtype=np.uint16) if tc_flat else None
         scratch_start: Dict[int, int] = {}
+        pk = self.packed
         for i, r in enumerate(staged_terms):
             a, n = int(offs[i]), int(run_lens[i])
             src = int(self._starts32[r])
-            s_doc[a : a + n] = self.packed.postings_doc[src : src + n]
-            s_tf[a : a + n] = self.packed.postings_tf[src : src + n]
-            s_sc[a : a + n] = self._scores32[src : src + n]
+            docs = pk.postings_doc[src : src + n]
+            tfs = pk.postings_tf[src : src + n]
+            s_doc[a : a + n] = docs
+            if need_raw_cols:
+                s_tf[a : a + n] = tfs
+                s_sc[a : a + n] = self._scores32[src : src + n]
+            if tc_flat:
+                m = int(self._df32[r])  # real (un-padded) postings only
+                code = self._code_u16[docs[:m]]
+                s_tc[a : a + m] = (code << np.uint16(8)) | np.minimum(
+                    tfs[:m], 255).astype(np.uint16)
             scratch_start[r] = a
-        d_doc = jnp.asarray(s_doc)  # async host->device staging transfer
-        d_tf = jnp.asarray(s_tf)
-        d_sc = jnp.asarray(s_sc)
+        if packed_mode:
+            from wiser_tpu.native import lib as native
+            from wiser_tpu.ops.unpack import doc_block_deltas
 
-        phrase = [(qi, rows, q) for qi, rows, q in cold
-                  if q.is_phrase and len(rows) >= 2]
-        flat = [(qi, rows, q) for qi, rows, q in cold
-                if not (q.is_phrase and len(rows) >= 2)]
+            w = PACK_WIDTH
+            deltas, first = doc_block_deltas(s_doc[:A_total])
+            G16 = len(first)
+            words = np.zeros((G16b, 4 * w), dtype=np.uint32)
+            if G16:
+                words[:G16] = native.pack_blocks(
+                    deltas.reshape(-1), np.full(G16, w, dtype=np.uint8),
+                ).reshape(G16, 4 * w)
+            f16 = np.zeros(G16b, dtype=np.int32)
+            f16[:G16] = first
+            rawf = np.zeros(max(Grawb, 1) * BLOCK, dtype=np.int32)
+            rawf[: total - A_total] = s_doc[A_total:total]
+            comb = _make_doc_combine(G16b, Grawb, cap, w)
+            d_doc = comb(jnp.asarray(words), jnp.asarray(f16),
+                         jnp.asarray(rawf), np.int32(A_total))
+        else:
+            d_doc = jnp.asarray(s_doc)  # async host->device transfer
+        d_tf = jnp.asarray(s_tf) if need_raw_cols else None
+        d_sc = jnp.asarray(s_sc) if need_raw_cols else None
+        d_tc = jnp.asarray(s_tc) if tc_flat else None
 
         pending = []
         if phrase:
@@ -282,6 +386,7 @@ class StagedEngine:
                 starts = np.zeros((B, T), dtype=np.int32)
                 ends = np.zeros((B, T), dtype=np.int32)
                 use_score = np.zeros((B, T), dtype=np.float32)
+                idf32_s = np.zeros((B, T), dtype=np.float32)
                 idf64_q = np.zeros((B, T), dtype=np.float64)
                 slot_of = np.zeros((B, T), dtype=np.int64)
                 ks = np.zeros(B, dtype=np.int32)
@@ -299,18 +404,29 @@ class StagedEngine:
                         ends[i, slot] = scratch_start[r] + self._df32[r]
                         if slot < len(order):
                             use_score[i, slot] = 1.0
+                            idf32_s[i, slot] = np.float32(
+                                self.packed.idf64[r])
                     for slot, t in enumerate(order):
                         slot_of[i, t] = slot
                     for t, r in enumerate(rows):
                         idf64_q[i, t] = self.packed.idf64[r]
                 M = min(L, int(ks.max(initial=1)) + self.margin)
-                kern = K.make_search_kernel(T, L, M, K.n_iters_for(self._max_df))
-                out = kern(d_doc, d_sc, d_tf, jnp.asarray(starts),
-                           jnp.asarray(ends), jnp.asarray(use_score))
+                if tc_flat:
+                    kern = K.make_search_kernel(
+                        T, L, M, K.n_iters_for(self._max_df), mode="tc")
+                    out = kern(d_doc, d_tc, self.hot.d_avg32,
+                               jnp.asarray(starts), jnp.asarray(ends),
+                               jnp.asarray(idf32_s))
+                else:
+                    kern = K.make_search_kernel(
+                        T, L, M, K.n_iters_for(self._max_df))
+                    out = kern(d_doc, d_sc, d_tf, jnp.asarray(starts),
+                               jnp.asarray(ends), jnp.asarray(use_score))
 
                 def finalize(res_list, out=out, T=T, n=len(chunk), qis=qis,
                              slot_of=slot_of, idf64_q=idf64_q, ks=ks,
-                             rows_of=rows_of, queries=queries):
+                             rows_of=rows_of, queries=queries,
+                             tc_flat=tc_flat):
                     from wiser_tpu.engine.device import host_exact_search
                     from wiser_tpu.engine.topk import (
                         rescore_sorted_arrays, truncation_suspects)
@@ -348,7 +464,14 @@ class StagedEngine:
                     docs_f, score_f, n_valid = rescore_sorted_arrays(
                         top_docs, tf_q, idf64_q, self.packed.doc_len_code,
                         self.cache64)
-                    suspects = truncation_suspects(score_f, n_valid, ks)
+                    suspects = truncation_suspects(
+                        score_f, n_valid, ks,
+                        rel_eps=1e-5 if tc_flat else 1e-6)
+                    if tc_flat:
+                        # saturated tf bytes score the optimistic bound;
+                        # those queries must take the exact host path
+                        suspects = suspects | (
+                            (packed_out[:, T + 1, 0] & K.FLAG_TF_SAT) != 0)
                     if self.strict_parity:
                         suspects = suspects | (packed_out[:, T + 1, 0] != 0)
                     for i in range(n):

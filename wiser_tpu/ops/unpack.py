@@ -150,27 +150,43 @@ def delta_decode_docs(deltas_u32: jnp.ndarray, block_first: jnp.ndarray) -> jnp.
 # -- host-side packing for the compressed posting column -------------------
 
 
+def doc_block_deltas(postings_doc: np.ndarray):
+    """(G, 128) block-local delta-1 values + (G,) block-first ids for a
+    128-aligned, sentinel-padded doc column. Sentinel lanes carry the
+    previous real id (delta 0) so they pack at zero cost; consumers mask
+    by run length as usual."""
+    from wiser_tpu.index.format import SENTINEL_DOC
+
+    P = len(postings_doc)
+    assert P % BLOCK == 0
+    blocks = postings_doc.reshape(-1, BLOCK).astype(np.int64)
+    real = blocks != SENTINEL_DOC
+    carried = np.where(real, blocks, 0)
+    np.maximum.accumulate(carried, axis=1, out=carried)
+    first = carried[:, 0]
+    deltas = np.diff(carried, axis=1, prepend=carried[:, :1])
+    deltas = np.where(deltas > 0, deltas - 1, 0).astype(np.uint32)
+    return deltas, first.astype(np.int32)
+
+
+def doc_block_widths(postings_doc: np.ndarray) -> np.ndarray:
+    """(G,) uint8 per-128-block pack width (bits) of the delta stream."""
+    deltas, _ = doc_block_deltas(postings_doc)
+    return np.maximum(
+        1,
+        np.ceil(np.log2(deltas.max(axis=1).astype(np.float64) + 1.0)),
+    ).astype(np.uint8)
+
+
 def pack_doc_blocks(postings_doc: np.ndarray) -> dict:
     """Pack 128-aligned doc-id columns (sentinel-padded, as produced by the
     index builder) into width-bucketed delta blocks. Returns
     {width -> (block_ids int32[gw], words uint32[gw, 4*width])} plus the
     per-block first-doc column. Sentinel lanes pack as delta 0 (decoded
     values then repeat the previous id; consumers mask by df as usual)."""
-    from wiser_tpu.index.format import SENTINEL_DOC
     from wiser_tpu.native import lib as native
 
-    P = len(postings_doc)
-    assert P % BLOCK == 0
-    G = P // BLOCK
-    blocks = postings_doc.reshape(G, BLOCK).astype(np.int64)
-    real = blocks != SENTINEL_DOC
-    # carry last real value into sentinel lanes so deltas stay tiny
-    carried = np.where(real, blocks, 0)
-    np.maximum.accumulate(carried, axis=1, out=carried)
-    first = carried[:, 0]
-    deltas = np.diff(carried, axis=1, prepend=carried[:, :1])
-    # strictly ascending real ids -> delta >= 1; store delta-1 there
-    deltas = np.where(deltas > 0, deltas - 1, 0).astype(np.uint32)
+    deltas, first = doc_block_deltas(postings_doc)
 
     widths = np.maximum(
         1,
