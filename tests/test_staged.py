@@ -168,3 +168,48 @@ class TestHotTierBags:
         o = oracle.search(q)
         s = eng.search(q)
         assert [e.snippet for e in o.entries] == [e.snippet for e in s.entries]
+
+
+class TestColdChunking:
+    """_submit_cold must split cold sets whose staged postings exceed
+    the scratch capacity (observed live: 1M docs / 5% budget / batch
+    8192 overflowed SCRATCH_BUCKETS[-1] and _bucket's clip-to-largest
+    truncated the scratch into a broadcast error)."""
+
+    def test_oversized_cold_batch_chunks_and_matches(self, corpus,
+                                                     monkeypatch):
+        packed, oracle = corpus
+        from wiser_tpu.engine import staged as S
+
+        # shrink the chunk limit so this 400-doc corpus forces multiple
+        # chunks; keep SCRATCH_BUCKETS intact (caps stay valid)
+        monkeypatch.setattr(S, "CHUNK_LIMIT", L_BUCKETS_TOP + 4096)
+        eng = StagedEngine(packed, hbm_budget_bytes=0)
+        assert eng.hot_fraction == 0.0
+        rng = np.random.default_rng(5)
+        terms = [t for t in packed.terms if packed.lookup(t) >= 0]
+        queries = []
+        for _ in range(64):
+            k = int(rng.integers(1, 4))
+            queries.append(SearchQuery(
+                list(rng.choice(terms, size=k, replace=False)),
+                n_results=10))
+        got = eng.search_batch(queries)
+        for q, r in zip(queries, got):
+            assert_same(oracle.search(q), r, f"terms={q.terms}")
+
+    def test_single_query_over_capacity_raises(self, corpus, monkeypatch):
+        packed, _ = corpus
+        from wiser_tpu.engine import staged as S
+
+        monkeypatch.setattr(S, "CHUNK_LIMIT", L_BUCKETS_TOP)
+        eng = StagedEngine(packed, hbm_budget_bytes=0)
+        # force limit below any single run: chunker must raise, not clip
+        monkeypatch.setattr(S, "CHUNK_LIMIT", -1)
+        with pytest.raises(ValueError, match="scratch capacity"):
+            eng.search(SearchQuery([packed.terms[0]], n_results=5))
+
+
+from wiser_tpu.engine.device import L_BUCKETS as _LB  # noqa: E402
+
+L_BUCKETS_TOP = _LB[-1]

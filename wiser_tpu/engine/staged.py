@@ -45,7 +45,13 @@ from wiser_tpu.index.format import BLOCK, PackedIndex, SENTINEL_DOC
 from wiser_tpu.scoring import Bm25Similarity
 from wiser_tpu.types import SearchQuery, SearchResult
 
-SCRATCH_BUCKETS = [1 << 15, 1 << 17, 1 << 19, 1 << 21, 1 << 23]
+# CHUNK_LIMIT bounds a cold chunk's staged postings; the top scratch
+# bucket is 2x that because the packed-transport cap must also cover
+# A_total + Grawb*BLOCK, whose raw-segment bucket rounding can add up
+# to ~2^23 on top of the chunk itself (_submit_cold chunks the cold set
+# so _bucket's clip-to-largest can never truncate the scratch).
+CHUNK_LIMIT = 1 << 23
+SCRATCH_BUCKETS = [1 << 15, 1 << 17, 1 << 19, 1 << 21, 1 << 23, 1 << 24]
 BYTES_PER_POSTING = 12  # doc + tf + score columns (raw layout)
 BYTES_PER_POSTING_TC = 6  # doc + uint16 tc (compressed layout)
 
@@ -266,8 +272,36 @@ class StagedEngine:
     # -- cold path -----------------------------------------------------
 
     def _submit_cold(self, cold, queries, results):
+        """Chunk the cold set so each chunk's staged postings fit the
+        largest scratch bucket, then stage chunk by chunk. Without this,
+        low-residency batches at corpus scale exceed SCRATCH_BUCKETS[-1]
+        and _bucket's clip-to-largest would silently truncate the
+        scratch (observed at 1M docs / 5% budget / batch 8192)."""
         if not cold:
             return []
+        limit = CHUNK_LIMIT - L_BUCKETS[-1]
+        pending = []
+        chunk, seen, tot = [], set(), 0
+        for item in cold:
+            new = sorted({r for r in item[1]} - seen)
+            add = int(self._lens[new].sum()) if new else 0
+            if chunk and tot + add > limit:
+                pending += self._submit_cold_chunk(chunk, queries, results)
+                chunk, seen, tot = [], set(), 0
+                new = sorted(set(item[1]))
+                add = int(self._lens[new].sum())
+            if add > limit and not chunk:
+                raise ValueError(
+                    f"single cold query stages {add} postings > scratch "
+                    f"capacity {limit}; raise SCRATCH_BUCKETS")
+            chunk.append(item)
+            seen.update(new)
+            tot += add
+        if chunk:
+            pending += self._submit_cold_chunk(chunk, queries, results)
+        return pending
+
+    def _submit_cold_chunk(self, cold, queries, results):
         phrase = [(qi, rows, q) for qi, rows, q in cold
                   if q.is_phrase and len(rows) >= 2]
         flat = [(qi, rows, q) for qi, rows, q in cold
