@@ -84,7 +84,8 @@ def memory_matrix(quick: bool = False, n_docs: int = 50_000,
                   vocab: int = 20_000, batch: int = 8192,
                   index_dir: Optional[str] = None,
                   columns: str = "raw",
-                  n_queries: Optional[int] = None) -> List[Treatment]:
+                  n_queries: Optional[int] = None,
+                  fracs=None) -> List[Treatment]:
     """The memory-cap grid — the reference's core experiment axis
     (run_exp.py:628-696 sweeps cgroup memory limits over a fixed engine +
     workload and reads the QPS curve). Here the cap is the HBM budget of
@@ -94,7 +95,7 @@ def memory_matrix(quick: bool = False, n_docs: int = 50_000,
     if quick:
         n_docs, vocab = 3000, 2000
     out = []
-    for frac in (0.05, 0.1, 0.25, 0.5, 1.0):
+    for frac in fracs or (0.05, 0.1, 0.25, 0.5, 1.0):
         out.append(Treatment(
             name=f"membudget_{frac}", n_docs=n_docs, vocab=vocab,
             workload="aol_mix", engine="staged", hbm_budget_frac=frac,
@@ -284,6 +285,9 @@ def main(argv=None):
                     help="prebuilt PackedIndex dir (reference-scale grids)")
     ap.add_argument("--columns", default="raw", choices=["raw", "tc"])
     ap.add_argument("--n-queries", type=int, default=None)
+    ap.add_argument("--fracs", default=None,
+                    help="comma list of hot-tier budget fractions "
+                         "(--memory); default 0.05,0.1,0.25,0.5,1.0")
     ap.add_argument("--residency-compare", action="store_true",
                     help="df-greedy vs workload-aware hot-tier admission "
                          "at equal budget (worklocal_mix workload)")
@@ -296,12 +300,14 @@ def main(argv=None):
         matrix = residency_matrix(args.index, batch=args.batch,
                                   n_queries=args.n_queries or 16384)
     elif args.memory:
+        fracs = (tuple(float(x) for x in args.fracs.split(","))
+                 if args.fracs else None)
         matrix = memory_matrix(args.quick, batch=args.batch,
                                index_dir=args.index, columns=args.columns,
-                               n_queries=args.n_queries)
+                               n_queries=args.n_queries, fracs=fracs)
     else:
         matrix = default_matrix(args.quick)
-    with open(args.out, "w") as f:
+    with open(args.out, "a") as f:
         for t in matrix:
             print(f"== {t.name}", file=sys.stderr)
             r = run_treatment(t)

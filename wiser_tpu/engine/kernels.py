@@ -39,6 +39,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from wiser_tpu.utils import serial_jit
+
 NEG_INF = np.float32(-np.inf)
 INT32_MAX = np.int32(2**31 - 1)
 K1_PLUS_1 = np.float32(2.2)
@@ -292,7 +294,7 @@ def make_search_kernel(T: int, L: int, M: int, n_bs_iters: int,
                 use_score, T=T, L=L, M=M, n_bs_iters=n_bs_iters)
             return pack_with_flags(top_docs, top_tfs, flags)
 
-    return jax.jit(kernel)
+    return serial_jit(kernel)
 
 
 @lru_cache(maxsize=64)
@@ -333,7 +335,7 @@ def make_match_kernel_tc(T: int, L: int, n_bs_iters: int):
                                  probe_mask, probe_active, B=B, L=L)
         return match, bloom_pass, cdocs, pidx, score, sat_lane
 
-    return jax.jit(kernel)
+    return serial_jit(kernel)
 
 
 def _bloom_gate(pidx, bloom_rows, bloom_bitmap, bloom_rank, probe_slot,
@@ -394,7 +396,7 @@ def make_select_topk_kernel_tc(T: int, L: int, M: int):
                  | sat.astype(jnp.int32) * FLAG_TF_SAT)
         return pack_with_flags(top_docs, top_tfs, flags)
 
-    return jax.jit(kernel)
+    return serial_jit(kernel)
 
 
 @lru_cache(maxsize=64)
@@ -437,7 +439,7 @@ def make_match_kernel(T: int, L: int, n_bs_iters: int):
                                  probe_mask, probe_active, B=B, L=L)
         return match, bloom_pass, cdocs, pidx, score
 
-    return jax.jit(kernel)
+    return serial_jit(kernel)
 
 
 @lru_cache(maxsize=64)
@@ -484,7 +486,7 @@ def make_phrase_verify_kernel(T: int, L: int, PP: int, n_pos_iters: int):
         n_matches = jnp.sum(ok & active[:, None, :], axis=1).astype(jnp.int32)
         return n_matches
 
-    return jax.jit(kernel)
+    return serial_jit(kernel)
 
 
 def phrase_body(postings_doc, postings_score, postings_tf, positions,
@@ -564,7 +566,7 @@ def make_phrase_kernel(T: int, L: int, PP: int, M: int, n_bs_iters: int,
             n_bs_iters=n_bs_iters, n_pos_iters=n_pos_iters)
         return packed
 
-    return jax.jit(kernel)
+    return serial_jit(kernel)
 
 
 @lru_cache(maxsize=64)
@@ -584,7 +586,7 @@ def make_select_topk_kernel(T: int, L: int, M: int):
         trunc = boundary_truncated(score, top_score, M)
         return pack_with_flags(top_docs, top_tfs, trunc.astype(jnp.int32))
 
-    return jax.jit(kernel)
+    return serial_jit(kernel)
 
 
 def n_iters_for(max_len: int) -> int:
@@ -725,7 +727,7 @@ def make_compact_phrase_kernel(T: int, L: int, KV: int, PP: int, PW: int,
                         bloom_bitmap, bloom_rank, probe_slot, probe_begins,
                         probe_mask, probe_active)
 
-    return jax.jit(kernel)
+    return serial_jit(kernel)
 
 
 @lru_cache(maxsize=32)
@@ -867,7 +869,7 @@ def make_semidense_phrase_kernel(T: int, L: int, KV: int, PP: int, PW: int,
                         None, dense_sc, positions, pos_starts,
                         starts, ends, use_score, None, slots, slot_of, ks)
 
-    return jax.jit(kernel)
+    return serial_jit(kernel)
 
 
 @lru_cache(maxsize=32)
@@ -934,7 +936,7 @@ def make_semidense_kernel_tc(T: int, L: int, M: int, N_pad: int,
                  | sat.astype(jnp.int32) * FLAG_TF_SAT)
         return pack_with_flags(top_docs, jnp.concatenate(tfs, axis=1), flags)
 
-    return jax.jit(kernel)
+    return serial_jit(kernel)
 
 
 @lru_cache(maxsize=32)
@@ -968,7 +970,7 @@ def make_dense_search_kernel_tc(T: int, N_pad: int, M: int):
             top_docs, jnp.concatenate([x[:, None, :] for x in tfs], axis=1),
             flags)
 
-    return jax.jit(kernel)
+    return serial_jit(kernel)
 
 
 @lru_cache(maxsize=32)
@@ -1045,7 +1047,7 @@ def make_semidense_kernel(T: int, L: int, M: int, N_pad: int,
         return pack_with_flags(top_docs, jnp.concatenate(tfs, axis=1),
                                trunc.astype(jnp.int32))
 
-    return jax.jit(kernel)
+    return serial_jit(kernel)
 
 
 # ---------------------------------------------------------------------------
@@ -1242,7 +1244,7 @@ def make_pruned_dense_kernel(T: int, NB: int, C: int, M: int, eps3: float):
             get_row, get_tf, blockmax, slots, use_score, ks,
             T=T, NB=NB, C=C, M=M, eps3=eps3, tc_mode=False)
 
-    return jax.jit(kernel)
+    return serial_jit(kernel)
 
 
 @lru_cache(maxsize=32)
@@ -1269,7 +1271,7 @@ def make_pruned_dense_kernel_tc(T: int, NB: int, C: int, M: int,
             T=T, NB=NB, C=C, M=M, eps3=eps3, tc_mode=True, idf32=idf32,
             avg32=avg32)
 
-    return jax.jit(kernel)
+    return serial_jit(kernel)
 
 
 # ---------------------------------------------------------------------------
@@ -1418,7 +1420,7 @@ def make_pruned_phrase_kernel(T: int, NB: int, C: int, KV: int, PP: int,
             top_docs,
             jnp.concatenate([x[:, None, :] for x in tfs], axis=1), flags)
 
-    return jax.jit(kernel)
+    return serial_jit(kernel)
 
 
 @lru_cache(maxsize=32)
@@ -1448,7 +1450,7 @@ def make_pruned_phrase_kernel_tc(T: int, NB: int, C: int, KV: int,
             top_docs,
             jnp.concatenate([x[:, None, :] for x in tfs], axis=1), flags)
 
-    return jax.jit(kernel)
+    return serial_jit(kernel)
 
 
 @lru_cache(maxsize=32)
@@ -1495,7 +1497,7 @@ def make_dense_search_kernel(T: int, N_pad: int, M: int):
             top_docs, jnp.concatenate([x[:, None, :] for x in tfs], axis=1),
             trunc.astype(jnp.int32))
 
-    return jax.jit(kernel)
+    return serial_jit(kernel)
 
 
 @lru_cache(maxsize=32)
@@ -1526,7 +1528,7 @@ def make_merge_combine(T: int, L: int, M: int):
         trunc = boundary_truncated(score, top_score, M)
         return pack_with_flags(top_docs, top_tfs, trunc.astype(jnp.int32))
 
-    return jax.jit(kernel)
+    return serial_jit(kernel)
 
 
 # ---------------------------------------------------------------------------
@@ -1719,4 +1721,4 @@ def make_windowed_search_kernel(T: int, L: int, G: int, M: int,
                 use_score, T=T, L=L, G=G, M=M, WIN=win)
             return pack_with_flags(top_docs, top_tfs, flags)
 
-    return jax.jit(kernel)
+    return serial_jit(kernel)

@@ -40,6 +40,7 @@ from wiser_tpu.engine.device import (
 from wiser_tpu.index.format import BLOCK, PackedIndex
 from wiser_tpu.scoring import Bm25Similarity
 from wiser_tpu.types import SearchQuery, SearchResult
+from wiser_tpu.utils import serial_jit
 
 
 @dataclass
@@ -203,7 +204,7 @@ def make_sharded_kernel(T: int, L: int, M: int, n_bs_iters: int, mesh: Mesh):
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
-    return jax.jit(step)
+    return serial_jit(step)
 
 
 @lru_cache(maxsize=64)
@@ -246,7 +247,7 @@ def make_sharded_phrase_kernel(T: int, L: int, PP: int, M: int,
         out_specs=P(),
         check_vma=False,
     )
-    return jax.jit(step)
+    return serial_jit(step)
 
 
 def _merge_gathered(top_docs, top_score, tfs, ltrunc, *, T, M):
@@ -313,7 +314,7 @@ def make_sharded_dense_kernel(T: int, Npd: int, M: int, mesh: Mesh):
         local, mesh=mesh,
         in_specs=(P("d"), P("d"), P(), P()),
         out_specs=P(), check_vma=False)
-    return jax.jit(step)
+    return serial_jit(step)
 
 
 @lru_cache(maxsize=32)
@@ -375,7 +376,7 @@ def make_sharded_pruned_dense_kernel(T: int, NB: int, C: int, M: int,
         local, mesh=mesh,
         in_specs=(P("d"), P("d"), P("d"), P(), P(), P()),
         out_specs=P(), check_vma=False)
-    return jax.jit(step)
+    return serial_jit(step)
 
 
 @lru_cache(maxsize=32)
@@ -453,7 +454,7 @@ def make_sharded_semidense_kernel(T: int, L: int, M: int, Npd: int,
         in_specs=(P("d"), P("d"), P("d"), P("d"), P("d"), P("d"), P("d"),
                   P(), P(), P()),
         out_specs=P(), check_vma=False)
-    return jax.jit(step)
+    return serial_jit(step)
 
 
 def host_exact_search_sharded(sh: ShardedIndex, cache64: np.ndarray,

@@ -24,6 +24,9 @@ runs and run the bloomless phrase pipeline against the scratch columns.
 
 from __future__ import annotations
 
+import os
+import sys
+
 from dataclasses import replace
 from functools import lru_cache
 from typing import Dict, List, Tuple
@@ -44,6 +47,7 @@ from wiser_tpu.engine.device import (
 from wiser_tpu.index.format import BLOCK, PackedIndex, SENTINEL_DOC
 from wiser_tpu.scoring import Bm25Similarity
 from wiser_tpu.types import SearchQuery, SearchResult
+from wiser_tpu.utils import serial_jit
 
 # CHUNK_LIMIT bounds a cold chunk's staged postings; the top scratch
 # bucket is 2x that because the packed-transport cap must also cover
@@ -52,6 +56,28 @@ from wiser_tpu.types import SearchQuery, SearchResult
 # so _bucket's clip-to-largest can never truncate the scratch).
 CHUNK_LIMIT = 1 << 23
 SCRATCH_BUCKETS = [1 << 15, 1 << 17, 1 << 19, 1 << 21, 1 << 23, 1 << 24]
+
+# Cold-path shape buckets are deliberately COARSER than the hot path's
+# (device.py): a cold kernel's compile key is (T, L, M, B, cap), and at
+# corpus scale the fine hot-path bucket product makes nearly every cold
+# batch hit fresh 30-60s remote compiles — measured at 1M/5% budget:
+# ~300s per 512-query batch and ~4 GB RSS growth per batch from compile
+# arenas, compounding into an OOM before the first grid treatment
+# finished. Cold batches are transfer-bound (~30 MB/s tunnel), so <=8x
+# kernel-compute padding is the right trade for a ~5x smaller compile
+# universe. Phrase cold groups keep exact T (adjacency needs true
+# slots) but share the coarse L/B sets.
+COLD_L_BUCKETS = [8192, 65536, 524288, L_BUCKETS[-1]]
+COLD_B_BUCKETS = [128, 1024, B_BUCKETS[-1]]
+COLD_T_BUCKETS = [1, 2, 4, 8]
+# Multi-term cold groups above this candidate df go to the exact host
+# path: the plain bs search kernel at (T>=2, L=2^21) reproducibly
+# crashes the TPU worker (kernel fault during the first run; T=1 at the
+# same L is fine), and the hot path never runs that shape either — its
+# dense tier owns giant-df candidates. Cold mega pairs are rare and
+# their staged runs are the single biggest transfer items, so skipping
+# the staging outright is also the faster choice.
+COLD_L_MAX_MULTI = 524288
 BYTES_PER_POSTING = 12  # doc + tf + score columns (raw layout)
 BYTES_PER_POSTING_TC = 6  # doc + uint16 tc (compressed layout)
 
@@ -83,7 +109,7 @@ def _make_doc_combine(G16: int, Graw: int, cap: int, width: int):
             out = jax.lax.dynamic_update_slice(out, raw_flat, (off_raw,))
         return out
 
-    return jax.jit(f)
+    return serial_jit(f)
 
 
 def _hot_view(packed: PackedIndex, hbm_budget_bytes: int,
@@ -279,8 +305,38 @@ class StagedEngine:
         scratch (observed at 1M docs / 5% budget / batch 8192)."""
         if not cold:
             return []
-        limit = CHUNK_LIMIT - L_BUCKETS[-1]
         pending = []
+
+        def _is_sat(item):
+            rows = item[1]
+            mn = min(int(self._df32[r]) for r in rows)
+            # single-term saturation guard too: _bucket would CLIP a
+            # candidate df above the top L bucket and silently scan a
+            # truncated window (reachable at >=5M docs)
+            return mn > (COLD_L_MAX_MULTI if len(rows) > 1
+                         else L_BUCKETS[-1])
+
+        sat = [it for it in cold if _is_sat(it)]
+        if sat:
+            cold = [it for it in cold if not _is_sat(it)]
+
+            def run_host_sat(res_list, sat=sat):
+                from wiser_tpu.engine.device import host_exact_search
+
+                for qi, rows, q in sat:
+                    d, s = host_exact_search(
+                        self.packed, self.cache64, rows, q.n_results,
+                        is_phrase=q.is_phrase and len(rows) >= 2)
+                    res_list[qi].set_arrays(d, s)
+
+            pending.append(run_host_sat)
+        # slack for the cap's lmax margin: the largest run actually
+        # staged, not the global top bucket (keeps small CHUNK_LIMIT
+        # values meaningful in tests and tiny corpora)
+        slack = _bucket(
+            max((int(self._df32[r]) for it in cold for r in it[1]),
+                default=1), COLD_L_BUCKETS)
+        limit = CHUNK_LIMIT - slack
         chunk, seen, tot = [], set(), 0
         for item in cold:
             new = sorted({r for r in item[1]} - seen)
@@ -321,7 +377,8 @@ class StagedEngine:
         offs = np.zeros(len(staged_terms) + 1, dtype=np.int64)
         np.cumsum(run_lens, out=offs[1:])
         total = int(offs[-1])
-        lmax = _bucket(int(self._df32[staged_terms].max(initial=1)), L_BUCKETS)
+        lmax = _bucket(int(self._df32[staged_terms].max(initial=1)),
+                       COLD_L_BUCKETS)
         cap = _bucket(total + lmax, SCRATCH_BUCKETS)
         nA = int(np.searchsorted(
             np.fromiter((not self._pack16[r] for r in staged_terms),
@@ -410,13 +467,13 @@ class StagedEngine:
         for qi, rows, q in flat:
             dfs = [int(self._df32[r]) for r in rows]
             cslot = int(np.argmin(dfs))
-            T = _bucket(len(rows), T_BUCKETS)
-            L = _bucket(dfs[cslot], L_BUCKETS)
+            T = _bucket(len(rows), COLD_T_BUCKETS)
+            L = _bucket(dfs[cslot], COLD_L_BUCKETS)
             groups.setdefault((T, L), []).append((qi, rows, q, cslot))
         for (T, L), group in groups.items():
             for ci in range(0, len(group), B_CHUNK):
                 chunk = group[ci : ci + B_CHUNK]
-                B = _bucket(len(chunk), B_BUCKETS)
+                B = _bucket(len(chunk), COLD_B_BUCKETS)
                 starts = np.zeros((B, T), dtype=np.int32)
                 ends = np.zeros((B, T), dtype=np.int32)
                 use_score = np.zeros((B, T), dtype=np.float32)
@@ -445,6 +502,10 @@ class StagedEngine:
                     for t, r in enumerate(rows):
                         idf64_q[i, t] = self.packed.idf64[r]
                 M = min(L, int(ks.max(initial=1)) + self.margin)
+                if os.environ.get("WISER_DEBUG_COLD"):
+                    print(f"cold flat group T={T} L={L} M={M} B={B} "
+                          f"cap={cap} ni={K.n_iters_for(self._max_df)} "
+                          f"tc={tc_flat}", file=sys.stderr, flush=True)
                 if tc_flat:
                     kern = K.make_search_kernel(
                         T, L, M, K.n_iters_for(self._max_df), mode="tc")
@@ -546,7 +607,7 @@ class StagedEngine:
             dfs = [int(self._df32[r]) for r in rows]
             cslot = int(np.argmin(dfs))
             T = len(rows)  # exact T: phrase adjacency needs true slots
-            L = _bucket(dfs[cslot], L_BUCKETS)
+            L = _bucket(dfs[cslot], COLD_L_BUCKETS)
             PP = _bucket(int(self.packed.max_tf[rows[0]]), PP_BUCKETS)
             groups.setdefault((T, L, PP), []).append((qi, rows, q, cslot))
 
@@ -555,7 +616,7 @@ class StagedEngine:
         for (T, L, PP), group in groups.items():
             for ci in range(0, len(group), B_CHUNK):
                 chunk = group[ci : ci + B_CHUNK]
-                B = _bucket(len(chunk), B_BUCKETS)
+                B = _bucket(len(chunk), COLD_B_BUCKETS)
                 starts = np.zeros((B, T), dtype=np.int32)
                 ends = np.zeros((B, T), dtype=np.int32)
                 use_score = np.zeros((B, T), dtype=np.float32)

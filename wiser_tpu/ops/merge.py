@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from wiser_tpu.utils import serial_jit
+
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -238,4 +240,4 @@ def make_merge_intersect(L: int, interpret: bool = False):
         )(meta, doc_rows, score_rows, tf_rows)
         return score.reshape(C, L), tf.reshape(C, L)
 
-    return jax.jit(f)
+    return serial_jit(f)

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from wiser_tpu.utils import serial_jit
+
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -129,7 +131,7 @@ def _pallas_unpack(width: int, tile: int, interpret: bool):
             interpret=interpret,
         )(words, *consts)
 
-    return jax.jit(f)
+    return serial_jit(f)
 
 
 def unpack_blocks_pallas(words: jnp.ndarray, width: int, tile: int = 8,

@@ -92,3 +92,36 @@ class ResultTable:
         for r in self.rows:
             out.append("\t".join(str(r.get(c, "NA")) for c in cols))
         return "\n".join(out)
+
+
+# The axon terminal's remote-compile helper reproducibly dies (HTTP 500,
+# subprocess exit 1) or wedges the worker when several first-time
+# compiles arrive CONCURRENTLY (io-worker pools + main thread each
+# dispatching fresh shape buckets). serial_jit serializes only the
+# FIRST call of each jitted function (= its compile) through one
+# process-wide lock; warm calls bypass the lock entirely, so
+# steady-state dispatch parallelism is untouched.
+_COMPILE_LOCK = None
+
+
+def serial_jit(fn, **jit_kwargs):
+    import threading
+
+    import jax
+
+    global _COMPILE_LOCK
+    if _COMPILE_LOCK is None:
+        _COMPILE_LOCK = threading.Lock()
+    jitted = jax.jit(fn, **jit_kwargs)
+    done = threading.Event()
+
+    def wrapper(*a, **k):
+        if done.is_set():
+            return jitted(*a, **k)
+        with _COMPILE_LOCK:
+            out = jitted(*a, **k)
+        done.set()
+        return out
+
+    wrapper.__wrapped__ = jitted
+    return wrapper
