@@ -100,16 +100,23 @@ def spy_host(engine, monkeypatch):
     return calls
 
 
-def test_guard_fires_and_host_restores_parity(flat_corpus, monkeypatch):
+def test_guard_fires_and_rescue_restores_parity(flat_corpus, monkeypatch):
+    """Flat ub profile: the prune guard CANNOT certify, so the flagged
+    rows must be rescued on-device by the exact full dense scan (no host
+    fallback needed — the rescue is exact by construction)."""
     _, oracle, engine = flat_corpus
     pruned = spy_pruned(engine, monkeypatch)
     host = spy_host(engine, monkeypatch)
+    engine.stats_take()
     for terms in (["h0", "h1"], ["h1", "h2"], ["h0", "h1", "h2"],
                   ["h2", "h0"]):
         q = SearchQuery(terms, n_results=10)
         assert_same(oracle.search(q), engine.search(q), f"AND {terms}")
     assert pruned, "pruned kernel must be engaged at the forced thresholds"
-    assert host, "flat ub profile must trip FLAG_PRUNE_MISS -> host path"
+    stats = engine.stats_take()
+    assert stats.get("prune_rescued", 0) > 0, \
+        "flat ub profile must trip FLAG_PRUNE_MISS -> dense rescue"
+    assert not host, "the exact dense rescue must obviate the host path"
 
 
 def test_prune_keeps_exact_without_fallback(skewed_corpus, monkeypatch):

@@ -1098,9 +1098,11 @@ class TpuEngine:
                 holder = [self._dispatch_async(dispatch)]
 
                 def finalize(res_list, holder=holder, dispatch=dispatch,
-                             T=T, m=m, slot_of=slot_of,
+                             T=T, M=M, m=m, slot_of=slot_of, slots=slots,
+                             idf32_g=idf32_g, use=use,
                              idf64_q=idf64_q, ks_g=ks_g, qi_arr=qi_arr,
-                             flat_rows=flat_rows, queries=queries):
+                             flat_rows=flat_rows, queries=queries,
+                             pruned=pruned):
                     def run(first=[True]):
                         if not first[0]:  # re-dispatch after device loss
                             holder[0] = dispatch()
@@ -1109,15 +1111,76 @@ class TpuEngine:
 
                     n = len(m)
                     packed_out = self._run_with_recovery(run)[:n]
+                    force = self._flags_to_force(packed_out[:, T + 1, 0])
+                    if pruned and force.any():
+                        # prune-guard misses retry on the exact full
+                        # dense scan (device) before any host fallback:
+                        # head-heavy pairs have near-flat blockmax-sum
+                        # ub surfaces, so the guard structurally can't
+                        # certify them (30% miss on head pairs at 1M)
+                        # while the full scan is exact by construction
+                        miss = (packed_out[:n, T + 1, 0]
+                                & K.FLAG_PRUNE_MISS) != 0
+                        if miss.any():
+                            sub = np.nonzero(miss)[0]
+                            rescued = self._dense_full_rescue(
+                                T, M, slots[sub], idf32_g[sub], use[sub])
+                            packed_out = packed_out.copy()  # device view is RO
+                            packed_out[sub] = rescued
+                            force[sub] = self._flags_to_force(
+                                rescued[:, T + 1, 0], rescue=True)
                     qis = np.asarray([qi_arr[i] for i in m], dtype=np.int64)
                     self._finalize_arrays(
                         packed_out[:, 0, :], packed_out[:, 1 : T + 1, :],
                         slot_of[:n], idf64_q[:n], ks_g[:n], qis, flat_rows,
                         np.asarray(m), queries, res_list,
-                        force_host=self._flags_to_force(packed_out[:, T + 1, 0]))
+                        force_host=force)
 
                 pending.append(finalize)
         return pending
+
+    def _dense_full_rescue(self, T, M, slots, idf32_g, use):
+        """Exact full-scan dense kernel over a flagged subset — the
+        device-side second chance for FLAG_PRUNE_MISS rows. Returns
+        packed (n, T+2, M) rows in the same layout as the pruned kernel;
+        the caller re-derives force_host from the rescue's own flags
+        (no prune bit can recur: every doc block is examined)."""
+        n = len(slots)
+        out = np.empty((n, T + 2, M), dtype=np.int32)
+        chunks = []
+        for ci in range(0, n, self.DENSE_CHUNK):
+            sl = slice(ci, min(ci + self.DENSE_CHUNK, n))
+            B = _bucket(sl.stop - sl.start, [8, self.DENSE_CHUNK])
+            s_p = np.zeros((B, T), dtype=np.int32)
+            s_p[: sl.stop - sl.start] = slots[sl]
+            i_p = np.zeros((B, T), dtype=np.float32)
+            i_p[: sl.stop - sl.start] = idf32_g[sl]
+            u_p = np.zeros((B, T), dtype=np.float32)
+            u_p[: sl.stop - sl.start] = use[sl]
+
+            def dispatch(s_p=s_p, i_p=i_p, u_p=u_p):
+                if self.columns == "tc":
+                    kern = K.make_dense_search_kernel_tc(
+                        T, self._n_pad_docs, M)
+                    return kern(self.d_dense_tc, self.d_avg32,
+                                jnp.asarray(s_p), jnp.asarray(i_p))
+                kern = K.make_dense_search_kernel(T, self._n_pad_docs, M)
+                return kern(self.d_dense_sc, self.d_dense_tf,
+                            jnp.asarray(s_p), jnp.asarray(u_p))
+
+            chunks.append((sl, self._dispatch_async(dispatch), dispatch))
+        for sl, holder, dispatch in chunks:
+            hb = [holder]
+
+            def run(first=[True], hb=hb, dispatch=dispatch):
+                if not first[0]:
+                    hb[0] = self._dispatch_async(dispatch)
+                first[0] = False
+                return np.asarray(self._resolve(hb[0]))
+
+            out[sl] = self._run_with_recovery(run)[: sl.stop - sl.start]
+        self._bump(prune_rescued=n)
+        return out
 
     def _submit_semidense(self, sm, qi_arr, flat_rows, n_terms, cand, ks,
                           Lval, queries, results):
@@ -1351,7 +1414,8 @@ class TpuEngine:
 
         return finalize
 
-    def _flags_to_force(self, flags: np.ndarray) -> np.ndarray:
+    def _flags_to_force(self, flags: np.ndarray,
+                        rescue: bool = False) -> np.ndarray:
         """Kernel flag word -> host-fallback mask. Bit 1 (window overflow:
         lanes genuinely missing), bit 2 (a kept lane's tf byte
         saturated — its tc-mode score was the optimistic bound and its
@@ -1368,6 +1432,9 @@ class TpuEngine:
                           | K.FLAG_PRUNE_MISS)) != 0
         if self.strict_parity:
             force = force | ((flags & K.FLAG_TRUNC) != 0)
+        if rescue:  # second-chance pass: count only what still forces
+            self._bump(forced_host_after_rescue=int(force.sum()))
+            return force
         self._bump(
             q_flag_seen=len(flags),
             flag_trunc=int(((flags & K.FLAG_TRUNC) != 0).sum()),
@@ -1609,6 +1676,11 @@ class TpuEngine:
     # compare — such queries go host instead.
     PRUNED_PHRASE_C = 256
     PRUNED_PHRASE_KV = 1024
+    # guard-flagged pruned phrases retry once at this scale before any
+    # host fallback: 4x blocks shrinks next_ub down the sorted-ub curve,
+    # 4x KV shrinks the unverified-lane bound (the (KV+1)-th AND score)
+    PRUNED_PHRASE_RETRY_C = 1024
+    PRUNED_PHRASE_RETRY_KV = 4096
     PRUNED_PHRASE_MAX_PP = 128
     PHRASE_MAX_PW = 128
     POS_PAD = 1024  # trailing -1 pad on the positions column
@@ -1880,31 +1952,19 @@ class TpuEngine:
             def dispatch(T=T, PP=PP, PW=PW, M=M, starts=starts, ends=ends,
                          slots=slots, idf32_q=idf32_q, use=use,
                          anchor=anchor, ks=ks):
-                if self.columns == "tc":
-                    kern = K.make_pruned_phrase_kernel_tc(
-                        T, NB, C, KV, PP, PW, M, n_bs, eps3)
-                    return kern(self.d_dense_tc, self.d_avg32,
-                                self.d_dense_blockmax, self.d_postings_doc,
-                                self.d_positions, self.d_pos_starts,
-                                jnp.asarray(starts), jnp.asarray(ends),
-                                jnp.asarray(slots), jnp.asarray(idf32_q),
-                                jnp.asarray(anchor), jnp.asarray(ks))
-                kern = K.make_pruned_phrase_kernel(
-                    T, NB, C, KV, PP, PW, M, n_bs, eps3)
-                return kern(self.d_dense_sc, self.d_dense_tf,
-                            self.d_dense_blockmax, self.d_postings_doc,
-                            self.d_positions, self.d_pos_starts,
-                            jnp.asarray(starts), jnp.asarray(ends),
-                            jnp.asarray(slots), jnp.asarray(use),
-                            jnp.asarray(anchor), jnp.asarray(ks))
+                return self._pruned_phrase_dispatch(
+                    T, PP, PW, M, C, KV, starts, ends, slots, use,
+                    idf32_q, anchor, ks)
 
             holder = [self._dispatch_async(dispatch)]
             # tfs are already in query-term order: identity slot_of
             slot_id = np.tile(np.arange(T, dtype=np.int64), (B, 1))
 
             def finalize(results, group=group, holder=holder,
-                         dispatch=dispatch, T=T, slot_id=slot_id,
-                         idf64_q=idf64_q, ks=ks):
+                         dispatch=dispatch, T=T, PP=PP, PW=PW, M=M,
+                         slot_id=slot_id, idf64_q=idf64_q, ks=ks,
+                         starts=starts, ends=ends, slots=slots, use=use,
+                         idf32_q=idf32_q, anchor=anchor):
                 def run(first=[True]):
                     if not first[0]:  # re-dispatch after device loss
                         holder[0] = dispatch()
@@ -1912,13 +1972,97 @@ class TpuEngine:
                     return np.asarray(self._resolve(holder[0]))
 
                 packed_out = self._run_with_recovery(run)
+                force = self._flags_to_force(packed_out[:, T + 1, 0])
+                miss = (packed_out[:, T + 1, 0] & K.FLAG_PRUNE_MISS) != 0
+                miss[len(group):] = False  # padding rows: never retry
+                if miss.any():
+                    sub = np.nonzero(miss)[0]
+                    rescued = self._pruned_phrase_rescue(
+                        T, PP, PW, M, starts[sub], ends[sub], slots[sub],
+                        use[sub], idf32_q[sub], anchor[sub], ks[sub])
+                    packed_out = packed_out.copy()  # device view is RO
+                    packed_out[sub] = rescued
+                    force[sub] = self._flags_to_force(
+                        rescued[:, T + 1, 0], rescue=True)
                 self._finalize_group(
                     group, packed_out[:, 0, :], packed_out[:, 1 : T + 1, :],
-                    slot_id, idf64_q, ks, results,
-                    force_host=self._flags_to_force(packed_out[:, T + 1, 0]))
+                    slot_id, idf64_q, ks, results, force_host=force)
 
             pending.append(finalize)
         return pending
+
+    def _pruned_phrase_dispatch(self, T, PP, PW, M, C, KV, starts, ends,
+                                slots, use, idf32_q, anchor, ks):
+        """Build + call the pruned phrase kernel at a (C, KV) scale."""
+        NB = self._n_pad_docs // 128
+        n_bs = K.n_iters_for(self._max_df)
+        eps3 = 3.0 * self.rel_eps
+        if self.columns == "tc":
+            kern = K.make_pruned_phrase_kernel_tc(
+                T, NB, C, KV, PP, PW, M, n_bs, eps3)
+            return kern(self.d_dense_tc, self.d_avg32,
+                        self.d_dense_blockmax, self.d_postings_doc,
+                        self.d_positions, self.d_pos_starts,
+                        jnp.asarray(starts), jnp.asarray(ends),
+                        jnp.asarray(slots), jnp.asarray(idf32_q),
+                        jnp.asarray(anchor), jnp.asarray(ks))
+        kern = K.make_pruned_phrase_kernel(
+            T, NB, C, KV, PP, PW, M, n_bs, eps3)
+        return kern(self.d_dense_sc, self.d_dense_tf,
+                    self.d_dense_blockmax, self.d_postings_doc,
+                    self.d_positions, self.d_pos_starts,
+                    jnp.asarray(starts), jnp.asarray(ends),
+                    jnp.asarray(slots), jnp.asarray(use),
+                    jnp.asarray(anchor), jnp.asarray(ks))
+
+    def _pruned_phrase_rescue(self, T, PP, PW, M, starts, ends, slots,
+                              use, idf32_q, anchor, ks):
+        """Retry guard-flagged pruned phrases once at RETRY_C/RETRY_KV
+        (same kernel family, same packed layout) before the host path;
+        mega pairs' blockmax-sum ub surface is near-flat, so the
+        production (C, KV) guard misses ~13% at 1M while a 4x-scaled
+        certificate passes for most of them at ~1/10 the host cost."""
+        NB = self._n_pad_docs // 128
+        C2 = min(self.PRUNED_PHRASE_RETRY_C, NB - 1)
+        KV2 = min(self.PRUNED_PHRASE_RETRY_KV, C2 * 128 - 1)
+        n = len(ks)
+        out = np.empty((n, T + 2, M), dtype=np.int32)
+        # the retry's verify tensors are (B, KV2, PP, PW)-ish: keep the
+        # largest live tensor inside the lane budget via small B chunks
+        lanes = max(T * C2 * 128, T * KV2 * PW, KV2 * PP * PW // 4)
+        fit = max(1, (1 << 27) // max(lanes, 1))
+        chunk = self.PHRASE_B_BUCKETS[0]
+        for b in self.PHRASE_B_BUCKETS:
+            if b <= fit:
+                chunk = b
+        chunks = []
+        for ci in range(0, n, chunk):
+            sl = slice(ci, min(ci + chunk, n))
+            B = _bucket(sl.stop - sl.start, self.PHRASE_B_BUCKETS)
+            pad = lambda a: np.concatenate(
+                [a[sl], np.zeros((B - (sl.stop - sl.start),) + a.shape[1:],
+                                 dtype=a.dtype)]) \
+                if B > sl.stop - sl.start else a[sl]
+
+            def dispatch(s=pad(starts), e=pad(ends), sg=pad(slots),
+                         u=pad(use), ig=pad(idf32_q), a=pad(anchor),
+                         kg=pad(ks)):
+                return self._pruned_phrase_dispatch(
+                    T, PP, PW, M, C2, KV2, s, e, sg, u, ig, a, kg)
+
+            chunks.append((sl, self._dispatch_async(dispatch), dispatch))
+        for sl, holder, dispatch in chunks:
+            hb = [holder]
+
+            def run(first=[True], hb=hb, dispatch=dispatch):
+                if not first[0]:
+                    hb[0] = self._dispatch_async(dispatch)
+                first[0] = False
+                return np.asarray(self._resolve(hb[0]))
+
+            out[sl] = self._run_with_recovery(run)[: sl.stop - sl.start]
+        self._bump(prune_rescued=n)
+        return out
 
     def _assemble_bloom_probes(self, group, T: int, B: int):
         """Folded probe assembly for the sparse bloom gate. A probe is

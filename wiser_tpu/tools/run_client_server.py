@@ -49,6 +49,15 @@ def main(argv=None):
     ap.add_argument("--coarse-buckets", action="store_true")
     ap.add_argument("--wire-batch", type=int, default=1,
                     help="queries per wire message (see serve.client)")
+    # latency-oriented server knobs: a shallow executor batch + a short
+    # drain window trade peak QPS for per-query latency (the reference
+    # client's operating point is per-query roundtrips,
+    # grpc_client_impl.h:476-489)
+    ap.add_argument("--max-batch", type=int, default=4096,
+                    help="server executor batch ceiling")
+    ap.add_argument("--max-wait-ms", type=float, default=20.0,
+                    help="server executor drain window")
+    ap.add_argument("--out", default=None, help="write the stats JSON here")
     args = ap.parse_args(argv)
 
     proc = None
@@ -60,7 +69,8 @@ def main(argv=None):
                "--index", args.index, "--port", str(args.port),
                "--columns", args.columns,
                "--n-threads", str(max(args.n_procs * args.n_threads * 2, 64)),
-               "--max-wait-ms", "20"]
+               "--max-batch", str(args.max_batch),
+               "--max-wait-ms", str(args.max_wait_ms)]
         if args.coarse_buckets:
             cmd += ["--coarse-buckets"]
         if args.warmup_log or args.query_log:
@@ -86,9 +96,21 @@ def main(argv=None):
                             wire_batch=args.wire_batch)
             stats = client.run()
         h = stats.pop("histogram")
+        from wiser_tpu.bench.histogram import PERCENTILES, format_latency_table
+
+        # full reference-shaped table: percentiles 0/25/50/75/90/95/99/100
+        # of the per-ROUNDTRIP latency (per-QUERY when --wire-batch 1)
         stats["latency_us"] = {f"p{p}": round(h.percentile(p) / 1e3, 1)
-                               for p in (50, 90, 95, 99)}
+                               for p in PERCENTILES}
+        stats["latency_mean_us"] = round(h.mean() / 1e3, 1)
+        stats["wire_batch"] = args.wire_batch
+        stats["max_batch"] = args.max_batch
+        stats["max_wait_ms"] = args.max_wait_ms
+        print(format_latency_table(h), file=sys.stderr)
         print(json.dumps(stats))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(stats, f, indent=1)
     finally:
         if proc is not None:
             proc.terminate()
