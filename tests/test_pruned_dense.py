@@ -103,8 +103,11 @@ def spy_host(engine, monkeypatch):
 def test_guard_fires_and_rescue_restores_parity(flat_corpus, monkeypatch):
     """Flat ub profile: the prune guard CANNOT certify, so the flagged
     rows must be rescued on-device by the exact full dense scan (no host
-    fallback needed — the rescue is exact by construction)."""
+    fallback needed — the rescue is exact by construction). DENSE_RESCUE
+    defaults OFF (host merge measured cheaper at 1M); this exercises the
+    opt-in mechanism for backends without RAM-resident postings."""
     _, oracle, engine = flat_corpus
+    monkeypatch.setattr(engine, "DENSE_RESCUE", True)
     pruned = spy_pruned(engine, monkeypatch)
     host = spy_host(engine, monkeypatch)
     engine.stats_take()
@@ -117,6 +120,24 @@ def test_guard_fires_and_rescue_restores_parity(flat_corpus, monkeypatch):
     assert stats.get("prune_rescued", 0) > 0, \
         "flat ub profile must trip FLAG_PRUNE_MISS -> dense rescue"
     assert not host, "the exact dense rescue must obviate the host path"
+
+
+def test_guard_fires_default_host_fallback(flat_corpus, monkeypatch):
+    """Default config (DENSE_RESCUE off): flagged rows go straight to the
+    memoized host merge — the cheaper route when postings are
+    RAM-resident (measured at 1M, see device.py DENSE_RESCUE note) —
+    and stay bit-exact."""
+    _, oracle, engine = flat_corpus
+    assert engine.DENSE_RESCUE is False
+    host = spy_host(engine, monkeypatch)
+    engine.stats_take()
+    for terms in (["h0", "h1"], ["h1", "h2"], ["h0", "h1", "h2"]):
+        q = SearchQuery(terms, n_results=10)
+        assert_same(oracle.search(q), engine.search(q), f"AND {terms}")
+    stats = engine.stats_take()
+    assert stats.get("flag_prune_miss", 0) > 0
+    assert stats.get("prune_rescued", 0) == 0
+    assert host, "guard misses must fall back to the host merge"
 
 
 def test_prune_keeps_exact_without_fallback(skewed_corpus, monkeypatch):

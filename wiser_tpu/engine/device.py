@@ -387,6 +387,19 @@ class TpuEngine:
     # query whose guard cannot prove exactness to the memoized host path.
     PRUNED_DENSE_MIN_NB = 2048
     PRUNED_DENSE_C = 512
+    # Device-side second-chance passes for FLAG_PRUNE_MISS rows.
+    # DENSE_RESCUE (full T x n_docs dense re-scan) measured 2-3x SLOWER
+    # than the memoized host merge at 1M (route_bench 2026-08-18: dense
+    # pair 386 -> 1323 us/q, zipf_t3 520 -> 921, zipf_t4 578 -> 1505 at
+    # ~15-30% miss rates) — host postings are RAM-resident and a numpy
+    # two-list merge is ~1.2 ms; default OFF. PHRASE_RESCUE retries mega
+    # phrases at RETRY_C/RETRY_KV, but 63% of retried queries STILL
+    # forced host (route_bench 2026-08-18: phrase_mega 178 -> 109 QPS,
+    # 310 of 492 rescued rows re-flagged — mega pairs' ub surface stays
+    # too flat even at 4x C): also default OFF. Both knobs remain for
+    # backends where host postings aren't resident.
+    DENSE_RESCUE = False
+    PHRASE_RESCUE = False
 
     def _build_dense_rows(self, budget_bytes: int) -> None:
         """Dense (N_pad,) score/tf vectors for head terms, so all-head
@@ -1112,13 +1125,17 @@ class TpuEngine:
                     n = len(m)
                     packed_out = self._run_with_recovery(run)[:n]
                     force = self._flags_to_force(packed_out[:, T + 1, 0])
-                    if pruned and force.any():
-                        # prune-guard misses retry on the exact full
-                        # dense scan (device) before any host fallback:
-                        # head-heavy pairs have near-flat blockmax-sum
-                        # ub surfaces, so the guard structurally can't
-                        # certify them (30% miss on head pairs at 1M)
-                        # while the full scan is exact by construction
+                    if pruned and self.DENSE_RESCUE and force.any():
+                        # prune-guard misses CAN retry on the exact full
+                        # dense scan (device) before any host fallback,
+                        # but it measured 2-3x SLOWER than the memoized
+                        # host merge at 1M (route_bench 2026-08-18:
+                        # dense pair 386 -> 1323 us/q, zipf_t4 578 ->
+                        # 1505 us/q at ~30% miss rates — the full
+                        # T x n_docs scan per flagged chunk costs more
+                        # than a ~1.2 ms numpy merge of in-RAM
+                        # postings). Default OFF; kept for backends
+                        # where host postings aren't resident.
                         miss = (packed_out[:n, T + 1, 0]
                                 & K.FLAG_PRUNE_MISS) != 0
                         if miss.any():
@@ -1975,7 +1992,7 @@ class TpuEngine:
                 force = self._flags_to_force(packed_out[:, T + 1, 0])
                 miss = (packed_out[:, T + 1, 0] & K.FLAG_PRUNE_MISS) != 0
                 miss[len(group):] = False  # padding rows: never retry
-                if miss.any():
+                if miss.any() and self.PHRASE_RESCUE:
                     sub = np.nonzero(miss)[0]
                     rescued = self._pruned_phrase_rescue(
                         T, PP, PW, M, starts[sub], ends[sub], slots[sub],
