@@ -252,6 +252,11 @@ def main(argv: Optional[List[str]] = None) -> None:
                          "dispatch groups (closed-loop latency lever)")
     ap.add_argument("--max-batch", type=int, default=4096)
     ap.add_argument("--max-wait-ms", type=float, default=2.0)
+    ap.add_argument("--io-mode", default="both",
+                    choices=["off", "dispatch", "fetch", "both"],
+                    help="engine RTT-overlap thread pools; 'fetch' wins "
+                         "on small corpora where dispatch threads "
+                         "contend with finalizers (see bench.py note)")
     ap.add_argument("--warmup", action="store_true",
                     help="pre-compile generic shape buckets before serving")
     ap.add_argument("--warmup-log",
@@ -285,14 +290,16 @@ def main(argv: Optional[List[str]] = None) -> None:
 
             engine = TpuEngine(pack_oracle(oracle),
                                doc_bodies=oracle.doc_bodies,
-                               coarse_buckets=args.coarse_buckets)
+                               coarse_buckets=args.coarse_buckets,
+                               io_mode=args.io_mode)
     else:
         from wiser_tpu.engine.device import TpuEngine
         from wiser_tpu.index.format import PackedIndex
 
         engine = TpuEngine(PackedIndex.load(args.index),
                            columns=args.columns,
-                           coarse_buckets=args.coarse_buckets)
+                           coarse_buckets=args.coarse_buckets,
+                           io_mode=args.io_mode)
 
     if args.warmup_log:
         from wiser_tpu.bench.query_pool import QueryLogReader

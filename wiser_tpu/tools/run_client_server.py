@@ -57,6 +57,10 @@ def main(argv=None):
                     help="server executor batch ceiling")
     ap.add_argument("--max-wait-ms", type=float, default=20.0,
                     help="server executor drain window")
+    ap.add_argument("--io-mode", default="both",
+                    choices=["off", "dispatch", "fetch", "both"],
+                    help="server engine RTT-overlap pools (fetch wins on "
+                         "small corpora; see bench.py note)")
     ap.add_argument("--out", default=None, help="write the stats JSON here")
     args = ap.parse_args(argv)
 
@@ -70,7 +74,8 @@ def main(argv=None):
                "--columns", args.columns,
                "--n-threads", str(max(args.n_procs * args.n_threads * 2, 64)),
                "--max-batch", str(args.max_batch),
-               "--max-wait-ms", str(args.max_wait_ms)]
+               "--max-wait-ms", str(args.max_wait_ms),
+               "--io-mode", args.io_mode]
         if args.coarse_buckets:
             cmd += ["--coarse-buckets"]
         if args.warmup_log or args.query_log:
