@@ -272,3 +272,77 @@ def test_blockmax_dominates_tc_reconstruction(skewed_corpus):
         got = sc.reshape(NB, 128).max(axis=1)
         bound = engine._h_dense_blockmax[h]
         assert (got <= bound).all(), f"row {h}: bound violated"
+
+
+def test_select_ub_blocks_joint_presence_mask():
+    """Conjunction feasibility in block selection: a block missing any
+    live term cannot match, so its ub must be 0 — the loudest
+    single-term blocks must NOT crowd out the only joint block, and
+    next_ub must be 0 once every feasible block is examined."""
+    import jax.numpy as jnp
+
+    # 2 terms x 4 blocks: term0 peaks in block0, term1 in block1,
+    # both present (small) only in block2; block3 empty.
+    blockmax = jnp.asarray(np.array([
+        [9.0, 0.0, 1.0, 0.0],   # term 0
+        [0.0, 9.0, 1.0, 0.0],   # term 1
+    ], dtype=np.float32))
+    slots = jnp.asarray(np.array([[0, 1]], dtype=np.int32))
+    weights = jnp.ones((1, 2), dtype=np.float32)
+    blk, next_ub = K._select_ub_blocks(blockmax, slots, weights,
+                                       T=2, NB=4, C=1)
+    assert int(blk[0, 0]) == 2, "only the joint block is feasible"
+    assert float(next_ub[0]) == 0.0, \
+        "all feasible blocks examined -> nothing left to flag about"
+    # a padded slot (weight 0) must not constrain feasibility
+    w_pad = jnp.asarray(np.array([[1.0, 0.0]], dtype=np.float32))
+    blk, next_ub = K._select_ub_blocks(blockmax, slots, w_pad,
+                                       T=2, NB=4, C=1)
+    assert int(blk[0, 0]) == 0, "padded term 1 ignored: term0's peak wins"
+    assert float(next_ub[0]) == pytest.approx(1.0)
+
+
+@pytest.fixture(scope="module", params=["raw", "tc"])
+def disjoint_support_corpus(request):
+    """Blocks 0-1 hold high-tf h0-only docs, blocks 2-3 high-tf h1-only
+    docs; the ONLY docs with both live in blocks 4+ at tf 1. Without the
+    joint-presence mask the top-C ub blocks are all infeasible and the
+    guard flags every query; with it the C blocks cover the whole
+    intersection and the guard proves exactness on-device."""
+    docs = []
+    for i in range(1600):
+        if i < 256:
+            toks = ["h0"] * 6 + [f"f{i % 17}"]
+        elif i < 512:
+            toks = ["h1"] * 6 + [f"f{i % 13}"]
+        elif i < 608 and i % 2 == 0:
+            toks = ["h0", "h1"] + [f"g{i % 11}"] * 3
+        else:
+            toks = [f"g{i % 23}"] * 5
+        docs.append(make_docinfo(toks, with_blooms=False))
+    # dense eligibility is decided in __init__ — lower the floor at the
+    # class level for construction (h0/h1 df ~300 < the 1024 default)
+    old = TpuEngine.DENSE_MIN_DF_FLOOR
+    TpuEngine.DENSE_MIN_DF_FLOOR = 64
+    try:
+        packed, oracle, engine = make_pruned_engine(docs, request.param)
+    finally:
+        TpuEngine.DENSE_MIN_DF_FLOOR = old
+    engine.SEMI_FROM_DENSE_MAX_CAND_L = 0  # force all-dense -> pruned
+    return packed, oracle, engine
+
+
+def test_prune_mask_proves_disjoint_support(disjoint_support_corpus,
+                                            monkeypatch):
+    _, oracle, engine = disjoint_support_corpus
+    pruned = spy_pruned(engine, monkeypatch)
+    host = spy_host(engine, monkeypatch)
+    engine.stats_take()
+    for k in (5, 10):
+        q = SearchQuery(["h0", "h1"], n_results=k)
+        assert_same(oracle.search(q), engine.search(q), f"AND k={k}")
+    stats = engine.stats_take()
+    assert pruned, "pruned kernel must be engaged"
+    assert stats.get("flag_prune_miss", 0) == 0, \
+        "feasibility mask must keep next_ub at 0 (nothing to flag)"
+    assert not host, "no host fallback on the masked route"

@@ -1100,13 +1100,29 @@ def make_semidense_kernel(T: int, L: int, M: int, N_pad: int,
 def _select_ub_blocks(blockmax, slots, weights, *, T, NB, C):
     """Per-query block-max upper bounds and top-C block selection.
 
+    Conjunction feasibility: a match needs EVERY live term present in
+    the doc (the kernel bodies AND `p > 0` across terms), and a term is
+    present somewhere in a 128-doc block iff its blockmax is > 0 (BM25
+    scores are strictly positive; absent lanes are exactly 0 in both
+    column modes). So a block missing any live term (weight > 0) cannot
+    contain a match and its joint ub is 0 — not the sum of the terms it
+    does have. This both spends the C-block budget on feasible blocks
+    only and tightens next_ub, which is what the FLAG_PRUNE_MISS guard
+    compares against: at 1M docs a 3-term Zipf conjunction's joint
+    presence per block is ~0.3-0.5, so the unmasked sum-of-maxima was
+    flagging 10-30%% of all-head queries to the host path.
+
     Returns (blk (B, C) int32 ascending block ids, next_ub (B,) f32 —
     the best unexamined block's ub)."""
     B = slots.shape[0]
     ub = jnp.zeros((B, NB), dtype=jnp.float32)
+    feas = jnp.ones((B, NB), dtype=bool)
     for t in range(T):
-        ub = ub + jnp.take(blockmax, slots[:, t], axis=0) \
-            * weights[:, t : t + 1]
+        bm = jnp.take(blockmax, slots[:, t], axis=0)
+        w = weights[:, t : t + 1]
+        ub = ub + bm * w
+        feas = feas & ((bm > 0.0) | (w == 0.0))
+    ub = jnp.where(feas, ub, 0.0)
     top_ub, top_idx = jax.lax.top_k(ub, C + 1)
     next_ub = top_ub[:, C]  # best unexamined block's ub
     # re-emit the selected ids in ascending block order (tie canon):
