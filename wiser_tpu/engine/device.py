@@ -108,9 +108,6 @@ def host_exact_search(packed: PackedIndex, cache64: np.ndarray,
         mask &= found
         tfs[t] = packed.postings_tf[st + idc]
         pidx[t] = st + idc
-    if is_phrase and len(rows) >= 2:
-        mask &= _host_phrase_mask(packed.positions, packed.pos_starts,
-                                  docs, pidx, mask, len(rows))
     docs_m = docs[mask]
     if docs_m.size == 0:
         return docs_m, np.zeros(0, dtype=np.float64)
@@ -121,7 +118,32 @@ def host_exact_search(packed: PackedIndex, cache64: np.ndarray,
         idf = np.float64(packed.idf64[r])
         f = tfs_m[t]
         score = score + idf * ((f * (K1 + 1)) / (f + cache_val))
-    order = np.lexsort((docs_m, -score))[:k]
+    order = np.lexsort((docs_m, -score))
+    if is_phrase and len(rows) >= 2:
+        # Score-ordered LAZY phrase verification: scoring ignores
+        # adjacency (BM25 over term tfs, phrase only filters — reference
+        # scoring semantics), so walk AND-matched candidates in the final
+        # (score desc, doc asc) canon and verify adjacency chunk by chunk
+        # until k survive. A later candidate can never displace an
+        # earlier verified one, so the first k survivors ARE the answer —
+        # exact, and on phrase-frequent mega pairs ("of the"-style, the
+        # expensive ones) it touches ~one chunk of position bags instead
+        # of key-intersecting the full ~10M-key surface (seconds/query).
+        pidx_m = pidx[:, mask]
+        kept: list = []
+        i, chunk = 0, 2048
+        while i < order.size and len(kept) < k:
+            take = order[i : i + chunk]
+            sub = np.ones(take.size, dtype=bool)
+            okm = _host_phrase_mask(packed.positions, packed.pos_starts,
+                                    docs_m[take], pidx_m[:, take], sub,
+                                    len(rows))
+            kept.extend(take[okm])
+            i += chunk
+            chunk *= 4  # phrase-rare pairs: approach full-set cost fast
+        order = np.asarray(kept[:k], dtype=np.int64)
+        return docs_m[order], score[order]
+    order = order[:k]
     return docs_m[order], score[order]
 
 
