@@ -230,9 +230,16 @@ def run_treatment(t: Treatment) -> ExpResult:
     budget = None
     doc_bodies = oracle.doc_bodies if oracle is not None else None
     if t.engine == "staged":
-        from wiser_tpu.engine.staged import BYTES_PER_POSTING, StagedEngine
+        from wiser_tpu.engine.staged import (BYTES_PER_POSTING,
+                                             BYTES_PER_POSTING_TC,
+                                             StagedEngine)
 
-        total_bytes = int(packed.n_postings) * BYTES_PER_POSTING
+        # budget frac is relative to the SERVED layout: tc columns are
+        # 6 B/posting, so a raw-bytes base would double every frac
+        # (frac 0.5 measured hot_fraction 1.0 on the 1M tc grid)
+        bpp = (BYTES_PER_POSTING_TC if t.columns == "tc"
+               else BYTES_PER_POSTING)
+        total_bytes = int(packed.n_postings) * bpp
         budget = int(total_bytes * (t.hbm_budget_frac or 1.0))
         engine = StagedEngine(packed, budget, doc_bodies=doc_bodies,
                               columns=t.columns, term_weights=term_weights)

@@ -927,7 +927,7 @@ class TpuEngine:
                 sm = np.nonzero(semi)[0]
                 pending += self._submit_semidense(
                     sm, qi_arr, flat_rows, n_terms, cand, ks, Lval, queries,
-                    results)
+                    results, rows_pad=rows_pad)
         host_merge = ((n_terms > 1) & (Lval >= self.HOST_MERGE_MIN_L)
                       & ~windowed & ~semi) | saturated
         if host_merge.any():
@@ -1222,28 +1222,59 @@ class TpuEngine:
         return out
 
     def _submit_semidense(self, sm, qi_arr, flat_rows, n_terms, cand, ks,
-                          Lval, queries, results):
+                          Lval, queries, results, rows_pad=None):
         """Tail-candidate x (dense + small-bs) others via the mixed
         semi-dense kernel. Slot layout: 0 = candidate, 1..n_bs =
         non-dense others (short-span binary search), rest = dense
-        others; padded slots repeat the first dense slot with idf 0."""
+        others; padded slots repeat the first dense slot with idf 0.
+
+        Group split and slot layout are vectorized (stable argsort of a
+        per-(member, t) class rank, the _submit_flat_vec trick) — the
+        per-member Python double loop was ~30% of 32k-batch planning
+        time on the single host core."""
         pending = []
-        groups: Dict[tuple, list] = {}
-        bs_df_max: Dict[tuple, int] = {}
-        for i in sm:
-            rows = flat_rows[i]
-            cslot = int(cand[i])
-            bs_rows = [r for t, r in enumerate(rows)
-                       if t != cslot and self._dense_slot[r] < 0]
-            T = int(_bucket(int(n_terms[i]), self._tb))
-            key = (T, int(Lval[i]), len(bs_rows))
-            groups.setdefault(key, []).append(int(i))
-            if bs_rows:
-                mx = max(int(self.packed.df[r]) for r in bs_rows)
-                bs_df_max[key] = max(bs_df_max.get(key, 0), mx)
-        for (T, L, NBs), members in groups.items():
+        if rows_pad is None:  # long-tail caller convenience
+            MTmax = max(len(flat_rows[i]) for i in sm)
+            rows_pad = np.zeros((len(flat_rows), MTmax), dtype=np.int64)
+            for i in sm:
+                rows_pad[i, : len(flat_rows[i])] = flat_rows[i]
+        MT = rows_pad.shape[1]
+        sm = np.asarray(sm, dtype=np.int64)
+        rp = rows_pad[sm]                       # (S, MT) term rows
+        nt = np.asarray(n_terms)[sm]
+        cs = np.asarray(cand)[sm]
+        col = np.arange(MT, dtype=np.int64)[None, :]
+        v = col < nt[:, None]
+        ds = self._dense_slot[rp]               # dense slot or -1
+        is_cand = col == cs[:, None]
+        is_bs = v & ~is_cand & (ds < 0)
+        nbs = is_bs.sum(axis=1).astype(np.int64)
+        # slot order: candidate, bs others (query order), dense others
+        # (query order), padding — stable argsort of the class rank
+        rank = np.where(is_cand, np.int32(-1),
+                        np.where(is_bs, np.int32(0),
+                                 np.where(v, np.int32(1), np.int32(2))))
+        order = np.argsort(rank, axis=1, kind="stable")    # (S, MT)
+        slot_of_s = np.argsort(order, axis=1, kind="stable")
+        sr = np.take_along_axis(rp, order, 1)              # slot-order rows
+        ds_s = np.take_along_axis(ds, order, 1)
+        idf64_q_s = self.packed.idf64[rp] * v              # query order
+        tb = np.asarray(self._tb, dtype=np.int64)
+        T_of = tb[np.searchsorted(tb, nt)]
+        dfb = np.where(is_bs, self.packed.df[rp], 0).max(axis=1)
+
+        gkey = (T_of * (MT + 1) + nbs) * np.int64(1 << 40) \
+            + np.asarray(Lval)[sm].astype(np.int64)
+        uniq_keys, inverse = np.unique(gkey, return_inverse=True)
+        for gi in range(len(uniq_keys)):
+            sel = np.nonzero(inverse == gi)[0]
+            T = int(T_of[sel[0]])
+            L = int(np.asarray(Lval)[sm[sel[0]]])
+            NBs = int(nbs[sel[0]])
+            members = [int(sm[s]) for s in sel]
+            g_bs_df_max = int(dfb[sel].max(initial=0))
             # quantize the bs depth to L buckets so shapes stay few
-            n_it = K.n_iters_for(_bucket(bs_df_max.get((T, L, NBs), 1),
+            n_it = K.n_iters_for(_bucket(max(g_bs_df_max, 1),
                                          self._lb)) if NBs else 0
             # (B, L) gather tensors per non-candidate slot: cap the chunk
             chunk = B_BUCKETS[0]
@@ -1251,43 +1282,38 @@ class TpuEngine:
             for b in B_BUCKETS:
                 if b <= fit:
                     chunk = b
-            for ci in range(0, len(members), chunk):
+            first_dense = 1 + NBs
+            ks_all = np.asarray(ks)
+            slotcol = np.arange(T, dtype=np.int64)[None, :]
+            for ci in range(0, len(sel), chunk):
+                gsel = sel[ci : ci + chunk]
                 m = members[ci : ci + chunk]
-                B = _bucket(len(m), B_BUCKETS)
+                n = len(gsel)
+                B = _bucket(n, B_BUCKETS)
+                live = slotcol < nt[gsel][:, None]        # (n, T) slot live
+                srt = sr[gsel, :T]
+                csbs = slotcol < first_dense              # cand + bs slots
                 starts = np.zeros((B, T), dtype=np.int32)
                 ends = np.zeros((B, T), dtype=np.int32)
-                use = np.zeros((B, T), dtype=np.float32)
+                st = np.where(csbs, self._starts32[srt], 0)
+                starts[:n] = st
+                ends[:n] = st + np.where(csbs, self._df32[srt], 0)
                 slots = np.zeros((B, T), dtype=np.int32)
+                sl = np.where(live & ~csbs, ds_s[gsel, :T], 0)
+                # padded slots repeat the first dense slot (idf/use 0)
+                sl = np.where(live | csbs, sl, sl[:, first_dense : first_dense + 1])
+                slots[:n] = sl
+                use = np.zeros((B, T), dtype=np.float32)
+                use[:n] = live.astype(np.float32)
                 idf64_q = np.zeros((B, T), dtype=np.float64)
+                idf64_q[:n] = idf64_q_s[gsel, :T]
                 idf32_s = np.zeros((B, T), dtype=np.float32)
+                idf32_s[:n] = (self.packed.idf64[srt] * live).astype(
+                    np.float32)
                 slot_of = np.zeros((B, T), dtype=np.int64)
+                slot_of[:n] = np.where(v[gsel], slot_of_s[gsel], 0)[:, :T]
                 ks_g = np.zeros(B, dtype=np.int32)
-                for bi, i in enumerate(m):
-                    rows = flat_rows[i]
-                    cslot = int(cand[i])
-                    others = [t for t in range(len(rows)) if t != cslot]
-                    bs_t = [t for t in others
-                            if self._dense_slot[rows[t]] < 0]
-                    dn_t = [t for t in others
-                            if self._dense_slot[rows[t]] >= 0]
-                    order = [cslot] + bs_t + dn_t
-                    ks_g[bi] = ks[i]
-                    first_dense = 1 + len(bs_t)
-                    for slot, t in enumerate(order):
-                        r = rows[t]
-                        if slot < first_dense:  # candidate + bs others
-                            starts[bi, slot] = self._starts32[r]
-                            ends[bi, slot] = (self._starts32[r]
-                                              + self._df32[r])
-                        else:
-                            slots[bi, slot] = self._dense_slot[r]
-                        use[bi, slot] = 1.0
-                        idf32_s[bi, slot] = np.float32(self.packed.idf64[r])
-                        slot_of[bi, t] = slot
-                    for slot in range(len(order), T):  # padded slots
-                        slots[bi, slot] = slots[bi, first_dense]
-                    for t, r in enumerate(rows):
-                        idf64_q[bi, t] = self.packed.idf64[r]
+                ks_g[:n] = ks_all[np.asarray(m)]
                 M = min(L, int(ks_g.max(initial=1)) + self.margin)
 
                 def dispatch(T=T, L=L, M=M, NBs=NBs, n_it=n_it,
