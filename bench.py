@@ -118,6 +118,8 @@ def main():
     # pipelined: keep PIPELINE batches in flight (device works on batch
     # i+1's kernels while batch i's results are fetched and finalized)
     PIPELINE = 2
+    PROFILE = bool(int(os.environ.get("WISER_BENCH_PROFILE", "0")))
+    submit_s = finalize_s = 0.0
     lat = []
     t0 = time.time()
     done = 0
@@ -125,16 +127,24 @@ def main():
     for i in range(0, len(queries), BATCH):
         bt = time.time()
         in_flight.append((bt, engine.submit_batch(queries[i : i + BATCH])))
+        submit_s += time.time() - bt
         while len(in_flight) > PIPELINE:
             bt0, (res, pending) = in_flight.pop(0)
+            ft = time.time()
             engine.run_pending(res, pending)  # overlapped group fetches
+            finalize_s += time.time() - ft
             lat.append(time.time() - bt0)
             done += len(res)
     for bt0, (res, pending) in in_flight:
+        ft = time.time()
         engine.run_pending(res, pending)
+        finalize_s += time.time() - ft
         lat.append(time.time() - bt0)
         done += len(res)
     wall = time.time() - t0
+    if PROFILE:
+        log(f"profile: submit {submit_s:.2f}s, run_pending {finalize_s:.2f}s "
+            f"of {wall:.2f}s wall ({len(lat)} batches)")
     qps = done / wall
     lat_ms = 1000.0 * np.array(lat) / BATCH  # per-query amortized
     log(f"{done} queries in {wall:.2f}s -> {qps:,.0f} QPS; "
