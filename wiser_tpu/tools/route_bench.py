@@ -176,6 +176,8 @@ def main(argv=None):
     ap.add_argument("--routes", default=None, help="comma-separated subset")
     ap.add_argument("--linedoc", default=None,
                     help="mine adjacent pairs for the phrase routes")
+    ap.add_argument("--pruned-c", type=int, default=None,
+                    help="override PRUNED_DENSE_C (block budget A/B)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -191,6 +193,8 @@ def main(argv=None):
     packed = PackedIndex.load(args.index)
     engine = TpuEngine(packed, columns=args.columns,
                        coarse_buckets=args.coarse_buckets)
+    if args.pruned_c:
+        engine.PRUNED_DENSE_C = args.pruned_c
     log(f"engine up; columns={args.columns}; dense_H={engine._dense_H}")
     sets = build_route_sets(packed, engine, args.n_queries, args.k)
     if args.linedoc:
