@@ -17,6 +17,17 @@ def corpus():
     return packed, oracle
 
 
+@pytest.fixture(scope="module", params=["host", "device"], autouse=True)
+def cold_mode(request):
+    """Run the whole staged suite under BOTH cold compute backends: the
+    default memoized host path and the stage-to-scratch device kernels
+    (kept for backends without RAM-resident postings)."""
+    old = StagedEngine.COLD_COMPUTE
+    StagedEngine.COLD_COMPUTE = request.param
+    yield request.param
+    StagedEngine.COLD_COMPUTE = old
+
+
 def assert_same(oracle_res, res, msg=""):
     o = [(e.doc_id, e.doc_score) for e in oracle_res.entries]
     t = [(e.doc_id, e.doc_score) for e in res.entries]
@@ -198,7 +209,10 @@ class TestColdChunking:
         for q, r in zip(queries, got):
             assert_same(oracle.search(q), r, f"terms={q.terms}")
 
-    def test_single_query_over_capacity_raises(self, corpus, monkeypatch):
+    def test_single_query_over_capacity_raises(self, corpus, monkeypatch,
+                                               cold_mode):
+        if cold_mode != "device":
+            pytest.skip("scratch chunker is a device-cold-path guard")
         packed, _ = corpus
         from wiser_tpu.engine import staged as S
 

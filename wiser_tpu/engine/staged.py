@@ -231,6 +231,7 @@ class StagedEngine:
         self._df32 = packed.df.astype(np.int32)
         self._lens = np.diff(packed.term_starts).astype(np.int64)
         self._max_df = int(packed.df.max(initial=1))
+        self._cold_host_cache: Dict[tuple, tuple] = {}
         if cold_transfer == "packed":
             from wiser_tpu.ops.unpack import doc_block_widths
 
@@ -297,6 +298,35 @@ class StagedEngine:
 
     # -- cold path -----------------------------------------------------
 
+    # Cold compute backend. "host" (default): every cold query takes the
+    # memoized exact host search — cost scales with the CANDIDATE (min)
+    # df via vectorized searchsorted, ~0.3-1 ms for anything under the
+    # giant-pair sat ceiling, and the biggest pairs were already
+    # host-routed. "device" re-enables the stage-to-scratch kernels:
+    # measured on the 1M-doc corpus they are element-gather-bound
+    # (~13-100 ms/query at the 65k-524k L buckets; the 50%-budget grid
+    # point ran at 9.6 QPS vs ~1k on the host path) — kept for backends
+    # whose host postings aren't RAM-resident or whose gathers are fast.
+    # The reference's own low-memory mode is CPU search over page-cached
+    # flash reads (engine_bench.cc + run_exp.py cgroup grid), so host
+    # compute over the RAM-resident PackedIndex is the faithful analog.
+    COLD_COMPUTE = "host"
+    COLD_HOST_CACHE_CAP = 200_000
+
+    def _host_exact_memo(self, rows, k: int, is_phrase: bool = False):
+        from wiser_tpu.engine.device import host_exact_search
+
+        key = (tuple(rows), int(k), bool(is_phrase))
+        cache = self._cold_host_cache
+        hit = cache.get(key)
+        if hit is None:
+            if len(cache) >= self.COLD_HOST_CACHE_CAP:
+                cache.clear()
+            hit = host_exact_search(self.packed, self.cache64, rows, k,
+                                    is_phrase=is_phrase)
+            cache[key] = hit
+        return hit
+
     def _submit_cold(self, cold, queries, results):
         """Chunk the cold set so each chunk's staged postings fit the
         largest scratch bucket, then stage chunk by chunk. Without this,
@@ -306,6 +336,23 @@ class StagedEngine:
         if not cold:
             return []
         pending = []
+        if self.COLD_COMPUTE == "host":
+            def run_host_cold(res_list, cold=cold):
+                from wiser_tpu.engine.device import snippet_for
+
+                for qi, rows, q in cold:
+                    d, s = self._host_exact_memo(
+                        rows, q.n_results,
+                        q.is_phrase and len(rows) >= 2)
+                    res = res_list[qi]
+                    res.set_arrays(d, s)
+                    if q.return_snippets and self.doc_bodies is not None:
+                        for e in res.entries:
+                            e.snippet = snippet_for(
+                                self.packed, self.doc_bodies, rows, q,
+                                e.doc_id)
+
+            return [run_host_cold]
 
         def _is_sat(item):
             rows = item[1]
