@@ -1513,10 +1513,13 @@ class TpuEngine:
                          qis, flat_rows, members, queries, results,
                          force_host=None):
         n = len(qis)
-        M = top_tfs_slot.shape[2]
-        tf_q = np.take_along_axis(
-            top_tfs_slot,
-            np.broadcast_to(slot_of[:, :, None], top_tfs_slot.shape), axis=1)
+        B, T, M = top_tfs_slot.shape
+        # flat-index gather (take_along_axis builds np.indices per call —
+        # measured finalize hot spot on 32k batches)
+        flat = ((np.arange(B, dtype=np.int64)[:, None] * T
+                 + slot_of.astype(np.int64))[:, :, None] * M
+                + np.arange(M, dtype=np.int64)[None, None, :])
+        tf_q = top_tfs_slot.reshape(-1)[flat]
         docs_f, score_f, n_valid = rescore_sorted_arrays(
             top_docs, tf_q, idf64_q, self.packed.doc_len_code, self.cache64)
         suspects = truncation_suspects(score_f, n_valid, ks,
@@ -1524,6 +1527,8 @@ class TpuEngine:
         if force_host is not None:
             suspects = suspects | force_host[: len(suspects)]
         self._bump(host_fallback_q=int(suspects.sum()))
+        cnts = np.minimum(ks[:n], n_valid[:n])
+        snip = self.doc_bodies is not None
         for i in range(n):
             qi = int(qis[i])
             res = results[qi]
@@ -1534,14 +1539,15 @@ class TpuEngine:
                     flat_rows[int(members[i])], int(ks[i]))
                 res.set_arrays(d, s)
             else:
-                cnt = min(int(ks[i]), int(n_valid[i]))
+                cnt = cnts[i]
                 res.set_arrays(docs_f[i, :cnt], score_f[i, :cnt])
-            q = queries[qi]
-            if q.return_snippets and self.doc_bodies is not None:
-                pq = _PlannedQuery(qi, flat_rows[int(members[i])], q)
-                entries = res.entries  # materialize
-                for e in entries:
-                    e.snippet = self._snippet(pq, e.doc_id)
+            if snip:
+                q = queries[qi]
+                if q.return_snippets:
+                    pq = _PlannedQuery(qi, flat_rows[int(members[i])], q)
+                    entries = res.entries  # materialize
+                    for e in entries:
+                        e.snippet = self._snippet(pq, e.doc_id)
 
     # -- grouping / assembly -------------------------------------------
 
