@@ -3,7 +3,7 @@
 Workload shape follows the AOL trace statistics shipped with the reference
 (data/AOL_QueryLog_analysis/stat.txt: 36.8% 1-term / 25.2% 2-term /
 17.3% 3-term, rest longer), over a Zipf-distributed synthetic corpus.
-Queries run in batches of 4096 through the TpuEngine (BASELINE.json
+Queries run in mega-batches through the TpuEngine (BASELINE.json
 config 3), end-to-end including host-side exact f64 re-ranking.
 
 vs_baseline: the reference publishes no absolute QPS (SURVEY.md §6).
@@ -33,7 +33,7 @@ REFERENCE_QPS_ESTIMATE = 10_000.0
 N_DOCS = int(os.environ.get("WISER_BENCH_DOCS", 20_000))
 VOCAB = int(os.environ.get("WISER_BENCH_VOCAB", 20_000))
 MEAN_LEN = int(os.environ.get("WISER_BENCH_MEAN_LEN", 120))
-N_QUERIES = int(os.environ.get("WISER_BENCH_QUERIES", 131_072))
+N_QUERIES = int(os.environ.get("WISER_BENCH_QUERIES", 262_144))
 COLUMNS = os.environ.get("WISER_BENCH_COLUMNS", "raw")  # raw | tc
 COARSE = bool(int(os.environ.get("WISER_BENCH_COARSE", "0")))
 IO_WORKERS = int(os.environ.get("WISER_BENCH_IO_WORKERS", "8"))
@@ -43,7 +43,12 @@ IO_WORKERS = int(os.environ.get("WISER_BENCH_IO_WORKERS", "8"))
 # "both" wins at 1M where groups are compute-heavy (zipf_t3 1769 vs
 # 1660). The engine default is "both"; the 20k headline uses fetch.
 IO_MODE = os.environ.get("WISER_BENCH_IO_MODE", "fetch")
-BATCH = 32_768
+# Max-throughput operating point: one mega-batch per pipeline slot
+# amortizes planning + fetch RTTs and maximizes request coalescing
+# (measured 2026-08-18: BATCH 16k/32k/64k/131k -> 15.1k/27.3k/33.8k/41.8k
+# QPS). Per-batch latency at this point is ~4.7s; the latency story is
+# the closed-loop LATENCY_POINT.json (568 QPS at p50 196 ms/query).
+BATCH = int(os.environ.get("WISER_BENCH_BATCH", 131_072))
 K = 10
 
 
@@ -117,7 +122,7 @@ def main():
 
     # pipelined: keep PIPELINE batches in flight (device works on batch
     # i+1's kernels while batch i's results are fetched and finalized)
-    PIPELINE = 2
+    PIPELINE = int(os.environ.get("WISER_BENCH_PIPELINE", "2"))
     PROFILE = bool(int(os.environ.get("WISER_BENCH_PROFILE", "0")))
     submit_s = finalize_s = 0.0
     lat = []
