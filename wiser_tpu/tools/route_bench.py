@@ -178,6 +178,11 @@ def main(argv=None):
                     help="mine adjacent pairs for the phrase routes")
     ap.add_argument("--pruned-c", type=int, default=None,
                     help="override PRUNED_DENSE_C (block budget A/B)")
+    ap.add_argument("--phrase-kv", type=int, default=None,
+                    help="override PRUNED_PHRASE_KV (compaction width A/B "
+                         "— top_k cost scales with KV)")
+    ap.add_argument("--phrase-c", type=int, default=None,
+                    help="override PRUNED_PHRASE_C")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -195,6 +200,10 @@ def main(argv=None):
                        coarse_buckets=args.coarse_buckets)
     if args.pruned_c:
         engine.PRUNED_DENSE_C = args.pruned_c
+    if args.phrase_kv:
+        engine.PRUNED_PHRASE_KV = args.phrase_kv
+    if args.phrase_c:
+        engine.PRUNED_PHRASE_C = args.phrase_c
     log(f"engine up; columns={args.columns}; dense_H={engine._dense_H}")
     sets = build_route_sets(packed, engine, args.n_queries, args.k)
     if args.linedoc:
