@@ -254,6 +254,12 @@ def run_treatment(t: Treatment) -> ExpResult:
     for i in range(0, len(queries), t.batch):
         engine.search_batch(queries[i : i + t.batch])
     warmup = time.time() - w0
+    # shapes/compiles warm = steady-state serving; a primed RESULT cache
+    # is not (the timed pass re-runs the same list) — drop the memoized
+    # host merges so every timed query pays its real cost. Repeats
+    # WITHIN the timed pass still hit, as they would in production.
+    if hasattr(engine, "clear_result_memos"):
+        engine.clear_result_memos()
 
     import numpy as np
 

@@ -631,6 +631,16 @@ class TpuEngine:
             out, self.stats = self.stats, {}
         return out
 
+    def clear_result_memos(self) -> None:
+        """Drop result-level caches (the memoized host merges). Benchmark
+        harnesses call this between a warmup pass and a timed pass over
+        the same query list: shape/compile warmth is steady-state serving
+        reality, but a primed RESULT cache would turn the timed pass into
+        a cache readout (observed: the 1M 50%-budget grid point measured
+        7.8k QPS primed vs the honest per-query cost)."""
+        with self._stats_lock:
+            self._host_cache.clear()
+
     def _host_exact(self, rows, k: int, is_phrase: bool = False):
         """Memoized exact host search (see _host_cache note)."""
         key = (tuple(rows), int(k), bool(is_phrase))

@@ -327,6 +327,10 @@ class StagedEngine:
             cache[key] = hit
         return hit
 
+    def clear_result_memos(self) -> None:
+        self._cold_host_cache.clear()
+        self.hot.clear_result_memos()
+
     def _submit_cold(self, cold, queries, results):
         """Chunk the cold set so each chunk's staged postings fit the
         largest scratch bucket, then stage chunk by chunk. Without this,

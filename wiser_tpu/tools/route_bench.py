@@ -135,6 +135,8 @@ def run_set(engine, queries, batch):
         engine.search_batch(queries[i : i + batch])
     if hasattr(engine, "stats_take"):
         engine.stats_take()  # reset: attribute counters to the timed pass
+    if hasattr(engine, "clear_result_memos"):
+        engine.clear_result_memos()  # timed queries pay their real cost
     t0 = time.time()
     done = 0
     n_dispatch = 0

@@ -103,6 +103,11 @@ def run_config(engine, queries, batch: int, pipeline: int = 2):
     for i in range(0, len(queries), batch):
         engine.search_batch(queries[i : i + batch])
     warm = time.time() - t0
+    # compile warmth is steady state; a primed result memo is not (the
+    # timed pass re-runs the same list) — every timed query pays its
+    # real cost, repeats within the pass still coalesce/hit naturally
+    if hasattr(engine, "clear_result_memos"):
+        engine.clear_result_memos()
 
     lat = []
     done = 0
