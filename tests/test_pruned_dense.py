@@ -104,8 +104,8 @@ def test_guard_fires_and_rescue_restores_parity(flat_corpus, monkeypatch):
     """Flat ub profile: the prune guard CANNOT certify, so the flagged
     rows must be rescued on-device by the exact full dense scan (no host
     fallback needed — the rescue is exact by construction). DENSE_RESCUE
-    defaults OFF (host merge measured cheaper at 1M); this exercises the
-    opt-in mechanism for backends without RAM-resident postings."""
+    defaults ON (an honest host merge of a one-off head conjunction is
+    2-20 ms; see device.py knob note)."""
     _, oracle, engine = flat_corpus
     monkeypatch.setattr(engine, "DENSE_RESCUE", True)
     pruned = spy_pruned(engine, monkeypatch)
@@ -123,12 +123,11 @@ def test_guard_fires_and_rescue_restores_parity(flat_corpus, monkeypatch):
 
 
 def test_guard_fires_default_host_fallback(flat_corpus, monkeypatch):
-    """Default config (DENSE_RESCUE off): flagged rows go straight to the
-    memoized host merge — the cheaper route when postings are
-    RAM-resident (measured at 1M, see device.py DENSE_RESCUE note) —
-    and stay bit-exact."""
+    """With DENSE_RESCUE off (the opt-out for backends whose dense tier
+    can't host a full re-scan): flagged rows go straight to the memoized
+    host merge and stay bit-exact."""
     _, oracle, engine = flat_corpus
-    assert engine.DENSE_RESCUE is False
+    monkeypatch.setattr(engine, "DENSE_RESCUE", False)
     host = spy_host(engine, monkeypatch)
     engine.stats_take()
     for terms in (["h0", "h1"], ["h1", "h2"], ["h0", "h1", "h2"]):

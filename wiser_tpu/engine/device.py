@@ -410,18 +410,23 @@ class TpuEngine:
     PRUNED_DENSE_MIN_NB = 2048
     PRUNED_DENSE_C = 512
     # Device-side second-chance passes for FLAG_PRUNE_MISS rows.
-    # DENSE_RESCUE (full T x n_docs dense re-scan) measured 2-3x SLOWER
-    # than the memoized host merge at 1M (route_bench 2026-08-18: dense
-    # pair 386 -> 1323 us/q, zipf_t3 520 -> 921, zipf_t4 578 -> 1505 at
-    # ~15-30% miss rates) — host postings are RAM-resident and a numpy
-    # two-list merge is ~1.2 ms; default OFF. PHRASE_RESCUE retries mega
-    # phrases at RETRY_C/RETRY_KV, but 63% of retried queries STILL
-    # forced host (route_bench 2026-08-18: phrase_mega 178 -> 109 QPS,
-    # 310 of 492 rescued rows re-flagged — mega pairs' ub surface stays
-    # too flat even at 4x C): also default OFF. Both knobs remain for
-    # backends where host postings aren't resident.
-    DENSE_RESCUE = False
-    PHRASE_RESCUE = False
+    # DENSE_RESCUE (full T x n_docs dense re-scan) is ON: an earlier A/B
+    # declared it 2-3x slower than "the host merge", but that comparison
+    # was against a warmup-PRIMED result memo (a cache readout, ~free) —
+    # an honest host merge of a one-off head conjunction at 1M is
+    # 2-20 ms of serialized single-core numpy, vs ~0.9-1.5 ms/q measured
+    # for the rescued rows (route_bench 2026-08-18: zipf_t3 921 us,
+    # zipf_t4 1505 us, dense pair 1323 us — those runs charged rescue
+    # its full cost while crediting no-rescue with the memo). With
+    # result-memo clearing in the harnesses (clear_result_memos) the
+    # rescue is the honest winner everywhere postings are dense-tier
+    # resident. PHRASE_RESCUE retries mega phrases at RETRY_C/RETRY_KV;
+    # 63% of retried rows STILL re-flag (mega pairs' ub surface is flat
+    # even at 4x C), but the honest host cost of a mega pair is ~21 ms,
+    # so paying the retry to rescue the other 37% is still the right
+    # trade; ON as well, pending a clean A/B.
+    DENSE_RESCUE = True
+    PHRASE_RESCUE = True
 
     def _build_dense_rows(self, budget_bytes: int) -> None:
         """Dense (N_pad,) score/tf vectors for head terms, so all-head
