@@ -119,6 +119,12 @@ def main():
     for i in range(0, len(queries), BATCH):
         engine.search_batch(queries[i : i + BATCH])
     log(f"warmup (incl. compile): {time.time()-t0:.1f}s")
+    # Result-memo honesty (same policy as scale_bench/route_bench/run_exp):
+    # drop memoized host merges so the timed pass pays the real cost of
+    # flagged queries; compile/shape warmth stays, and repeats WITHIN the
+    # timed pass still coalesce/memo-hit naturally.
+    if hasattr(engine, "clear_result_memos"):
+        engine.clear_result_memos()
 
     # pipelined: keep PIPELINE batches in flight (device works on batch
     # i+1's kernels while batch i's results are fetched and finalized)
