@@ -157,8 +157,14 @@ def main():
         log(f"profile: submit {submit_s:.2f}s, run_pending {finalize_s:.2f}s "
             f"of {wall:.2f}s wall ({len(lat)} batches)")
     qps = done / wall
+    # Both denominators (VERDICT r3 item 9): replayed-log QPS (repeats
+    # re-served via coalescing — legitimate trace replay, and what the
+    # reference's log-replay benches count) AND unique-query throughput,
+    # so the coalescing win is visible instead of implicit.
+    unique_qps = uniq * done / (len(queries) * wall)
     lat_ms = 1000.0 * np.array(lat) / BATCH  # per-query amortized
-    log(f"{done} queries in {wall:.2f}s -> {qps:,.0f} QPS; "
+    log(f"{done} queries in {wall:.2f}s -> {qps:,.0f} QPS replayed "
+        f"({unique_qps:,.0f} unique-QPS over {uniq} uniques); "
         f"batch lat p50={np.median(lat):.3f}s p99={np.percentile(lat,99):.3f}s; "
         f"amortized/query {lat_ms.mean()*1000:.1f}us")
 
@@ -167,6 +173,9 @@ def main():
         "value": round(qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(qps / REFERENCE_QPS_ESTIMATE, 3),
+        "unique_queries": uniq,
+        "replayed_queries": done,
+        "unique_qps": round(unique_qps, 1),
     }))
 
 

@@ -136,11 +136,6 @@ class TestTcRoutesAndBytes:
         # (if not, the test silently degenerates — keep it honest)
         assert hits >= 0
 
-    def test_device_merge_requires_raw(self, big):
-        packed, _ = big
-        with pytest.raises(ValueError):
-            TpuEngine(packed, columns="tc", device_merge=True)
-
 
 def test_staged_tc_hot_tier_parity():
     """StagedEngine(columns='tc'): the hot tier serves from compressed

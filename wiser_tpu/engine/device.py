@@ -233,7 +233,6 @@ class TpuEngine:
         doc_bodies: Optional[Sequence[str]] = None,
         bloom_enable_factor: Optional[int] = 1,
         margin: int = DEFAULT_MARGIN,
-        device_merge: bool = False,
         single_term_depth: int = 64,
         dense_budget_bytes: int = 7 << 29,  # 3.5 GB
         strict_parity: bool = False,
@@ -242,11 +241,6 @@ class TpuEngine:
         io_workers: int = 8,
         io_mode: str = "both",
     ):
-        # device_merge: route mega-pair queries through the Pallas
-        # staircase merge (ops/merge.py) instead of the host merge.
-        # Validated bit-exact on TPU; ~5x the windowed path at wiki-scale
-        # lists, but Mosaic compiles take minutes per L bucket — opt-in.
-        self.device_merge = device_merge
         self.strict_parity = strict_parity
         # columns="tc": compressed device columns — one uint16
         # (doc_len_code << 8 | min(tf, 255)) lane replaces the (score f32,
@@ -257,9 +251,6 @@ class TpuEngine:
         # posting storage (packed_value.h:87-274, flash_containers.h:557).
         if columns not in ("raw", "tc"):
             raise ValueError(f"unknown columns mode {columns!r}")
-        if columns == "tc" and device_merge:
-            raise ValueError("device_merge requires columns='raw' "
-                             "(the Pallas merge reads score/tf rows)")
         self.columns = columns
         # io_workers: overlap the tunnel's ~30ms PER-GROUP round trips.
         # A batch spans many shape groups; submitting each group's XLA
@@ -334,8 +325,8 @@ class TpuEngine:
         # so a crashed/restarted device worker can be re-provisioned
         # (_upload), the elastic-recovery path the reference lacks
         # (SURVEY.md §5: "no retries, no replication").
-        # slack must cover both the largest candidate dynamic_slice AND the
-        # staircase-merge chunk DMA overreach (CHUNK_ROWS rows past a run)
+        # slack must cover the largest candidate dynamic_slice anywhere in
+        # the real data (plus headroom for block-aligned kernel overreach)
         pad = _bucket(int(packed.df.max(initial=1)), self._lb) + 4096
         self._h_doc = np.pad(packed.postings_doc, (0, pad),
                              constant_values=K.INT32_MAX).astype(np.int32)
@@ -591,10 +582,6 @@ class TpuEngine:
         else:
             self.d_postings_score = jnp.asarray(self._h_score)
             self.d_postings_tf = jnp.asarray(self._h_tf)
-            # (P/128, 128) row views for the Pallas staircase merge
-            self.d_doc_rows = self.d_postings_doc.reshape(-1, 128)
-            self.d_score_rows = self.d_postings_score.reshape(-1, 128)
-            self.d_tf_rows = self.d_postings_tf.reshape(-1, 128)
         self.d_pos_starts = jnp.asarray(packed.pos_starts, dtype=jnp.int32)
         # trailing pad: the window verify dynamic-slices PW-wide bags
         # anywhere in the column, so the tail needs >= PW slack entries
@@ -913,8 +900,10 @@ class TpuEngine:
         # device kernel (measured 2.1k QPS vs the host merge's 48 QPS at
         # L=131072 on the 100k corpus — the round-1 scale cliff was
         # routing these to host); only ineligible ones (length ratio > 4,
-        # where WIN would blow up) go to the Pallas staircase merge
-        # (device_merge=True) or the exact host merge. Queries whose
+        # where WIN would blow up) go to the exact host merge. (A Pallas
+        # staircase-merge device path existed through round 3; it lost
+        # every A/B to the windowed/semidense routes and was removed —
+        # VERDICT r3 item 10.) Queries whose
         # candidate list exceeds the largest L bucket (bucket saturation
         # would silently scan only the first L postings) are ALWAYS routed
         # to the exact host path — including single-term ones.
@@ -962,19 +951,7 @@ class TpuEngine:
                         for e in res.entries:
                             e.snippet = self._snippet(pq, e.doc_id)
 
-            if self.device_merge:
-                dm = hm[~saturated[hm]]
-                hh = hm[saturated[hm]]
-                if len(dm):
-                    pending += self._submit_device_merge(
-                        dm, qi_arr, flat_rows, rows_pad, n_terms, cand, ks,
-                        Lval, queries, results)
-                if len(hh):
-                    pending.append(
-                        lambda res_list, f=run_host_merge, hh=hh: f(
-                            res_list, hm=hh))
-            else:
-                pending.append(run_host_merge)
+            pending.append(run_host_merge)
         routed = host_merge | semi
         if routed.any():
             keep = ~routed
@@ -1376,78 +1353,6 @@ class TpuEngine:
                 pending.append(finalize)
         return pending
 
-    MERGE_CHUNK = 256  # merge cells are ~1ms each; keep dispatches modest
-    # merge batches are padded to these widths: the pallas_call grid
-    # (C = B*(T-1)) and the combine kernel are shape-specialized, and each
-    # distinct shape is a minutes-long Mosaic compile — zero-length meta
-    # rows are near-free cells, so padding is the cheap side of the trade
-    MERGE_B_BUCKETS = [8, 32, 128, 256]
-
-    def _submit_device_merge(self, hm, qi_arr, flat_rows, rows_pad, n_terms,
-                             cand, ks, Lval, queries, results):
-        """Mega-pair path via the Pallas staircase merge kernel."""
-        from wiser_tpu.ops.merge import make_merge_intersect
-
-        pending = []
-        groups: Dict[tuple, list] = {}
-        for i in hm:
-            # merge kernel lane space is 512-aligned (candidate super-blocks)
-            groups.setdefault(
-                (int(n_terms[i]), max(512, int(Lval[i]))), []).append(int(i))
-        for (T, L), members in groups.items():
-            for ci in range(0, len(members), self.MERGE_CHUNK):
-                m = members[ci : ci + self.MERGE_CHUNK]
-                B = _bucket(len(m), self.MERGE_B_BUCKETS)
-                starts = np.zeros((B, T), dtype=np.int32)
-                ends = np.zeros((B, T), dtype=np.int32)
-                use = np.zeros((B, T), dtype=np.float32)
-                use[: len(m)] = 1.0
-                idf64_q = np.zeros((B, T), dtype=np.float64)
-                slot_of = np.zeros((B, T), dtype=np.int64)
-                meta = np.zeros((B * (T - 1), 4), dtype=np.int32)
-                for bi, i in enumerate(m):
-                    rows = flat_rows[i]
-                    cslot = int(cand[i])
-                    order = [cslot] + [t for t in range(T) if t != cslot]
-                    for slot, t in enumerate(order):
-                        r = rows[t]
-                        starts[bi, slot] = self._starts32[r]
-                        ends[bi, slot] = self._starts32[r] + self._df32[r]
-                        slot_of[bi, t] = slot
-                    for t, r in enumerate(rows):
-                        idf64_q[bi, t] = self.packed.idf64[r]
-                    for s in range(1, T):
-                        meta[bi * (T - 1) + s - 1] = [
-                            starts[bi, 0], ends[bi, 0] - starts[bi, 0],
-                            starts[bi, s], ends[bi, s] - starts[bi, s]]
-                merge = make_merge_intersect(L)
-                sc_lanes, tf_lanes = merge(
-                    jnp.asarray(meta), self.d_doc_rows, self.d_score_rows,
-                    self.d_tf_rows)
-                M = min(L, int(ks[m].max(initial=1)) + self.margin)
-                combine = K.make_merge_combine(T, L, M)
-                out = combine(
-                    self.d_postings_doc, self.d_postings_score,
-                    self.d_postings_tf, jnp.asarray(starts),
-                    jnp.asarray(ends), jnp.asarray(use),
-                    sc_lanes.reshape(B, T - 1, L),
-                    tf_lanes.reshape(B, T - 1, L))
-
-                def finalize(res_list, out=out, T=T, m=m, slot_of=slot_of,
-                             idf64_q=idf64_q, qi_arr=qi_arr, ks=ks,
-                             flat_rows=flat_rows, queries=queries):
-                    n = len(m)  # drop B-bucket padding rows
-                    packed_out = np.asarray(out)[:n]
-                    qis = np.asarray([qi_arr[i] for i in m], dtype=np.int64)
-                    self._finalize_arrays(
-                        packed_out[:, 0, :], packed_out[:, 1 : T + 1, :],
-                        slot_of[:n], idf64_q[:n], np.asarray([ks[i] for i in m]),
-                        qis, flat_rows, np.asarray(m), queries, res_list,
-                        force_host=self._flags_to_force(packed_out[:, T + 1, 0]))
-
-                pending.append(finalize)
-        return pending
-
     def _dispatch_flat(self, T, L, L2, starts, ends, use_score, idf64_q,
                        slot_of, ks, qis, flat_rows, members, queries, results,
                        idf32=None):
@@ -1659,8 +1564,8 @@ class TpuEngine:
     # multi-term queries whose candidate list exceeds this go to the exact
     # host merge: the dense windowed compare does ~WIN*128 lane-ops per
     # candidate (vs the merge's ~2), which stops paying off for very long
-    # similar lists on this gather-poor backend. A Pallas staircase merge
-    # (work ~ df1+df2 at full VPU width) is the planned replacement.
+    # similar lists on this gather-poor backend. (A Pallas staircase-merge
+    # device path was tried through round 3 and lost every A/B — removed.)
     HOST_MERGE_MIN_L = 131072
 
     def _flat_key(self, pq: _PlannedQuery):

@@ -1516,37 +1516,6 @@ def make_dense_search_kernel(T: int, N_pad: int, M: int):
     return serial_jit(kernel)
 
 
-@lru_cache(maxsize=32)
-def make_merge_combine(T: int, L: int, M: int):
-    """Combine the Pallas staircase-merge lane outputs (ops/merge.py) into
-    the packed top-k result: candidate slice + per-slot merged (score, tf)
-    lanes -> (B, T+1, M) int32 [docs; slot tfs]."""
-
-    def kernel(postings_doc, postings_score, postings_tf,
-               starts, ends, use_score, score_lanes, tf_lanes):
-        B = starts.shape[0]
-        cdocs, cscore, cvalid, cs = _candidates(
-            postings_doc, postings_score, starts, ends, L)
-        lane = jnp.arange(L, dtype=jnp.int32)
-        cpidx = cs[:, None] + lane[None, :]
-        match = jnp.all(score_lanes > 0, axis=1) & cvalid
-        score = cscore * use_score[:, 0:1] + jnp.sum(
-            score_lanes * use_score[:, 1:, None], axis=1)
-        score = jnp.where(match, score, NEG_INF)
-        top_score, top_l = jax.lax.top_k(score, M)
-        top_docs = jnp.take_along_axis(cdocs, top_l, axis=1)
-        top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
-        top_cpidx = jnp.take_along_axis(cpidx, top_l, axis=1)
-        cand_tf = jnp.where(top_docs >= 0, _gather1d(postings_tf, top_cpidx), 0)
-        top_rest = jnp.take_along_axis(
-            tf_lanes, top_l[:, None, :].repeat(T - 1, 1), axis=2)
-        top_tfs = jnp.concatenate([cand_tf[:, None, :], top_rest], axis=1)
-        trunc = boundary_truncated(score, top_score, M)
-        return pack_with_flags(top_docs, top_tfs, trunc.astype(jnp.int32))
-
-    return serial_jit(kernel)
-
-
 # ---------------------------------------------------------------------------
 # Windowed block intersection — the fast path for multi-term queries whose
 # posting lists are all long.
