@@ -262,7 +262,11 @@ def test_blockmax_dominates_tc_reconstruction(skewed_corpus):
 
     H = engine._dense_H
     NB = engine._n_pad_docs // 128
-    tc = jnp.asarray(engine._h_dense_tc_rows.astype(np.int32))
+    # recompose the uint16 tc lanes from the uint8 tf plane + the shared
+    # len-code row (the served layout stores them separately)
+    tf8 = engine._h_dense_tf_rows.astype(np.int32)
+    code16 = engine._h_len_code.astype(np.int32) << 8
+    tc = jnp.asarray(np.where(tf8 > 0, code16[None, :] | tf8, 0))
     for h in range(H):
         r = np.nonzero(engine._dense_slot == h)[0][0]
         idf = np.float32(engine.packed.idf64[r])

@@ -435,9 +435,13 @@ class TpuEngine:
         if len(rows) == 0:
             return
         self._n_pad_docs = (n + 127) // 128 * 128
-        # bytes per head-term row: (f32 score + i32 tf) = 8 raw; one
-        # uint16 tc lane = 2 compressed (4x the head capacity per byte)
-        row_bytes = 2 if self.columns == "tc" else 8
+        # bytes per head-term row: (f32 score + i32 tf) = 8 raw; tc mode
+        # stores only a uint8 TF lane = 1 byte (8x the head capacity per
+        # byte) — the doc len code is a DOC property, stored once in a
+        # shared (N_pad,) row and recomposed in-kernel (round-4 dense-tier
+        # compression: 2 B -> 1 B/doc/row halved the 1M dense tier with a
+        # bit-identical composed lane; VERDICT r3 item 3)
+        row_bytes = 1 if self.columns == "tc" else 8
         cap = max(1, int(budget_bytes // (self._n_pad_docs * row_bytes)))
         # the semidense kernels flat-index (slot * N_pad + doc) in int32;
         # cap H so the largest flat index stays < 2^31 (at 5M padded
@@ -448,7 +452,11 @@ class TpuEngine:
         H = len(rows)
         lens = np.diff(packed.term_starts)
         if self.columns == "tc":
-            dense_tc = np.zeros((H, self._n_pad_docs), dtype=np.uint16)
+            dense_tf8 = np.zeros((H, self._n_pad_docs), dtype=np.uint8)
+            # shared per-doc len-code row (pad docs keep code 0: their tf
+            # lanes are 0 everywhere, so composed lanes stay exactly 0)
+            len_code = np.zeros(self._n_pad_docs, dtype=np.uint8)
+            len_code[:n] = packed.doc_len_code[:n]
         else:
             dense_sc = np.zeros((H, self._n_pad_docs), dtype=np.float32)
             dense_tf = np.zeros((H, self._n_pad_docs), dtype=np.int32)
@@ -457,7 +465,8 @@ class TpuEngine:
             m = min(int(packed.df[r]), int(lens[r]))  # staged hot views
             docs = packed.postings_doc[s : s + m]
             if self.columns == "tc":
-                dense_tc[slot, docs] = self._h_tc[s : s + m]
+                dense_tf8[slot, docs] = (self._h_tc[s : s + m]
+                                         & 0xFF).astype(np.uint8)
             else:
                 dense_sc[slot, docs] = self._h_score[s : s + m]
                 dense_tf[slot, docs] = self._h_tf[s : s + m]
@@ -473,15 +482,22 @@ class TpuEngine:
         if self.columns == "tc":
             bm = np.zeros((H, NBLK), dtype=np.float32)
             idf32_rows = self.packed.idf64[rows].astype(np.float32)
+            code16 = len_code.astype(np.uint16) << 8  # (N_pad,)
             for h0 in range(0, H, 8):
                 h1 = min(h0 + 8, H)
-                ub = _tc_score64_ub(dense_tc[h0:h1],
+                # composed lanes == the former uint16 dense_tc rows
+                tc_chunk = np.where(dense_tf8[h0:h1] > 0,
+                                    code16[None, :] | dense_tf8[h0:h1],
+                                    np.uint16(0))
+                ub = _tc_score64_ub(tc_chunk,
                                     idf32_rows[h0:h1, None].astype(np.float64),
                                     float(self._avg32))
                 bm[h0:h1] = ub.reshape(h1 - h0, NBLK, 128).max(axis=2)
             self._h_dense_blockmax = bm
-            self._h_dense_tc_rows = dense_tc  # kept for re-provision
-            self.d_dense_tc = jnp.asarray(dense_tc)
+            self._h_dense_tf_rows = dense_tf8  # kept for re-provision
+            self._h_len_code = len_code
+            self.d_dense_tf8 = jnp.asarray(dense_tf8)
+            self.d_len_code = jnp.asarray(len_code)
         else:
             self._h_dense_blockmax = \
                 dense_sc.reshape(H, NBLK, 128).max(axis=2)
@@ -603,7 +619,8 @@ class TpuEngine:
         self.d_positions = jnp.asarray(self._h_positions)
         if getattr(self, "_dense_H", 0):
             if self.columns == "tc":
-                self.d_dense_tc = jnp.asarray(self._h_dense_tc_rows)
+                self.d_dense_tf8 = jnp.asarray(self._h_dense_tf_rows)
+                self.d_len_code = jnp.asarray(self._h_len_code)
             else:
                 self.d_dense_sc = jnp.asarray(self._h_dense_sc)
                 self.d_dense_tf = jnp.asarray(self._h_dense_tf)
@@ -665,7 +682,8 @@ class TpuEngine:
         out["postings"] = int(posting)
         out["positions"] = int(self.d_positions.nbytes + self.d_pos_starts.nbytes)
         if getattr(self, "_dense_H", 0):
-            dense = (self.d_dense_tc.nbytes if self.columns == "tc"
+            dense = (self.d_dense_tf8.nbytes + self.d_len_code.nbytes
+                     if self.columns == "tc"
                      else self.d_dense_sc.nbytes + self.d_dense_tf.nbytes)
             dense += self.d_dense_blockmax.nbytes
         else:
@@ -1103,7 +1121,8 @@ class TpuEngine:
                         if self.columns == "tc":
                             kern = K.make_pruned_dense_kernel_tc(
                                 T, NB, C, M, eps3)
-                            return kern(self.d_dense_tc, self.d_avg32,
+                            return kern(self.d_dense_tf8, self.d_len_code,
+                                        self.d_avg32,
                                         self.d_dense_blockmax,
                                         jnp.asarray(slots),
                                         jnp.asarray(idf32_g), kd)
@@ -1115,8 +1134,8 @@ class TpuEngine:
                     if self.columns == "tc":
                         kern = K.make_dense_search_kernel_tc(
                             T, self._n_pad_docs, M)
-                        return kern(self.d_dense_tc, self.d_avg32,
-                                    jnp.asarray(slots),
+                        return kern(self.d_dense_tf8, self.d_len_code,
+                                    self.d_avg32, jnp.asarray(slots),
                                     jnp.asarray(idf32_g))
                     kern = K.make_dense_search_kernel(T, self._n_pad_docs, M)
                     return kern(self.d_dense_sc, self.d_dense_tf,
@@ -1193,7 +1212,8 @@ class TpuEngine:
                 if self.columns == "tc":
                     kern = K.make_dense_search_kernel_tc(
                         T, self._n_pad_docs, M)
-                    return kern(self.d_dense_tc, self.d_avg32,
+                    return kern(self.d_dense_tf8, self.d_len_code,
+                                self.d_avg32,
                                 jnp.asarray(s_p), jnp.asarray(i_p))
                 kern = K.make_dense_search_kernel(T, self._n_pad_docs, M)
                 return kern(self.d_dense_sc, self.d_dense_tf,
@@ -1315,7 +1335,7 @@ class TpuEngine:
                         kern = K.make_semidense_kernel_tc(
                             T, L, M, self._n_pad_docs, NBs, n_it)
                         return kern(self.d_postings_doc, self.d_postings_tc,
-                                    self.d_avg32, self.d_dense_tc,
+                                    self.d_avg32, self.d_dense_tf8,
                                     jnp.asarray(starts), jnp.asarray(ends),
                                     jnp.asarray(idf32_s),
                                     jnp.asarray(slots))
@@ -1795,7 +1815,7 @@ class TpuEngine:
                     if tc:
                         return kern(self.d_postings_doc,
                                     self.d_postings_tc, self.d_avg32,
-                                    self.d_dense_tc, self.d_positions,
+                                    self.d_dense_tf8, self.d_positions,
                                     self.d_pos_starts,
                                     jnp.asarray(starts), jnp.asarray(ends),
                                     jnp.asarray(idf32_s), sl, so, kd)
@@ -1991,7 +2011,7 @@ class TpuEngine:
         if self.columns == "tc":
             kern = K.make_pruned_phrase_kernel_tc(
                 T, NB, C, KV, PP, PW, M, n_bs, eps3)
-            return kern(self.d_dense_tc, self.d_avg32,
+            return kern(self.d_dense_tf8, self.d_len_code, self.d_avg32,
                         self.d_dense_blockmax, self.d_postings_doc,
                         self.d_positions, self.d_pos_starts,
                         jnp.asarray(starts), jnp.asarray(ends),

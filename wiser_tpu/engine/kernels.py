@@ -757,7 +757,8 @@ def make_semidense_phrase_kernel(T: int, L: int, KV: int, PP: int, PW: int,
             positions, pos_starts, starts, ends, use_score,
             slots, slot_of, ks) -> packed (B, T+2, M); tfs for every
             slot come from postings_tf at the recovered pidx.
-    tc:  fn(postings_doc, postings_tc, avg32, dense_tc, positions,
+    tc:  fn(postings_doc, postings_tc, avg32, dense_tf (uint8 tf plane;
+            len codes recomposed from the candidate's tc lanes), positions,
             pos_starts, starts, ends, idf32, slots, slot_of, ks).
     slots: (B, T) dense rows for slots 1.. (slot 0 = candidate term,
     unused); verify is anchored on QUERY term 0 (slot_of re-permutes)."""
@@ -782,17 +783,24 @@ def make_semidense_phrase_kernel(T: int, L: int, KV: int, PP: int, PW: int,
         doc_idx = jnp.clip(cdocs, 0, np.int32(N_pad - 1))
         match = cvalid
         score = cscore if tc_mode else cscore * use_score[:, 0:1]
+        if tc_mode:  # lane doc's len code from the candidate's tc value
+            ccode = ctc & 0xFF00
         payloads = []
         for t in range(1, T):
             idx = slots[:, t : t + 1].astype(jnp.int32) * np.int32(N_pad) \
                 + doc_idx
-            p = _gather1d(a_flat, idx)  # (B, L) tc u16 / score f32
-            payloads.append(p)
-            match = match & (p > 0)
             if tc_mode:
-                score = score + tc_score(p.astype(jnp.int32),
-                                         idf32[:, t : t + 1], avg32)
+                # dense_a is the uint8 tf plane; recompose the tc lane
+                # (bit-identical to the former uint16 dense_tc lane)
+                p_tf = _gather1d(a_flat, idx).astype(jnp.int32)
+                p = jnp.where(p_tf > 0, ccode | p_tf, 0)  # (B, L) tc
+                payloads.append(p)
+                match = match & (p > 0)
+                score = score + tc_score(p, idf32[:, t : t + 1], avg32)
             else:
+                p = _gather1d(a_flat, idx)  # (B, L) score f32
+                payloads.append(p)
+                match = match & (p > 0)
                 score = score + p * use_score[:, t : t + 1]
         mscore = jnp.where(match, score, NEG_INF)
 
@@ -856,10 +864,10 @@ def make_semidense_phrase_kernel(T: int, L: int, KV: int, PP: int, PW: int,
             top_docs, jnp.stack(tfs, axis=1), flags)
 
     if tc_mode:
-        def kernel(postings_doc, postings_tc, avg32, dense_tc, positions,
+        def kernel(postings_doc, postings_tc, avg32, dense_tf, positions,
                    pos_starts, starts, ends, idf32, slots, slot_of, ks):
             return body(postings_doc, None, None, postings_tc, avg32,
-                        dense_tc, positions, pos_starts, starts,
+                        dense_tf, positions, pos_starts, starts,
                         ends, None, idf32, slots, slot_of, ks)
     else:
         def kernel(postings_doc, postings_score, postings_tf, dense_sc,
@@ -876,12 +884,17 @@ def make_semidense_phrase_kernel(T: int, L: int, KV: int, PP: int, PW: int,
 def make_semidense_kernel_tc(T: int, L: int, M: int, N_pad: int,
                              n_bs: int = 0, n_bs_iters: int = 0):
     """tc-mode variant of make_semidense_kernel: dense head rows are a
-    (H, N_pad) uint16 tc plane (4x the head-term capacity per byte of
-    HBM budget); scores reconstructed via tc_score. Slots 1..n_bs are
-    non-dense others resolved by small-span binary search (see the raw
-    variant's note)."""
+    (H, N_pad) uint8 TF plane — 8x the head-term capacity per byte of
+    HBM budget. The doc's len code is NOT stored per head row (it is a
+    doc property, identical across rows): each candidate lane's own tc
+    value carries it, so the full tc lane is recomposed in-kernel as
+    (ctc & 0xFF00) | tf, masked to 0 where tf == 0 — bit-identical to
+    the former uint16 dense_tc lane at an eighth of the raw bytes and
+    the SAME single element gather per (lane, dense other). Scores
+    reconstructed via tc_score. Slots 1..n_bs are non-dense others
+    resolved by small-span binary search (see the raw variant's note)."""
 
-    def kernel(postings_doc, postings_tc, avg32, dense_tc,
+    def kernel(postings_doc, postings_tc, avg32, dense_tf,
                starts, ends, idf32, slots):
         B = starts.shape[0]
         cdocs, ctc, cvalid, cs = _candidates(
@@ -890,7 +903,8 @@ def make_semidense_kernel_tc(T: int, L: int, M: int, N_pad: int,
         cscore = tc_score(ctc, idf32[:, 0:1], avg32)
         lane = jnp.arange(L, dtype=jnp.int32)
         cpidx = cs[:, None] + lane[None, :]
-        tc_flat = dense_tc.reshape(-1)
+        tf_flat = dense_tf.reshape(-1)
+        ccode = ctc & 0xFF00  # the lane doc's len code, pre-shifted
         doc_idx = jnp.clip(cdocs, 0, np.int32(N_pad - 1))
         match = cvalid
         score = cscore
@@ -911,7 +925,8 @@ def make_semidense_kernel_tc(T: int, L: int, M: int, N_pad: int,
         for t in range(1 + n_bs, T):
             idx = slots[:, t : t + 1].astype(jnp.int32) * np.int32(N_pad) \
                 + doc_idx
-            p_tc = _gather1d(tc_flat, idx).astype(jnp.int32)  # (B, L)
+            p_tf = _gather1d(tf_flat, idx).astype(jnp.int32)  # (B, L)
+            p_tc = jnp.where(p_tf > 0, ccode | p_tf, 0)
             lanes_tc.append(p_tc)
             match = match & (p_tc > 0)
             score = score + tc_score(p_tc, idf32[:, t : t + 1], avg32)
@@ -941,16 +956,24 @@ def make_semidense_kernel_tc(T: int, L: int, M: int, N_pad: int,
 
 @lru_cache(maxsize=32)
 def make_dense_search_kernel_tc(T: int, N_pad: int, M: int):
-    """tc-mode variant of make_dense_search_kernel over (H, N_pad) uint16
-    tc rows; scores reconstructed via tc_score, padded slots idf 0."""
+    """tc-mode variant of make_dense_search_kernel over (H, N_pad) uint8
+    TF rows + one shared (N_pad,) uint8 len-code row (the len code is a
+    doc property — storing it once instead of per head row halves the
+    dense tier, the direct storage-economy analog of the reference's
+    per-doc 1-byte length store, doc_length_store.h:102). The composed
+    lane (code<<8 | tf, 0 where absent) is bit-identical to the former
+    uint16 dense_tc lane; scores reconstructed via tc_score, padded
+    slots idf 0."""
 
-    def kernel(dense_tc, avg32, slots, idf32):
+    def kernel(dense_tf, len_code, avg32, slots, idf32):
         B = slots.shape[0]
+        code_row = len_code.astype(jnp.int32)[None, :] << 8  # (1, N_pad)
         score = jnp.zeros((B, N_pad), dtype=jnp.float32)
         match = jnp.ones((B, N_pad), dtype=bool)
         rows = []
         for t in range(T):
-            tc_t = jnp.take(dense_tc, slots[:, t], axis=0).astype(jnp.int32)
+            tf_t = jnp.take(dense_tf, slots[:, t], axis=0).astype(jnp.int32)
+            tc_t = jnp.where(tf_t > 0, code_row | tf_t, 0)
             rows.append(tc_t)
             match = match & (tc_t > 0)
             score = score + tc_score(tc_t, idf32[:, t : t + 1], avg32)
@@ -1266,18 +1289,25 @@ def make_pruned_dense_kernel(T: int, NB: int, C: int, M: int, eps3: float):
 @lru_cache(maxsize=32)
 def make_pruned_dense_kernel_tc(T: int, NB: int, C: int, M: int,
                                 eps3: float):
-    """tc-mode block-max pruned dense scan: payload lanes are uint16 tc
-    (exact as f32); blockmax planes hold the host-side f64 mirror of the
+    """tc-mode block-max pruned dense scan: payload lanes are composed
+    tc values (uint8 tf rows + the shared len-code row re-joined per
+    selected block; exact as f32 and bit-identical to the former uint16
+    dense_tc lanes); blockmax planes hold the host-side f64 mirror of the
     reconstructed score's block maxima x(1+2e-6), so ub dominates the
     in-kernel f32 reconstruction."""
 
-    def kernel(dense_tc, avg32, blockmax, slots, idf32, ks):
-        H = dense_tc.shape[0]
-        tc_rows = dense_tc.reshape(H * NB, 128)
+    def kernel(dense_tf, len_code, avg32, blockmax, slots, idf32, ks):
+        H = dense_tf.shape[0]
+        tf_rows = dense_tf.reshape(H * NB, 128)
+        len_rows = len_code.reshape(NB, 128)
 
         def get_row(t, blk):
+            # the len-code block gather repeats per t with identical
+            # operands — XLA CSE folds it to one gather per query
             rows_idx = slots[:, t : t + 1] * np.int32(NB) + blk
-            return jnp.take(tc_rows, rows_idx, axis=0).astype(jnp.float32)
+            tf = jnp.take(tf_rows, rows_idx, axis=0).astype(jnp.int32)
+            code = jnp.take(len_rows, blk, axis=0).astype(jnp.int32) << 8
+            return jnp.where(tf > 0, code | tf, 0).astype(jnp.float32)
 
         # blockmax planes are idf-scaled; padded slots (idf 0) contribute
         # no ub (keeps the bound tight, matching the raw use_score mask)
@@ -1444,16 +1474,21 @@ def make_pruned_phrase_kernel_tc(T: int, NB: int, C: int, KV: int,
                                  PP: int, PW: int, M: int,
                                  n_bs_iters: int, eps3: float):
     """tc-mode pruned dense phrase scan (see make_pruned_phrase_kernel;
-    idf32 (B,T) in QUERY order replaces use_score)."""
+    idf32 (B,T) in QUERY order replaces use_score). Dense rows are the
+    uint8 tf plane + shared len-code row, composed per selected block
+    (bit-identical to the former uint16 tc lanes)."""
 
-    def kernel(dense_tc, avg32, blockmax, postings_doc, positions,
+    def kernel(dense_tf, len_code, avg32, blockmax, postings_doc, positions,
                pos_starts, starts, ends, slots, idf32, anchor, ks):
-        H = dense_tc.shape[0]
-        tc_rows = dense_tc.reshape(H * NB, 128)
+        H = dense_tf.shape[0]
+        tf_rows = dense_tf.reshape(H * NB, 128)
+        len_rows = len_code.reshape(NB, 128)
 
         def get_row(t, blk):
             rows_idx = slots[:, t : t + 1] * np.int32(NB) + blk
-            return jnp.take(tc_rows, rows_idx, axis=0).astype(jnp.float32)
+            tf = jnp.take(tf_rows, rows_idx, axis=0).astype(jnp.int32)
+            code = jnp.take(len_rows, blk, axis=0).astype(jnp.int32) << 8
+            return jnp.where(tf > 0, code | tf, 0).astype(jnp.float32)
 
         weights = (idf32 > 0).astype(jnp.float32)
         top_docs, _, _, flags, tfs = _pruned_phrase_body(
