@@ -36,12 +36,20 @@ def assert_same(oracle_res, res, msg=""):
 
 class TestHotColdSplit:
     def test_budget_controls_hot_fraction(self, corpus):
+        from wiser_tpu.engine.staged import full_device_bytes
+
         packed, _ = corpus
-        total_bytes = packed.n_postings * 12
+        total_bytes = full_device_bytes(packed)
         small = StagedEngine(packed, hbm_budget_bytes=total_bytes // 10)
-        big = StagedEngine(packed, hbm_budget_bytes=total_bytes * 2)
+        big = StagedEngine(packed, hbm_budget_bytes=total_bytes)
         assert small.hot_fraction < 1.0
         assert big.hot_fraction == 1.0
+        # the budget is charged for everything resident: terms + the
+        # dense tier must fit inside it
+        used = big.hot_bytes_used
+        assert used <= total_bytes
+        small_used = small.hot_bytes_used
+        assert small_used <= total_bytes // 10
 
     def test_zero_budget_all_cold(self, corpus):
         packed, oracle = corpus

@@ -62,6 +62,11 @@ class ExpResult:
     device_mem_bytes: Optional[int] = None
     hot_fraction: Optional[float] = None  # staged: share of terms resident
     budget_bytes: Optional[int] = None
+    # staged: bytes the hot tier actually charged against the budget and
+    # the engine's measured resident footprint — published so the grid
+    # is auditable (budget >= hot_bytes_used + dense tier by design)
+    hot_bytes_used: Optional[int] = None
+    resident_bytes: Optional[dict] = None
 
 
 def default_matrix(quick: bool = False) -> List[Treatment]:
@@ -230,16 +235,14 @@ def run_treatment(t: Treatment) -> ExpResult:
     budget = None
     doc_bodies = oracle.doc_bodies if oracle is not None else None
     if t.engine == "staged":
-        from wiser_tpu.engine.staged import (BYTES_PER_POSTING,
-                                             BYTES_PER_POSTING_TC,
-                                             StagedEngine)
+        from wiser_tpu.engine.staged import StagedEngine, full_device_bytes
 
-        # budget frac is relative to the SERVED layout: tc columns are
-        # 6 B/posting, so a raw-bytes base would double every frac
-        # (frac 0.5 measured hot_fraction 1.0 on the 1M tc grid)
-        bpp = (BYTES_PER_POSTING_TC if t.columns == "tc"
-               else BYTES_PER_POSTING)
-        total_bytes = int(packed.n_postings) * bpp
+        # budget frac is relative to the FULL served device footprint
+        # (postings + positions + blooms + dense tier at frac=1.0) —
+        # the reference grid's cgroup cap is a fraction of total index
+        # bytes, and a posting-bytes-only base left the dense tier
+        # outside the budget (the round-3 9.6-QPS-at-50% artifact)
+        total_bytes = full_device_bytes(packed, t.columns)
         budget = int(total_bytes * (t.hbm_budget_frac or 1.0))
         engine = StagedEngine(packed, budget, doc_bodies=doc_bodies,
                               columns=t.columns, term_weights=term_weights)
@@ -280,9 +283,17 @@ def run_treatment(t: Treatment) -> ExpResult:
             mem = int(stats.get("bytes_in_use", 0))
     except Exception:
         pass
+    hot_used = getattr(engine, "hot_bytes_used", None)
+    resident = None
+    try:
+        inner = getattr(engine, "hot", engine)
+        resident = {k: int(v) for k, v in inner.device_bytes().items()}
+    except Exception:
+        pass
     return ExpResult(asdict(t), round(len(queries) / wall, 1), round(wall, 3),
                      round(warmup, 2), round(float(np.median(lat)), 3), mem,
-                     hot_fraction=hot_fraction, budget_bytes=budget)
+                     hot_fraction=hot_fraction, budget_bytes=budget,
+                     hot_bytes_used=hot_used, resident_bytes=resident)
 
 
 def main(argv=None):

@@ -431,7 +431,12 @@ class TpuEngine:
         self._dense_slot = np.full(packed.n_terms, -1, dtype=np.int32)
         dense_min = max(self.DENSE_MIN_DF_FLOOR,
                         n // self.DENSE_ELIGIBLE_FRACTION)
-        rows = np.nonzero(packed.df >= dense_min)[0]
+        # staged hot views keep real df on zero-length cold runs: an
+        # eligible-but-cold term would get an all-zero dense row (never
+        # served — cold queries go to the staging path), so exclude it
+        # rather than spend dense budget on empty planes
+        run_lens = np.diff(packed.term_starts)
+        rows = np.nonzero((packed.df >= dense_min) & (run_lens > 0))[0]
         if len(rows) == 0:
             return
         self._n_pad_docs = (n + 127) // 128 * 128
@@ -442,7 +447,13 @@ class TpuEngine:
         # compression: 2 B -> 1 B/doc/row halved the 1M dense tier with a
         # bit-identical composed lane; VERDICT r3 item 3)
         row_bytes = 1 if self.columns == "tc" else 8
-        cap = max(1, int(budget_bytes // (self._n_pad_docs * row_bytes)))
+        # full per-row cost incl. the f32 blockmax plane; a budget that
+        # cannot afford one row builds no tier (staged leftover budgets
+        # are charged honestly — no free first row)
+        per_row = self._n_pad_docs * row_bytes + (self._n_pad_docs // 128) * 4
+        cap = int(budget_bytes // per_row)
+        if cap == 0:
+            return
         # the semidense kernels flat-index (slot * N_pad + doc) in int32;
         # cap H so the largest flat index stays < 2^31 (at 5M padded
         # docs the tc budget cap alone would reach ~376 rows = 1.88e9)

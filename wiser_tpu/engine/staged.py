@@ -112,9 +112,77 @@ def _make_doc_combine(G16: int, Graw: int, cap: int, width: int):
     return serial_jit(f)
 
 
+def per_term_device_cost(packed: PackedIndex,
+                         columns: str = "raw") -> np.ndarray:
+    """int64[n_terms] HBM bytes a term costs when resident, mirroring
+    TpuEngine's device layout (device.py _upload / device_bytes): CSR
+    posting columns (+ the int32 pos_starts lane), position bags (uint16
+    when they fit), and the term's share of the sparse folded bloom
+    columns (4 B per stored nonzero row + bitmap/rank overhead). This is
+    the budget-accounting substrate for the staged hot tier — the
+    round-3 grid charged only posting bytes, so the dense tier and
+    position/bloom columns landed OUTSIDE the budget and the cgroup-cap
+    analog (reference tools/run_exp.py:628-696) measured nothing real."""
+    lens = np.diff(packed.term_starts).astype(np.int64)
+    bpp = BYTES_PER_POSTING_TC if columns == "tc" else BYTES_PER_POSTING
+    cost = lens * (bpp + 4)  # +4: int32 pos_starts per posting
+    s = packed.term_starts
+    pos_cnt = (packed.pos_starts[s[1:]]
+               - packed.pos_starts[s[:-1]]).astype(np.int64)
+    pos_b = 2 if (len(packed.positions) == 0
+                  or int(packed.positions.max(initial=0)) < 2**16 - 1) else 4
+    cost += pos_cnt * pos_b
+    if packed.bloom_ends is not None:
+        from wiser_tpu.engine.device import TpuEngine
+
+        gate = packed.df <= TpuEngine.BLOOM_DF_CEILING
+        for rows in (packed.bloom_ends, packed.bloom_begins):
+            fold = rows[:, 0].copy()
+            for w in range(1, rows.shape[1]):
+                np.bitwise_or(fold, rows[:, w], out=fold)
+            stored = (fold != 0) & np.repeat(gate, lens)
+            csum = np.zeros(len(stored) + 1, dtype=np.int64)
+            np.cumsum(stored, out=csum[1:])
+            cost += (csum[s[1:]] - csum[s[:-1]]) * 4
+        cost += lens  # presence bitmap + rank lanes, both sides
+    return cost
+
+
+def dense_tier_bytes(packed: PackedIndex, columns: str = "raw",
+                     budget_bytes: int = None) -> int:
+    """HBM bytes TpuEngine's dense head-term tier would take under
+    `budget_bytes` (device.py _build_dense_rows math, without building):
+    row plane + f32 blockmax plane."""
+    from wiser_tpu.engine.device import TpuEngine
+
+    if budget_bytes is None:
+        budget_bytes = 7 << 29
+    if not budget_bytes:
+        return 0
+    n = packed.n_docs
+    n_pad = (n + 127) // 128 * 128
+    dense_min = max(TpuEngine.DENSE_MIN_DF_FLOOR,
+                    n // TpuEngine.DENSE_ELIGIBLE_FRACTION)
+    row_bytes = 1 if columns == "tc" else 8
+    per_row = n_pad * row_bytes + (n_pad // 128) * 4  # row + blockmax
+    cap = int(budget_bytes // per_row)
+    cap = min(cap, (2**31 - 1) // n_pad - 1)
+    H = min(int((packed.df >= dense_min).sum()), cap)
+    return max(0, H) * per_row
+
+
+def full_device_bytes(packed: PackedIndex, columns: str = "raw") -> int:
+    """Total HBM footprint of an unconstrained TpuEngine over `packed` —
+    the frac=1.0 base for the HBM-budget grid (the reference grid's
+    'index size' denominator)."""
+    return (int(per_term_device_cost(packed, columns).sum())
+            + dense_tier_bytes(packed, columns))
+
+
 def _hot_view(packed: PackedIndex, hbm_budget_bytes: int,
               bytes_per_posting: int = BYTES_PER_POSTING,
               term_weights: np.ndarray = None,
+              cost: np.ndarray = None,
               ) -> Tuple[PackedIndex, np.ndarray]:
     """Build a PackedIndex whose posting columns contain only the hottest
     terms (greedy within budget); cold terms keep their real df (global
@@ -124,18 +192,27 @@ def _hot_view(packed: PackedIndex, hbm_budget_bytes: int,
     frequency, e.g. counts from a query log), greedy by weight — the
     benefit of residency is access_freq x staged bytes and the cost is the
     same bytes, so benefit/byte = access_freq alone. Without weights,
-    df-greedy (the Zipf-rank prior: frequent terms are queried most)."""
+    df-greedy (the Zipf-rank prior: frequent terms are queried most).
+
+    With `cost` (int64[n_terms] device bytes per term, see
+    per_term_device_cost), terms are charged their FULL residency cost;
+    otherwise the legacy posting-bytes-only charge applies."""
     lens = np.diff(packed.term_starts)
     if term_weights is not None:
         # weight desc, df desc as tiebreak (np.lexsort: last key primary)
         order = np.lexsort((-packed.df, -np.asarray(term_weights)))
     else:
         order = np.argsort(packed.df)[::-1]
-    budget = hbm_budget_bytes // bytes_per_posting
+    if cost is not None:
+        charge = cost.astype(np.int64)
+        budget = int(hbm_budget_bytes)
+    else:
+        charge = lens.astype(np.int64)
+        budget = hbm_budget_bytes // bytes_per_posting
     hot = np.zeros(packed.n_terms, dtype=bool)
     used = 0
     for r in order:
-        run = int(lens[r])
+        run = int(charge[r])
         if used + run > budget:
             continue
         used += run
@@ -216,12 +293,22 @@ class StagedEngine:
         self.columns = columns
         self.packed = packed
         self.strict_parity = strict_parity
+        # hbm_budget_bytes is the TOTAL device budget (the cgroup-cap
+        # analog): resident terms are charged their full footprint
+        # (postings + positions + blooms, per_term_device_cost), and the
+        # dense head-term tier is built only from what remains — the
+        # round-3 grid charged postings alone, so a "50% budget" ran a
+        # full 3.2 GB dense tier beside a 0.2% hot tier and measured
+        # 9.6 QPS of cold staging instead of a memory curve.
+        cost = per_term_device_cost(packed, columns)
         hot_view, self.hot_mask = _hot_view(
             packed, hbm_budget_bytes,
-            BYTES_PER_POSTING_TC if columns == "tc" else BYTES_PER_POSTING,
-            term_weights=term_weights)
+            term_weights=term_weights, cost=cost)
+        self.hot_bytes_used = int(cost[self.hot_mask].sum())
+        dense_budget = max(0, int(hbm_budget_bytes) - self.hot_bytes_used)
         self.hot = TpuEngine(hot_view, doc_bodies=doc_bodies, margin=margin,
-                             strict_parity=strict_parity, columns=columns)
+                             strict_parity=strict_parity, columns=columns,
+                             dense_budget_bytes=dense_budget)
         self.margin = margin
         self.doc_bodies = doc_bodies
         self.similarity = Bm25Similarity(packed.avg_len)

@@ -67,7 +67,14 @@ class ShardedStagedEngine:
         strict_parity: bool = False,
     ):
         self.packed = packed
-        hot_view, self.hot_mask = _hot_view(packed, hbm_budget_bytes)
+        # budget = aggregate device bytes across the mesh; terms charged
+        # their full resident footprint (see staged.per_term_device_cost)
+        from wiser_tpu.engine.staged import per_term_device_cost
+
+        cost = per_term_device_cost(packed)
+        hot_view, self.hot_mask = _hot_view(packed, hbm_budget_bytes,
+                                            cost=cost)
+        self.hot_bytes_used = int(cost[self.hot_mask].sum())
         hot_sh = ShardedIndex.from_packed(hot_view, n_shards)
         # exact fallbacks and snippets must see the FULL index, not the view
         hot_sh.source = packed
