@@ -126,11 +126,11 @@ class TestShardedGuardAndSnippets:
         monkeypatch.setattr(engine, "_host_exact", spy)
         monkeypatch.setattr(
             shard_mod, "truncation_suspects",
-            lambda s, n, k: np.ones(len(s), dtype=bool), raising=False)
+            lambda s, n, k, **kw: np.ones(len(s), dtype=bool), raising=False)
         import wiser_tpu.engine.topk as topk_mod
         monkeypatch.setattr(
             topk_mod, "truncation_suspects",
-            lambda s, n, k: np.ones(len(s), dtype=bool))
+            lambda s, n, k, **kw: np.ones(len(s), dtype=bool))
         r2 = engine.search(q)
         assert calls, "forced suspect flag must route to the host path"
         assert [(e.doc_id, e.doc_score) for e in r2.entries] == \

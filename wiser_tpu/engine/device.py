@@ -130,6 +130,34 @@ def host_exact_search(packed: PackedIndex, cache64: np.ndarray,
         # expensive ones) it touches ~one chunk of position bags instead
         # of key-intersecting the full ~10M-key surface (seconds/query).
         pidx_m = pidx[:, mask]
+        # bi-bloom pre-gate (the reference's IsPossibleToPresent on the
+        # host path, query_processing.h:796-807): for each adjacent pair
+        # (t, t+1), term t's per-posting "followers" filter must contain
+        # t+1 — a definite-no is exact, so gating only shrinks the
+        # verify set. Phrase-RARE mega pairs (the 200-300 ms host calls)
+        # collapse to near-nothing; saturated filters on ultra-frequent
+        # terms just pass more lanes through, never drop a match.
+        if packed.bloom_ends is not None and docs_m.size:
+            cfg = packed.bloom_cfg
+            keep_m = np.ones(docs_m.size, dtype=bool)
+            terms = packed.terms
+            for t in range(len(rows) - 1):
+                widx, wmask = cfg.probe_word_masks(terms[rows[t + 1]])
+                filt = packed.bloom_ends[pidx_m[t]]  # (n_cand, W)
+                ok = np.ones(docs_m.size, dtype=bool)
+                for h in range(len(widx)):
+                    ok &= (filt[:, widx[h]] & wmask[h]) == wmask[h]
+                keep_m &= ok
+                if not keep_m.any():
+                    break
+            sel = np.nonzero(keep_m)[0]
+            docs_m = docs_m[sel]
+            score = score[sel]
+            pidx_m = pidx_m[:, sel]
+            if docs_m.size == 0:
+                return (docs_m.astype(np.int64),
+                        np.zeros(0, dtype=np.float64))
+            order = np.lexsort((docs_m, -score))
         kept: list = []
         i, chunk = 0, 2048
         while i < order.size and len(kept) < k:
@@ -447,10 +475,11 @@ class TpuEngine:
         # compression: 2 B -> 1 B/doc/row halved the 1M dense tier with a
         # bit-identical composed lane; VERDICT r3 item 3)
         row_bytes = 1 if self.columns == "tc" else 8
-        # full per-row cost incl. the f32 blockmax plane; a budget that
-        # cannot afford one row builds no tier (staged leftover budgets
-        # are charged honestly — no free first row)
-        per_row = self._n_pad_docs * row_bytes + (self._n_pad_docs // 128) * 4
+        # full per-row cost incl. the blockmax/blockmax2 (f32) + argpos
+        # (u8) planes; a budget that cannot afford one row builds no tier
+        # (staged leftover budgets are charged honestly — no free first
+        # row)
+        per_row = self._n_pad_docs * row_bytes + (self._n_pad_docs // 128) * 9
         cap = int(budget_bytes // per_row)
         if cap == 0:
             return
@@ -490,8 +519,17 @@ class TpuEngine:
         # is the f64 host reconstruction x (1+2e-6), covering the ~9-step
         # f32 rounding of the in-kernel decode (see rel_eps note above).
         NBLK = self._n_pad_docs // 128
+        # alongside the block max: the 2nd-largest score (WITH
+        # multiplicity — max ties keep bm2 == bm, the tie-safety the
+        # refined bound proof needs) and the argmax doc's position within
+        # the block (uint8). kernels._select_ub_blocks combines them into
+        # a second-order ub that cut the measured head-pair flag rate at
+        # C=512 from 67.5% to 13.3% on the 1M index (the sum-of-maxima ub
+        # assumes all terms peak at the same doc; they almost never do).
         if self.columns == "tc":
             bm = np.zeros((H, NBLK), dtype=np.float32)
+            bm2 = np.zeros((H, NBLK), dtype=np.float32)
+            ap = np.zeros((H, NBLK), dtype=np.uint8)
             idf32_rows = self.packed.idf64[rows].astype(np.float32)
             code16 = len_code.astype(np.uint16) << 8  # (N_pad,)
             for h0 in range(0, H, 8):
@@ -503,20 +541,31 @@ class TpuEngine:
                 ub = _tc_score64_ub(tc_chunk,
                                     idf32_rows[h0:h1, None].astype(np.float64),
                                     float(self._avg32))
-                bm[h0:h1] = ub.reshape(h1 - h0, NBLK, 128).max(axis=2)
+                ub3 = ub.reshape(h1 - h0, NBLK, 128)
+                top2 = np.partition(ub3, 126, axis=2)[:, :, 126:]
+                bm[h0:h1] = top2[:, :, 1]
+                bm2[h0:h1] = top2[:, :, 0]
+                ap[h0:h1] = np.argmax(ub3, axis=2).astype(np.uint8)
             self._h_dense_blockmax = bm
+            self._h_dense_blockmax2 = bm2
+            self._h_dense_argpos = ap
             self._h_dense_tf_rows = dense_tf8  # kept for re-provision
             self._h_len_code = len_code
             self.d_dense_tf8 = jnp.asarray(dense_tf8)
             self.d_len_code = jnp.asarray(len_code)
         else:
-            self._h_dense_blockmax = \
-                dense_sc.reshape(H, NBLK, 128).max(axis=2)
+            sc3 = dense_sc.reshape(H, NBLK, 128)
+            top2 = np.partition(sc3, 126, axis=2)[:, :, 126:]
+            self._h_dense_blockmax = top2[:, :, 1].copy()
+            self._h_dense_blockmax2 = top2[:, :, 0].copy()
+            self._h_dense_argpos = np.argmax(sc3, axis=2).astype(np.uint8)
             self._h_dense_sc = dense_sc  # kept for device-loss re-provision
             self._h_dense_tf = dense_tf
             self.d_dense_sc = jnp.asarray(dense_sc)
             self.d_dense_tf = jnp.asarray(dense_tf)
         self.d_dense_blockmax = jnp.asarray(self._h_dense_blockmax)
+        self.d_dense_blockmax2 = jnp.asarray(self._h_dense_blockmax2)
+        self.d_dense_argpos = jnp.asarray(self._h_dense_argpos)
 
     # Bloom rows are stored on device only for terms with df <= this
     # ceiling (= PHRASE_MAX_L: higher-df candidates never take the
@@ -636,6 +685,8 @@ class TpuEngine:
                 self.d_dense_sc = jnp.asarray(self._h_dense_sc)
                 self.d_dense_tf = jnp.asarray(self._h_dense_tf)
             self.d_dense_blockmax = jnp.asarray(self._h_dense_blockmax)
+            self.d_dense_blockmax2 = jnp.asarray(self._h_dense_blockmax2)
+            self.d_dense_argpos = jnp.asarray(self._h_dense_argpos)
         self.d_bloom_rows = jnp.asarray(self._h_bloom_rows)
         self.d_bloom_bitmap = jnp.asarray(self._h_bloom_bitmap)
         self.d_bloom_rank = jnp.asarray(self._h_bloom_rank)
@@ -696,7 +747,9 @@ class TpuEngine:
             dense = (self.d_dense_tf8.nbytes + self.d_len_code.nbytes
                      if self.columns == "tc"
                      else self.d_dense_sc.nbytes + self.d_dense_tf.nbytes)
-            dense += self.d_dense_blockmax.nbytes
+            dense += (self.d_dense_blockmax.nbytes
+                      + self.d_dense_blockmax2.nbytes
+                      + self.d_dense_argpos.nbytes)
         else:
             dense = 0
         out["dense_tier"] = int(dense)
@@ -1135,11 +1188,15 @@ class TpuEngine:
                             return kern(self.d_dense_tf8, self.d_len_code,
                                         self.d_avg32,
                                         self.d_dense_blockmax,
+                                        self.d_dense_blockmax2,
+                                        self.d_dense_argpos,
                                         jnp.asarray(slots),
                                         jnp.asarray(idf32_g), kd)
                         kern = K.make_pruned_dense_kernel(T, NB, C, M, eps3)
                         return kern(self.d_dense_sc, self.d_dense_tf,
                                     self.d_dense_blockmax,
+                                    self.d_dense_blockmax2,
+                                    self.d_dense_argpos,
                                     jnp.asarray(slots), jnp.asarray(use),
                                     kd)
                     if self.columns == "tc":
@@ -2023,7 +2080,8 @@ class TpuEngine:
             kern = K.make_pruned_phrase_kernel_tc(
                 T, NB, C, KV, PP, PW, M, n_bs, eps3)
             return kern(self.d_dense_tf8, self.d_len_code, self.d_avg32,
-                        self.d_dense_blockmax, self.d_postings_doc,
+                        self.d_dense_blockmax, self.d_dense_blockmax2,
+                        self.d_dense_argpos, self.d_postings_doc,
                         self.d_positions, self.d_pos_starts,
                         jnp.asarray(starts), jnp.asarray(ends),
                         jnp.asarray(slots), jnp.asarray(idf32_q),
@@ -2031,7 +2089,8 @@ class TpuEngine:
         kern = K.make_pruned_phrase_kernel(
             T, NB, C, KV, PP, PW, M, n_bs, eps3)
         return kern(self.d_dense_sc, self.d_dense_tf,
-                    self.d_dense_blockmax, self.d_postings_doc,
+                    self.d_dense_blockmax, self.d_dense_blockmax2,
+                    self.d_dense_argpos, self.d_postings_doc,
                     self.d_positions, self.d_pos_starts,
                     jnp.asarray(starts), jnp.asarray(ends),
                     jnp.asarray(slots), jnp.asarray(use),

@@ -491,18 +491,30 @@ def make_phrase_verify_kernel(T: int, L: int, PP: int, n_pos_iters: int):
 
 def phrase_body(postings_doc, postings_score, postings_tf, positions,
                 pos_starts, starts, ends, use_score, slot_of,
-                *, T, L, PP, M, n_bs_iters, n_pos_iters):
+                *, T, L, PP, M, n_bs_iters, n_pos_iters,
+                tc=None, idf32=None, avg32=None):
     """Self-contained phrase pipeline (intersect -> adjusted-position
     verify -> top-k), bloom-less — used by the sharded engine inside
     shard_map (per-shard bloom columns aren't materialized; the bloom
     gate is a pruning optimization and never changes results).
 
     slot_of: (B, T) query-term order -> kernel slot (slot 0 = candidate).
+    Compressed-column mode: pass tc (uint16 column), idf32 ((B, T) f32 in
+    SLOT order, 0 on padded slots) and avg32 instead of
+    postings_score/postings_tf (see tc_score); the flag row then also
+    carries FLAG_TF_SAT for kept lanes whose tf byte saturated.
     Returns (packed (B, T+1, M) int32 [docs; slot tfs], top_score (B, M)).
     """
     B = starts.shape[0]
-    cdocs, cscore, cvalid, cs = _candidates(
-        postings_doc, postings_score, starts, ends, L)
+    tc_mode = tc is not None
+    if tc_mode:
+        cdocs, ctc, cvalid, cs = _candidates(
+            postings_doc, tc, starts, ends, L)
+        ctc = ctc.astype(jnp.int32)
+        cscore = tc_score(ctc, idf32[:, 0:1], avg32)
+    else:
+        cdocs, cscore, cvalid, cs = _candidates(
+            postings_doc, postings_score, starts, ends, L)
     lane = jnp.arange(L, dtype=jnp.int32)
     cpidx = cs[:, None] + lane[None, :]
 
@@ -513,9 +525,17 @@ def phrase_body(postings_doc, postings_score, postings_tf, positions,
     found = (lo < ends[:, 1:, None]) & (hit == targets)
     match = jnp.all(found, axis=1) & cvalid
     pidx = jnp.concatenate([cpidx[:, None, :], lo], axis=1)  # (B, T, L)
-    partial = jnp.where(found, _gather1d(postings_score, lo), 0.0)
-    score = cscore * use_score[:, 0:1] + jnp.sum(
-        partial * use_score[:, 1:, None], axis=1)
+    if tc_mode:
+        hit_tc = _gather1d(tc, lo).astype(jnp.int32)
+        score = cscore + jnp.sum(
+            jnp.where(found, tc_score(hit_tc, idf32[:, 1:, None], avg32),
+                      0.0), axis=1)
+        sat_lane = ((ctc & 0xFF) >= TF_SAT) | jnp.any(
+            found & ((hit_tc & 0xFF) >= TF_SAT), axis=1)
+    else:
+        partial = jnp.where(found, _gather1d(postings_score, lo), 0.0)
+        score = cscore * use_score[:, 0:1] + jnp.sum(
+            partial * use_score[:, 1:, None], axis=1)
 
     # position verify in query-term order
     pidx_q = jnp.take_along_axis(
@@ -543,10 +563,17 @@ def phrase_body(postings_doc, postings_score, postings_tf, positions,
     top_docs = jnp.take_along_axis(cdocs, top_l, axis=1)
     top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
     top_pidx = jnp.take_along_axis(pidx, top_l[:, None, :].repeat(T, 1), axis=2)
-    top_tfs = jnp.where(
-        top_docs[:, None, :] >= 0, _gather1d(postings_tf, top_pidx), 0)
-    trunc = boundary_truncated(score, top_score, M)
-    packed = pack_with_flags(top_docs, top_tfs, trunc.astype(jnp.int32))
+    flags = boundary_truncated(score, top_score, M).astype(jnp.int32)
+    if tc_mode:
+        top_tc = _gather1d(tc, top_pidx).astype(jnp.int32)
+        top_tfs = jnp.where(top_docs[:, None, :] >= 0, top_tc & 0xFF, 0)
+        top_sat = jnp.take_along_axis(sat_lane, top_l, axis=1)
+        flags = flags | (jnp.any(top_sat & (top_docs >= 0), axis=1)
+                         .astype(jnp.int32) * FLAG_TF_SAT)
+    else:
+        top_tfs = jnp.where(
+            top_docs[:, None, :] >= 0, _gather1d(postings_tf, top_pidx), 0)
+    packed = pack_with_flags(top_docs, top_tfs, flags)
     return packed, top_score
 
 
@@ -1120,7 +1147,8 @@ def make_semidense_kernel(T: int, L: int, M: int, N_pad: int,
 # ---------------------------------------------------------------------------
 
 
-def _select_ub_blocks(blockmax, slots, weights, *, T, NB, C):
+def _select_ub_blocks(blockmax, slots, weights, *, T, NB, C,
+                      blockmax2=None, argpos=None):
     """Per-query block-max upper bounds and top-C block selection.
 
     Conjunction feasibility: a match needs EVERY live term present in
@@ -1135,16 +1163,48 @@ def _select_ub_blocks(blockmax, slots, weights, *, T, NB, C):
     presence per block is ~0.3-0.5, so the unmasked sum-of-maxima was
     flagging 10-30%% of all-head queries to the host path.
 
+    Second-order refinement (blockmax2 + argpos given): the plain
+    sum-of-maxima ub assumes every term peaks at the SAME doc of the
+    block, which for head pairs is almost never true — measured on the
+    1M index, 67.5%% of random head pairs flagged at C=512 under sum-max
+    vs 3.3%% under the (unknowable) true joint block max. The refinement
+    uses each term's per-block 2nd-largest score (WITH multiplicity, so
+    max ties keep bm2 == bm — tie-safety) and the argmax doc position:
+    for any doc d, score(d) <= sum_t (bm_t if argpos_t == d else bm2_t),
+    so ub = max over t* of sum_t (bm_t if argpos_t == argpos_t* else
+    bm2_t) bounds every doc in the block (docs at no term's argmax are
+    covered because each bound_t* >= sum_t bm2_t). Measured flag rate on
+    head pairs: 67.5%% -> 13.3%%. Cost: T extra row gathers + a (T x T)
+    argpos compare per block — VPU-trivial next to the payload scan.
+
     Returns (blk (B, C) int32 ascending block ids, next_ub (B,) f32 —
     the best unexamined block's ub)."""
     B = slots.shape[0]
-    ub = jnp.zeros((B, NB), dtype=jnp.float32)
     feas = jnp.ones((B, NB), dtype=bool)
+    bms, bm2s, aps = [], [], []
     for t in range(T):
         bm = jnp.take(blockmax, slots[:, t], axis=0)
         w = weights[:, t : t + 1]
-        ub = ub + bm * w
+        bms.append(bm * w)
         feas = feas & ((bm > 0.0) | (w == 0.0))
+        if blockmax2 is not None:
+            bm2s.append(jnp.take(blockmax2, slots[:, t], axis=0) * w)
+            aps.append(jnp.take(argpos, slots[:, t], axis=0)
+                       .astype(jnp.int32))
+    if blockmax2 is None:
+        ub = bms[0]
+        for t in range(1, T):
+            ub = ub + bms[t]
+    else:
+        ub = jnp.full((B, NB), -jnp.inf, dtype=jnp.float32)
+        for ts in range(T):
+            bound = bms[ts]  # ap_ts == ap_ts: full max for the anchor
+            for t in range(T):
+                if t == ts:
+                    continue
+                bound = bound + jnp.where(aps[t] == aps[ts],
+                                          bms[t], bm2s[t])
+            ub = jnp.maximum(ub, bound)
     ub = jnp.where(feas, ub, 0.0)
     top_ub, top_idx = jax.lax.top_k(ub, C + 1)
     next_ub = top_ub[:, C]  # best unexamined block's ub
@@ -1207,14 +1267,15 @@ def prune_guard_flag(top_score, next_ub, ks, *, M, eps3):
 
 def _pruned_dense_body(get_row_f32, get_tf, blockmax, slots, weights, ks,
                        *, T, NB, C, M, eps3, tc_mode, idf32=None,
-                       avg32=None):
+                       avg32=None, blockmax2=None, argpos=None):
     """Shared body: get_row_f32(t, rows_idx) -> (B, C, 128) f32 payload
     lanes (score in raw mode, tc-as-int in tc mode); weights (B, T) f32
     multipliers for ub (use_score in raw, 1.0 presence in tc — the
     blockmax planes are already idf-scaled in both modes)."""
     B = slots.shape[0]
     blk, next_ub = _select_ub_blocks(blockmax, slots, weights,
-                                     T=T, NB=NB, C=C)
+                                     T=T, NB=NB, C=C,
+                                     blockmax2=blockmax2, argpos=argpos)
 
     lane = jnp.arange(128, dtype=jnp.int32)
     cand_docs = (blk[:, :, None] * 128 + lane[None, None, :]).reshape(B, -1)
@@ -1264,7 +1325,8 @@ def make_pruned_dense_kernel(T: int, NB: int, C: int, M: int, eps3: float):
        blockmax (H, NB) f32, slots (B, T) i32, use_score (B, T) f32,
        ks (B,) i32 per-query k) -> packed (B, T+2, M) i32."""
 
-    def kernel(dense_sc, dense_tf, blockmax, slots, use_score, ks):
+    def kernel(dense_sc, dense_tf, blockmax, blockmax2, argpos, slots,
+               use_score, ks):
         H = dense_sc.shape[0]
         sc_rows = dense_sc.reshape(H * NB, 128)
         tf_rows = dense_tf.reshape(H * NB, 128)
@@ -1281,7 +1343,8 @@ def make_pruned_dense_kernel(T: int, NB: int, C: int, M: int, eps3: float):
 
         return _pruned_dense_body(
             get_row, get_tf, blockmax, slots, use_score, ks,
-            T=T, NB=NB, C=C, M=M, eps3=eps3, tc_mode=False)
+            T=T, NB=NB, C=C, M=M, eps3=eps3, tc_mode=False,
+            blockmax2=blockmax2, argpos=argpos)
 
     return serial_jit(kernel)
 
@@ -1296,7 +1359,8 @@ def make_pruned_dense_kernel_tc(T: int, NB: int, C: int, M: int,
     reconstructed score's block maxima x(1+2e-6), so ub dominates the
     in-kernel f32 reconstruction."""
 
-    def kernel(dense_tf, len_code, avg32, blockmax, slots, idf32, ks):
+    def kernel(dense_tf, len_code, avg32, blockmax, blockmax2, argpos,
+               slots, idf32, ks):
         H = dense_tf.shape[0]
         tf_rows = dense_tf.reshape(H * NB, 128)
         len_rows = len_code.reshape(NB, 128)
@@ -1315,7 +1379,7 @@ def make_pruned_dense_kernel_tc(T: int, NB: int, C: int, M: int,
         return _pruned_dense_body(
             get_row, None, blockmax, slots, weights, ks,
             T=T, NB=NB, C=C, M=M, eps3=eps3, tc_mode=True, idf32=idf32,
-            avg32=avg32)
+            avg32=avg32, blockmax2=blockmax2, argpos=argpos)
 
     return serial_jit(kernel)
 
@@ -1346,7 +1410,8 @@ def make_pruned_dense_kernel_tc(T: int, NB: int, C: int, M: int,
 def _pruned_phrase_body(get_row_f32, blockmax, postings_doc, positions,
                         pos_starts, starts, ends, slots, weights, anchor,
                         ks, *, T, NB, C, KV, PP, PW, M, n_bs_iters,
-                        eps3, tc_mode, idf32=None, avg32=None):
+                        eps3, tc_mode, idf32=None, avg32=None,
+                        blockmax2=None, argpos=None):
     """slots/starts/ends/weights/idf32 are in QUERY-TERM order (phrase
     adjacency is order-dependent; no candidate-first permutation).
     anchor: (B,) int32 — the term whose position bag seeds base lanes.
@@ -1364,7 +1429,8 @@ def _pruned_phrase_body(get_row_f32, blockmax, postings_doc, positions,
     B = slots.shape[0]
     CL = C * 128
     blk, next_ub = _select_ub_blocks(blockmax, slots, weights,
-                                     T=T, NB=NB, C=C)
+                                     T=T, NB=NB, C=C,
+                                     blockmax2=blockmax2, argpos=argpos)
     lane = jnp.arange(128, dtype=jnp.int32)
     cand_docs = (blk[:, :, None] * 128 + lane[None, None, :]).reshape(B, CL)
 
@@ -1440,8 +1506,9 @@ def make_pruned_phrase_kernel(T: int, NB: int, C: int, KV: int, PP: int,
       -> packed (B, T+2, M) i32. All per-term arrays in QUERY order.
     PP bounds the anchor bag, PW every term's bag (window verify)."""
 
-    def kernel(dense_sc, dense_tf, blockmax, postings_doc, positions,
-               pos_starts, starts, ends, slots, use_score, anchor, ks):
+    def kernel(dense_sc, dense_tf, blockmax, blockmax2, argpos,
+               postings_doc, positions, pos_starts, starts, ends, slots,
+               use_score, anchor, ks):
         H = dense_sc.shape[0]
         sc_rows = dense_sc.reshape(H * NB, 128)
         tf_rows = dense_tf.reshape(H * NB, 128)
@@ -1454,7 +1521,8 @@ def make_pruned_phrase_kernel(T: int, NB: int, C: int, KV: int, PP: int,
             get_row, blockmax, postings_doc, positions, pos_starts,
             starts, ends, slots, use_score, anchor, ks,
             T=T, NB=NB, C=C, KV=KV, PP=PP, PW=PW, M=M,
-            n_bs_iters=n_bs_iters, eps3=eps3, tc_mode=False)
+            n_bs_iters=n_bs_iters, eps3=eps3, tc_mode=False,
+            blockmax2=blockmax2, argpos=argpos)
         tfs = []
         for t in range(T):
             rows_idx = slots[:, t : t + 1] * np.int32(NB) + blk
@@ -1478,8 +1546,9 @@ def make_pruned_phrase_kernel_tc(T: int, NB: int, C: int, KV: int,
     uint8 tf plane + shared len-code row, composed per selected block
     (bit-identical to the former uint16 tc lanes)."""
 
-    def kernel(dense_tf, len_code, avg32, blockmax, postings_doc, positions,
-               pos_starts, starts, ends, slots, idf32, anchor, ks):
+    def kernel(dense_tf, len_code, avg32, blockmax, blockmax2, argpos,
+               postings_doc, positions, pos_starts, starts, ends, slots,
+               idf32, anchor, ks):
         H = dense_tf.shape[0]
         tf_rows = dense_tf.reshape(H * NB, 128)
         len_rows = len_code.reshape(NB, 128)
@@ -1496,7 +1565,7 @@ def make_pruned_phrase_kernel_tc(T: int, NB: int, C: int, KV: int,
             starts, ends, slots, weights, anchor, ks,
             T=T, NB=NB, C=C, KV=KV, PP=PP, PW=PW, M=M,
             n_bs_iters=n_bs_iters, eps3=eps3, tc_mode=True,
-            idf32=idf32, avg32=avg32)
+            idf32=idf32, avg32=avg32, blockmax2=blockmax2, argpos=argpos)
         return pack_with_flags(
             top_docs,
             jnp.concatenate([x[:, None, :] for x in tfs], axis=1), flags)

@@ -163,7 +163,8 @@ class ShardedIndex:
 
 
 @lru_cache(maxsize=64)
-def make_sharded_kernel(T: int, L: int, M: int, n_bs_iters: int, mesh: Mesh):
+def make_sharded_kernel(T: int, L: int, M: int, n_bs_iters: int, mesh: Mesh,
+                        M_out: int = None):
     """Sharded search step: local search_body per shard, all-gather + merge.
 
     fn(pd (D,Pp), psc (D,Pp), pt (D,Pp), ts (D,T+1), rows (B,T) slot-
@@ -185,16 +186,17 @@ def make_sharded_kernel(T: int, L: int, M: int, n_bs_iters: int, mesh: Mesh):
         g_f = jax.lax.all_gather(ltrunc, "d")  # (D, B)
         D = g_d.shape[0]
         B = td.shape[0]
+        Mo = M_out or M
         gd = jnp.transpose(g_d, (1, 0, 2)).reshape(B, D * M)
         gs = jnp.transpose(g_s, (1, 0, 2)).reshape(B, D * M)
         gt = jnp.transpose(g_t, (1, 2, 0, 3)).reshape(B, T, D * M)
-        s2, i2 = jax.lax.top_k(gs, M)
+        s2, i2 = jax.lax.top_k(gs, Mo)
         d2 = jnp.take_along_axis(gd, i2, axis=1)
         t2 = jnp.take_along_axis(gt, i2[:, None, :].repeat(T, 1), axis=2)
         # guard: a shard's local buffer truncating its f32 boundary class,
         # or the merge stage truncating across the gathered D*M candidates
         trunc = (jnp.any(g_f, axis=0)
-                 | K.boundary_truncated(gs, s2, M))
+                 | K.boundary_truncated(gs, s2, Mo))
         return d2, s2, t2, trunc
 
     step = shard_map(
@@ -209,7 +211,8 @@ def make_sharded_kernel(T: int, L: int, M: int, n_bs_iters: int, mesh: Mesh):
 
 @lru_cache(maxsize=64)
 def make_sharded_phrase_kernel(T: int, L: int, PP: int, M: int,
-                               n_bs_iters: int, n_pos_iters: int, mesh: Mesh):
+                               n_bs_iters: int, n_pos_iters: int, mesh: Mesh,
+                               M_out: int = None):
     """Sharded phrase step: full local phrase pipeline per shard
     (kernels.phrase_body; positional verification is doc-local so each
     shard is independent), then all-gather + score merge."""
@@ -229,14 +232,15 @@ def make_sharded_phrase_kernel(T: int, L: int, PP: int, M: int,
         g_f = jax.lax.all_gather(lflag, "d")  # (D, B)
         D = g_p.shape[0]
         B = body.shape[0]
+        Mo = M_out or M
         gp = jnp.transpose(g_p, (1, 2, 0, 3)).reshape(B, T + 1, D * M)
         gs = jnp.transpose(g_s, (1, 0, 2)).reshape(B, D * M)
-        s2, i2 = jax.lax.top_k(gs, M)
+        s2, i2 = jax.lax.top_k(gs, Mo)
         merged = jnp.take_along_axis(gp, i2[:, None, :].repeat(T + 1, 1), axis=2)
         trunc = ((jnp.sum(g_f, axis=0) > 0)
-                 | K.boundary_truncated(gs, s2, M))
+                 | K.boundary_truncated(gs, s2, Mo))
         flag_row = jnp.broadcast_to(
-            trunc.astype(jnp.int32)[:, None, None], (B, 1, M))
+            trunc.astype(jnp.int32)[:, None, None], (B, 1, Mo))
         return jnp.concatenate([merged, flag_row], axis=1)
 
     step = shard_map(
@@ -250,13 +254,20 @@ def make_sharded_phrase_kernel(T: int, L: int, PP: int, M: int,
     return serial_jit(step)
 
 
-def _merge_gathered(top_docs, top_score, tfs, ltrunc, *, T, M):
+def _merge_gathered(top_docs, top_score, tfs, ltrunc, *, T, M,
+                    M_out=None):
     """Shared merge tail: all-gather per-shard (docs, score, slot tfs,
     local trunc), re-top-k over the D*M gathered lanes. Gathered lane
     order is shard-major and shards own ascending doc ranges, so top_k's
     lowest-index tie keep preserves the (score desc, doc asc) canon.
-    Returns (d2 (B,M), s2 (B,M), t2 (B,T,M), trunc (B,) — local OR
+
+    M_out: merged output width — may EXCEED the per-shard M (deep-k
+    queries: a shard can hold at most its local L-bucket of matches, but
+    k spans all shards; capping the merge at the local M silently
+    truncated k=200 single-term results to 128 — round-4 fix).
+    Returns (d2 (B,Mo), s2 (B,Mo), t2 (B,T,Mo), trunc (B,) — local OR
     merged boundary-class truncation)."""
+    Mo = M_out or M
     g_d = jax.lax.all_gather(top_docs, "d")  # (D, B, M)
     g_s = jax.lax.all_gather(top_score, "d")
     g_t = jax.lax.all_gather(tfs, "d")  # (D, B, T, M)
@@ -266,10 +277,10 @@ def _merge_gathered(top_docs, top_score, tfs, ltrunc, *, T, M):
     gd = jnp.transpose(g_d, (1, 0, 2)).reshape(B, D * M)
     gs = jnp.transpose(g_s, (1, 0, 2)).reshape(B, D * M)
     gt = jnp.transpose(g_t, (1, 2, 0, 3)).reshape(B, T, D * M)
-    s2, i2 = jax.lax.top_k(gs, M)
+    s2, i2 = jax.lax.top_k(gs, Mo)
     d2 = jnp.take_along_axis(gd, i2, axis=1)
     t2 = jnp.take_along_axis(gt, i2[:, None, :].repeat(T, 1), axis=2)
-    trunc = jnp.any(g_f, axis=0) | K.boundary_truncated(gs, s2, M)
+    trunc = jnp.any(g_f, axis=0) | K.boundary_truncated(gs, s2, Mo)
     return d2, s2, t2, trunc
 
 
@@ -381,7 +392,8 @@ def make_sharded_pruned_dense_kernel(T: int, NB: int, C: int, M: int,
 
 @lru_cache(maxsize=32)
 def make_sharded_semidense_kernel(T: int, L: int, M: int, Npd: int,
-                                  n_bs: int, n_bs_iters: int, mesh: Mesh):
+                                  n_bs: int, n_bs_iters: int, mesh: Mesh,
+                                  M_out: int = None):
     """Mixed semi-dense kernel on the mesh (the single-device
     make_semidense_kernel split by doc range): slot 0 = candidate's LOCAL
     CSR run, slots 1..n_bs = non-dense others by local binary search,
@@ -446,13 +458,316 @@ def make_sharded_semidense_kernel(T: int, L: int, M: int, Npd: int,
         tfs = jnp.concatenate(tfs, axis=1)
         ltrunc = K.boundary_truncated(score, top_score, M)
         d2, s2, t2, trunc = _merge_gathered(top_docs, top_score, tfs,
-                                            ltrunc, T=T, M=M)
+                                            ltrunc, T=T, M=M, M_out=M_out)
         return K.pack_with_flags(d2, t2, trunc.astype(jnp.int32))
 
     step = shard_map(
         local, mesh=mesh,
         in_specs=(P("d"), P("d"), P("d"), P("d"), P("d"), P("d"), P("d"),
                   P(), P(), P()),
+        out_specs=P(), check_vma=False)
+    return serial_jit(step)
+
+
+def _merge_gathered_flags(top_docs, top_score, tfs, lflags, *, T, M,
+                          M_out=None):
+    """Like _merge_gathered, but the per-shard word is a FLAG bitfield
+    (tc mode: FLAG_TRUNC | FLAG_TF_SAT), merged by bitwise OR so the
+    caller can force the exact path on saturation ALWAYS while treating
+    truncation as strict-parity-only (the single-chip _flags_to_force
+    contract). M_out: merged output width (see _merge_gathered).
+    Returns (d2, s2, t2, flags (B,) int32)."""
+    Mo = M_out or M
+    g_d = jax.lax.all_gather(top_docs, "d")  # (D, B, M)
+    g_s = jax.lax.all_gather(top_score, "d")
+    g_t = jax.lax.all_gather(tfs, "d")  # (D, B, T, M)
+    g_f = jax.lax.all_gather(lflags, "d")  # (D, B) int32
+    D = g_d.shape[0]
+    B = top_docs.shape[0]
+    gd = jnp.transpose(g_d, (1, 0, 2)).reshape(B, D * M)
+    gs = jnp.transpose(g_s, (1, 0, 2)).reshape(B, D * M)
+    gt = jnp.transpose(g_t, (1, 2, 0, 3)).reshape(B, T, D * M)
+    s2, i2 = jax.lax.top_k(gs, Mo)
+    d2 = jnp.take_along_axis(gd, i2, axis=1)
+    t2 = jnp.take_along_axis(gt, i2[:, None, :].repeat(T, 1), axis=2)
+    flags = g_f[0]
+    for s in range(1, D):
+        flags = flags | g_f[s]
+    flags = flags | (K.boundary_truncated(gs, s2, Mo).astype(jnp.int32)
+                     * K.FLAG_TRUNC)
+    return d2, s2, t2, flags
+
+
+@lru_cache(maxsize=64)
+def make_sharded_kernel_tc(T: int, L: int, M: int, n_bs_iters: int,
+                           mesh: Mesh, avg32: float, M_out: int = None):
+    """tc-mode sharded search step: per-shard uint16 tc columns (6 B vs
+    12 B/posting of per-shard HBM — the capacity mode config 5 exists
+    for); scores reconstructed via kernels.tc_score, FLAG_TF_SAT merged
+    across shards so saturated keeps force the exact host path.
+
+    fn(pd (D,Pp), ptc (D,Pp) u16, ts, dfs, rows (B,T) slot order,
+       idf32 (B,T) slot order, 0 on pads) ->
+       (docs (B,M), score (B,M), tfs (B,T,M), flags (B,)) replicated."""
+
+    def local(pd, ptc, ts, dfs, rows, idf32):
+        pd, ptc, ts, dfs = pd[0], ptc[0], ts[0], dfs[0]
+        starts = ts[rows]
+        ends = starts + dfs[rows]
+        td, tsc, ttf, _, lflags = K.search_body(
+            pd, None, None, starts, ends, None,
+            T=T, L=L, M=M, n_bs_iters=n_bs_iters,
+            tc=ptc, idf32=idf32, avg32=np.float32(avg32))
+        return _merge_gathered_flags(td, tsc, ttf, lflags, T=T, M=M,
+                                     M_out=M_out)
+
+    step = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("d"), P("d"), P("d"), P("d"), P(), P()),
+        out_specs=(P(), P(), P(), P()), check_vma=False)
+    return serial_jit(step)
+
+
+@lru_cache(maxsize=64)
+def make_sharded_phrase_kernel_tc(T: int, L: int, PP: int, M: int,
+                                  n_bs_iters: int, n_pos_iters: int,
+                                  mesh: Mesh, avg32: float,
+                                  M_out: int = None):
+    """tc-mode sharded phrase step (kernels.phrase_body tc mode per
+    shard, flags merged by OR). Output layout matches the raw variant:
+    packed (B, T+2, M) with row T+1 = merged flag word."""
+
+    def local(pd, ptc, ts, dfs, pos, pstarts, rows, idf32, slot_of):
+        pd, ptc, ts, dfs = pd[0], ptc[0], ts[0], dfs[0]
+        pos, pstarts = pos[0], pstarts[0]
+        starts = ts[rows]
+        ends = starts + dfs[rows]
+        packed, tsc = K.phrase_body(
+            pd, None, None, pos, pstarts, starts, ends, None, slot_of,
+            T=T, L=L, PP=PP, M=M,
+            n_bs_iters=n_bs_iters, n_pos_iters=n_pos_iters,
+            tc=ptc, idf32=idf32, avg32=np.float32(avg32))
+        body, lflags = packed[:, : T + 1, :], packed[:, T + 1, 0]
+        d2, s2, t2, flags = _merge_gathered_flags(
+            body[:, 0, :], tsc, body[:, 1 : T + 1, :], lflags, T=T, M=M,
+            M_out=M_out)
+        flag_row = jnp.broadcast_to(flags[:, None, None],
+                                    (flags.shape[0], 1, M_out or M))
+        return jnp.concatenate([d2[:, None, :], t2, flag_row], axis=1)
+
+    step = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("d"), P("d"), P("d"), P("d"), P("d"), P("d"),
+                  P(), P(), P()),
+        out_specs=P(), check_vma=False)
+    return serial_jit(step)
+
+
+@lru_cache(maxsize=32)
+def make_sharded_dense_kernel_tc(T: int, Npd: int, M: int, mesh: Mesh,
+                                 avg32: float):
+    """tc-mode sharded dense scan: per-shard (H, Npd) uint8 TF plane +
+    (Npd,) shared len-code slice (the round-4 compressed dense tier,
+    doc-partitioned); lanes composed in-register exactly like the
+    single-chip make_dense_search_kernel_tc.
+
+    fn(dense_tf8 (D,H,Npd) u8, len_code (D,Npd) u8, slots (B,T),
+       idf32 (B,T)) -> packed (B, T+2, M) replicated."""
+
+    def local(dense_tf8, len_code, slots, idf32):
+        dtf, lc = dense_tf8[0], len_code[0]
+        B = slots.shape[0]
+        sid = jax.lax.axis_index("d").astype(jnp.int32)
+        code_row = lc.astype(jnp.int32)[None, :] << 8  # (1, Npd)
+        score = jnp.zeros((B, Npd), dtype=jnp.float32)
+        match = jnp.ones((B, Npd), dtype=bool)
+        rows = []
+        for t in range(T):
+            tf_t = jnp.take(dtf, slots[:, t], axis=0).astype(jnp.int32)
+            tc_t = jnp.where(tf_t > 0, code_row | tf_t, 0)
+            rows.append(tc_t)
+            match = match & (tc_t > 0)
+            score = score + K.tc_score(tc_t, idf32[:, t : t + 1],
+                                       np.float32(avg32))
+        score = jnp.where(match, score, K.NEG_INF)
+        top_score, top_l = jax.lax.top_k(score, M)  # lane = LOCAL doc
+        valid = top_score > K.NEG_INF
+        top_docs = jnp.where(valid, sid * np.int32(Npd) + top_l, -1)
+        sat = jnp.zeros((B,), dtype=bool)
+        tfs = []
+        for t in range(T):
+            top_t = jnp.take_along_axis(rows[t], jnp.maximum(top_l, 0),
+                                        axis=1)
+            sat = sat | K.tc_saturated(top_t, top_docs)
+            tfs.append(jnp.where(valid, top_t & 0xFF, 0))
+        tfs = jnp.concatenate([x[:, None, :] for x in tfs], axis=1)
+        lflags = (K.boundary_truncated(score, top_score, M).astype(jnp.int32)
+                  | sat.astype(jnp.int32) * K.FLAG_TF_SAT)
+        d2, s2, t2, flags = _merge_gathered_flags(top_docs, top_score,
+                                                  tfs, lflags, T=T, M=M)
+        return K.pack_with_flags(d2, t2, flags)
+
+    step = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("d"), P("d"), P(), P()),
+        out_specs=P(), check_vma=False)
+    return serial_jit(step)
+
+
+@lru_cache(maxsize=32)
+def make_sharded_pruned_dense_kernel_tc(T: int, NB: int, C: int, M: int,
+                                        eps3: float, mesh: Mesh,
+                                        avg32: float):
+    """tc-mode block-max pruned dense scan on the mesh: per-shard uint8
+    TF plane + len-code slice composed per selected block; blockmax is
+    the host-side f64-safe mirror (x(1+2e-6)) so the ub dominates the
+    in-kernel f32 reconstruction. Guard runs after the merge against the
+    max of the shards' next_ub (same proof as the raw mesh variant).
+
+    fn(dense_tf8 (D,H,NB*128) u8, len_code (D,NB*128) u8,
+       blockmax (D,H,NB) f32, slots (B,T), idf32 (B,T), ks (B,))
+       -> packed (B, T+2, M) replicated."""
+
+    def local(dense_tf8, len_code, blockmax, slots, idf32, ks):
+        dtf, lc, bm = dense_tf8[0], len_code[0], blockmax[0]
+        B = slots.shape[0]
+        H = dtf.shape[0]
+        sid = jax.lax.axis_index("d").astype(jnp.int32)
+        tf_rows = dtf.reshape(H * NB, 128)
+        len_rows = lc.reshape(NB, 128)
+        weights = (idf32 > 0).astype(jnp.float32)
+        blk, next_ub = K._select_ub_blocks(bm, slots, weights,
+                                           T=T, NB=NB, C=C)
+        lane = jnp.arange(128, dtype=jnp.int32)
+        cand_local = (blk[:, :, None] * 128 + lane[None, None, :]
+                      ).reshape(B, C * 128)
+        match = jnp.ones((B, C, 128), dtype=bool)
+        score = jnp.zeros((B, C, 128), dtype=jnp.float32)
+        payload_tc = []
+        for t in range(T):
+            rows_idx = slots[:, t : t + 1] * np.int32(NB) + blk
+            tf = jnp.take(tf_rows, rows_idx, axis=0).astype(jnp.int32)
+            code = jnp.take(len_rows, blk, axis=0).astype(jnp.int32) << 8
+            p = jnp.where(tf > 0, code | tf, 0)  # (B, C, 128) tc int
+            payload_tc.append(p)
+            match = match & (p > 0)
+            score = score + K.tc_score(p, idf32[:, t, None, None],
+                                       np.float32(avg32))
+        score = jnp.where(match, score, K.NEG_INF).reshape(B, -1)
+        top_score, top_l = jax.lax.top_k(score, M)
+        valid = top_score > K.NEG_INF
+        loc = jnp.take_along_axis(cand_local, top_l, axis=1)
+        top_docs = jnp.where(valid, sid * np.int32(NB * 128) + loc, -1)
+        sat = jnp.zeros((B,), dtype=bool)
+        tfs = []
+        for t in range(T):
+            flat = payload_tc[t].reshape(B, -1)
+            top_tc = jnp.take_along_axis(flat, top_l, axis=1)
+            sat = sat | K.tc_saturated(top_tc, top_docs)
+            tfs.append(jnp.where(valid, top_tc & 0xFF, 0))
+        tfs = jnp.concatenate([x[:, None, :] for x in tfs], axis=1)
+        lflags = (K.boundary_truncated(score, top_score, M)
+                  .astype(jnp.int32)
+                  | sat.astype(jnp.int32) * K.FLAG_TF_SAT)
+        d2, s2, t2, flags = _merge_gathered_flags(top_docs, top_score,
+                                                  tfs, lflags, T=T, M=M)
+        g_ub = jax.lax.all_gather(next_ub, "d")  # (D, B)
+        bound = jnp.max(g_ub, axis=0)
+        flags = flags | K.prune_guard_flag(s2, bound, ks, M=M, eps3=eps3)
+        return K.pack_with_flags(d2, t2, flags)
+
+    step = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("d"), P("d"), P("d"), P(), P(), P()),
+        out_specs=P(), check_vma=False)
+    return serial_jit(step)
+
+
+@lru_cache(maxsize=32)
+def make_sharded_semidense_kernel_tc(T: int, L: int, M: int, Npd: int,
+                                     n_bs: int, n_bs_iters: int,
+                                     mesh: Mesh, avg32: float,
+                                     M_out: int = None):
+    """tc-mode mixed semi-dense kernel on the mesh: candidate + bs others
+    read the per-shard uint16 tc column; dense others gather the uint8 TF
+    plane and recompose the tc lane from the candidate's own len code
+    (same doc — the single-chip make_semidense_kernel_tc trick), costing
+    zero extra gathers.
+
+    fn(pd, ptc, ts, dfs (all (D,...)), dense_tf8 (D,H,Npd) u8,
+       rows (B,T) slot-ordered, idf32 (B,T) slot order, slots (B,T))
+       -> packed (B, T+2, M) replicated."""
+
+    def local(pd, ptc, ts, dfs, dense_tf8, rows, idf32, slots):
+        pd, ptc, ts, dfs = pd[0], ptc[0], ts[0], dfs[0]
+        dtf = dense_tf8[0]
+        B = rows.shape[0]
+        sid = jax.lax.axis_index("d").astype(jnp.int32)
+        starts = ts[rows]
+        ends = starts + dfs[rows]
+        cdocs, ctc, cvalid, cs = K._candidates(pd, ptc, starts, ends, L)
+        ctc = ctc.astype(jnp.int32)
+        lane = jnp.arange(L, dtype=jnp.int32)
+        cpidx = cs[:, None] + lane[None, :]
+        match = cvalid
+        score = K.tc_score(ctc, idf32[:, 0:1], np.float32(avg32))
+        sat_lane = (ctc & 0xFF) >= K.TF_SAT
+        if n_bs:
+            targets = jnp.broadcast_to(cdocs[:, None, :], (B, n_bs, L))
+            lo = K._binary_search(pd, targets, starts[:, 1 : 1 + n_bs, None],
+                                  ends[:, 1 : 1 + n_bs, None], n_bs_iters)
+            hit = K._gather1d(pd, lo)
+            found = (lo < ends[:, 1 : 1 + n_bs, None]) & (hit == targets)
+            match = match & jnp.all(found, axis=1)
+            hit_tc = K._gather1d(ptc, lo).astype(jnp.int32)
+            score = score + jnp.sum(
+                jnp.where(found,
+                          K.tc_score(hit_tc, idf32[:, 1 : 1 + n_bs, None],
+                                     np.float32(avg32)), 0.0), axis=1)
+            sat_lane = sat_lane | jnp.any(
+                found & ((hit_tc & 0xFF) >= K.TF_SAT), axis=1)
+            bs_tc = [hit_tc[:, t - 1, :] for t in range(1, 1 + n_bs)]
+        else:
+            bs_tc = []
+        tf_flat = dtf.reshape(-1)
+        ccode = ctc & 0xFF00  # lane doc's len code, pre-shifted
+        loc_doc = jnp.clip(cdocs - sid * np.int32(Npd), 0,
+                           np.int32(Npd - 1))
+        dense_tc = []
+        for t in range(1 + n_bs, T):
+            idx = (slots[:, t : t + 1].astype(jnp.int32) * np.int32(Npd)
+                   + loc_doc)
+            p_tf = K._gather1d(tf_flat, idx).astype(jnp.int32)  # (B, L)
+            p_tc = jnp.where(p_tf > 0, ccode | p_tf, 0)
+            dense_tc.append(p_tc)
+            match = match & (p_tc > 0)
+            score = score + K.tc_score(p_tc, idf32[:, t : t + 1],
+                                       np.float32(avg32))
+            sat_lane = sat_lane | (p_tf >= K.TF_SAT)
+        score = jnp.where(match, score, K.NEG_INF)
+        top_score, top_l = jax.lax.top_k(score, M)
+        valid = top_score > K.NEG_INF
+        top_docs = jnp.where(valid,
+                             jnp.take_along_axis(cdocs, top_l, axis=1), -1)
+        all_tc = [ctc] + bs_tc + dense_tc
+        sat = jnp.any(jnp.take_along_axis(sat_lane, top_l, axis=1) & valid,
+                      axis=1)
+        tfs = []
+        for t in range(T):
+            top_tc = jnp.take_along_axis(all_tc[t], top_l, axis=1)
+            tfs.append(jnp.where(valid, top_tc & 0xFF, 0)[:, None, :])
+        tfs = jnp.concatenate(tfs, axis=1)
+        lflags = (K.boundary_truncated(score, top_score, M)
+                  .astype(jnp.int32)
+                  | sat.astype(jnp.int32) * K.FLAG_TF_SAT)
+        d2, s2, t2, flags = _merge_gathered_flags(top_docs, top_score,
+                                                  tfs, lflags, T=T, M=M,
+                                                  M_out=M_out)
+        return K.pack_with_flags(d2, t2, flags)
+
+    step = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("d"), P("d"), P("d"), P("d"), P("d"), P(), P(), P()),
         out_specs=P(), check_vma=False)
     return serial_jit(step)
 
@@ -528,6 +843,7 @@ class ShardedEngine:
         strict_parity: bool = False,
         dense_budget_bytes: int = 7 << 29,
         single_term_depth: int = 64,
+        columns: str = "raw",
     ):
         if mesh is None:
             devs = np.array(jax.devices()[: sharded.n_shards])
@@ -537,17 +853,44 @@ class ShardedEngine:
                 f"mesh has {mesh.devices.size} devices, index has "
                 f"{sharded.n_shards} shards"
             )
+        if columns not in ("raw", "tc"):
+            raise ValueError(f"unknown columns mode {columns!r}")
+        self.columns = columns
         self.mesh = mesh
         self.sharded = sharded
         self.margin = margin
         self.similarity = Bm25Similarity(sharded.avg_len)
         self.cache64 = self.similarity.cache
         self.term_to_row = {t: i for i, t in enumerate(sharded.terms)}
+        self._avg32 = float(np.float32(sharded.avg_len))
+        # widened guard epsilon for in-kernel score reconstruction
+        # (device.py rel_eps note)
+        self.rel_eps = 1e-5 if columns == "tc" else 1e-6
 
         shard_spec = NamedSharding(mesh, P("d"))
         self.d_postings_doc = jax.device_put(sharded.postings_doc, shard_spec)
-        self.d_postings_score = jax.device_put(sharded.postings_score, shard_spec)
-        self.d_postings_tf = jax.device_put(sharded.postings_tf, shard_spec)
+        if columns == "tc":
+            # per-shard compressed column: (doc_len_code << 8 | min(tf,
+            # 255)), 0 on SENTINEL pads — 6 B/posting of per-shard HBM
+            # instead of 12 (the single-chip tc layout, doc-partitioned;
+            # packed_value.h:87-274 is the reference's analog)
+            from wiser_tpu.index.format import SENTINEL_DOC
+
+            real = sharded.postings_doc != SENTINEL_DOC
+            docs_safe = np.where(real, sharded.postings_doc, 0)
+            tc_col = np.where(
+                real,
+                (sharded.doc_len_code[docs_safe].astype(np.uint16) << 8)
+                | np.minimum(sharded.postings_tf, K.TF_SAT).astype(np.uint16),
+                np.uint16(0))
+            self.d_postings_tc = jax.device_put(tc_col, shard_spec)
+            self.d_postings_score = None
+            self.d_postings_tf = None
+        else:
+            self.d_postings_score = jax.device_put(sharded.postings_score,
+                                                   shard_spec)
+            self.d_postings_tf = jax.device_put(sharded.postings_tf,
+                                                shard_spec)
         self.d_term_starts = jax.device_put(sharded.term_starts, shard_spec)
         self.d_df_shard = jax.device_put(sharded.df_shard, shard_spec)
         self.d_positions = jax.device_put(sharded.positions, shard_spec)
@@ -605,12 +948,56 @@ class ShardedEngine:
         if len(rows) == 0:
             return
         N_pad = self._npd * D
-        cap = max(1, int(budget_bytes // (N_pad * 8)))
+        row_bytes = 1 if self.columns == "tc" else 8
+        cap = max(1, int(budget_bytes // (N_pad * row_bytes)))
         if len(rows) > cap:
             rows = rows[np.argsort(sh.df[rows])[::-1][:cap]]
         H = len(rows)
-        scores32 = scores64.astype(np.float32)
         lens = np.diff(src.term_starts)
+        shard_spec = NamedSharding(self.mesh, P("d"))
+        if self.columns == "tc":
+            # compressed tier (device.py round-4 layout): uint8 TF plane
+            # + shared per-doc len-code row, composed in-kernel; blockmax
+            # is the f64-safe mirror of the reconstructed score
+            from wiser_tpu.engine.device import _tc_score64_ub
+
+            dense_tf8 = np.zeros((H, N_pad), dtype=np.uint8)
+            len_code = np.zeros(N_pad, dtype=np.uint8)
+            len_code[: sh.n_docs] = sh.doc_len_code[: sh.n_docs]
+            for slot, r in enumerate(rows.tolist()):
+                s = int(src.term_starts[r])
+                m = min(int(src.df[r]), int(lens[r]))
+                docs = src.postings_doc[s : s + m]
+                dense_tf8[slot, docs] = np.minimum(
+                    src.postings_tf[s : s + m], K.TF_SAT).astype(np.uint8)
+                self._dense_slot[r] = slot
+            self._dense_H = H
+            NBg = N_pad // BLOCK
+            bm = np.zeros((H, NBg), dtype=np.float32)
+            idf32_rows = sh.idf64[rows].astype(np.float32)
+            code16 = len_code.astype(np.uint16) << 8
+            for h0 in range(0, H, 8):
+                h1 = min(h0 + 8, H)
+                tc_chunk = np.where(dense_tf8[h0:h1] > 0,
+                                    code16[None, :] | dense_tf8[h0:h1],
+                                    np.uint16(0))
+                ub = _tc_score64_ub(
+                    tc_chunk, idf32_rows[h0:h1, None].astype(np.float64),
+                    self._avg32)
+                bm[h0:h1] = ub.reshape(h1 - h0, NBg, BLOCK).max(axis=2)
+            self.d_dense_tf8 = jax.device_put(
+                np.ascontiguousarray(
+                    dense_tf8.reshape(H, D, self._npd).transpose(1, 0, 2)),
+                shard_spec)
+            self.d_len_code = jax.device_put(
+                np.ascontiguousarray(len_code.reshape(D, self._npd)),
+                shard_spec)
+            self.d_dense_blockmax = jax.device_put(
+                np.ascontiguousarray(
+                    bm.reshape(H, D, self._npd // BLOCK).transpose(1, 0, 2)),
+                shard_spec)
+            return
+        scores32 = scores64.astype(np.float32)
         dense_sc = np.zeros((H, N_pad), dtype=np.float32)
         dense_tf = np.zeros((H, N_pad), dtype=np.int32)
         for slot, r in enumerate(rows.tolist()):
@@ -623,7 +1010,6 @@ class ShardedEngine:
         self._dense_H = H
         NBg = N_pad // BLOCK
         blockmax = dense_sc.reshape(H, NBg, BLOCK).max(axis=2)
-        shard_spec = NamedSharding(self.mesh, P("d"))
         self.d_dense_sc = jax.device_put(
             np.ascontiguousarray(
                 dense_sc.reshape(H, D, self._npd).transpose(1, 0, 2)),
@@ -721,6 +1107,7 @@ class ShardedEngine:
             B = _bucket(len(group), B_BUCKETS)
             rows_arr = np.zeros((B, T), dtype=np.int32)
             use_score = np.zeros((B, T), dtype=np.float32)
+            idf32_s = np.zeros((B, T), dtype=np.float32)
             idf64_q = np.zeros((B, T), dtype=np.float64)
             slot_of = np.zeros((B, T), dtype=np.int32)
             ks = np.zeros(B, dtype=np.int32)
@@ -732,29 +1119,51 @@ class ShardedEngine:
                 for slot, t in enumerate(order):
                     rows_arr[i, slot] = rows[t]
                     use_score[i, slot] = 1.0
+                    idf32_s[i, slot] = np.float32(
+                        self.sharded.idf64[rows[t]])
                     slot_of[i, t] = slot
                 for t, r in enumerate(rows):
                     idf64_q[i, t] = self.sharded.idf64[r]
             M = min(L, int(ks.max(initial=1)) + self.margin)
-            kern = make_sharded_phrase_kernel(
-                T, L, PP, M, K.n_iters_for(self._max_df),
-                K.n_iters_for(self._max_tf), self.mesh)
-            out = kern(
-                self.d_postings_doc, self.d_postings_score,
-                self.d_postings_tf, self.d_term_starts, self.d_df_shard,
-                self.d_positions, self.d_pos_starts,
-                jax.device_put(rows_arr, repl),
-                jax.device_put(use_score, repl),
-                jax.device_put(slot_of, repl),
-            )
+            # merged output must cover k even when each shard's local
+            # buffer is smaller (deep-k truncation fix, round 4)
+            Mo = min(int(ks.max(initial=1)) + self.margin,
+                     M * self.sharded.n_shards)
+            if self.columns == "tc":
+                kern = make_sharded_phrase_kernel_tc(
+                    T, L, PP, M, K.n_iters_for(self._max_df),
+                    K.n_iters_for(self._max_tf), self.mesh, self._avg32,
+                    M_out=Mo)
+                out = kern(
+                    self.d_postings_doc, self.d_postings_tc,
+                    self.d_term_starts, self.d_df_shard,
+                    self.d_positions, self.d_pos_starts,
+                    jax.device_put(rows_arr, repl),
+                    jax.device_put(idf32_s, repl),
+                    jax.device_put(slot_of, repl),
+                )
+            else:
+                kern = make_sharded_phrase_kernel(
+                    T, L, PP, M, K.n_iters_for(self._max_df),
+                    K.n_iters_for(self._max_tf), self.mesh, M_out=Mo)
+                out = kern(
+                    self.d_postings_doc, self.d_postings_score,
+                    self.d_postings_tf, self.d_term_starts, self.d_df_shard,
+                    self.d_positions, self.d_pos_starts,
+                    jax.device_put(rows_arr, repl),
+                    jax.device_put(use_score, repl),
+                    jax.device_put(slot_of, repl),
+                )
 
             def finalize(res_list, out=out, group=group, T=T,
                          slot_of=slot_of, idf64_q=idf64_q, ks=ks):
                 merged = np.asarray(out)
-                self._finalize_group(res_list, merged[:, 0, :],
-                                     merged[:, 1 : T + 1, :], group,
-                                     slot_of, idf64_q, ks, is_phrase=True,
-                                     force_host=merged[:, T + 1, 0] != 0)
+                flags = merged[:, T + 1, 0]
+                self._finalize_group(
+                    res_list, merged[:, 0, :], merged[:, 1 : T + 1, :],
+                    group, slot_of, idf64_q, ks, is_phrase=True,
+                    force_host=(flags & K.FLAG_TRUNC) != 0,
+                    force_always=(flags & K.FLAG_TF_SAT) != 0)
 
             pending.append(finalize)
         return pending
@@ -775,7 +1184,8 @@ class ShardedEngine:
                             tfs_slot.shape), axis=1)
         docs_f, score_f, n_valid = rescore_sorted_arrays(
             docs, tf_q, idf64_q, self.sharded.doc_len_code, self.cache64)
-        suspects = truncation_suspects(score_f, n_valid, ks)
+        suspects = truncation_suspects(score_f, n_valid, ks,
+                                       rel_eps=self.rel_eps)
         if force_host is not None and self.strict_parity:
             suspects = suspects | force_host[: len(suspects)]
         if force_always is not None:
@@ -865,6 +1275,7 @@ class ShardedEngine:
             B = _bucket(len(group), B_BUCKETS)
             rows_arr = np.zeros((B, T), dtype=np.int32)
             use_score = np.zeros((B, T), dtype=np.float32)
+            idf32_s = np.zeros((B, T), dtype=np.float32)
             idf64_q = np.zeros((B, T), dtype=np.float64)
             slot_of = np.zeros((B, T), dtype=np.int64)
             ks = np.zeros(B, dtype=np.int32)
@@ -878,26 +1289,54 @@ class ShardedEngine:
                     rows_arr[i, slot] = rows[t]
                     if slot < len(order):
                         use_score[i, slot] = 1.0
+                        idf32_s[i, slot] = np.float32(
+                            self.sharded.idf64[rows[t]])
                 for slot, t in enumerate(order):
                     slot_of[i, t] = slot
                 for t, r in enumerate(rows):
                     idf64_q[i, t] = self.sharded.idf64[r]
             max_k = max(q.n_results for _, _, q in group)
             M = min(L, max_k + self.margin)
-            kern = make_sharded_kernel(T, L, M, K.n_iters_for(self._max_df), self.mesh)
-            docs, score, tfs, trunc = kern(
-                self.d_postings_doc, self.d_postings_score, self.d_postings_tf,
-                self.d_term_starts, self.d_df_shard,
-                jax.device_put(rows_arr, repl), jax.device_put(use_score, repl),
-            )
+            Mo = min(max_k + self.margin, M * self.sharded.n_shards)
+            if self.columns == "tc":
+                kern = make_sharded_kernel_tc(
+                    T, L, M, K.n_iters_for(self._max_df), self.mesh,
+                    self._avg32, M_out=Mo)
+                docs, score, tfs, flags = kern(
+                    self.d_postings_doc, self.d_postings_tc,
+                    self.d_term_starts, self.d_df_shard,
+                    jax.device_put(rows_arr, repl),
+                    jax.device_put(idf32_s, repl),
+                )
 
-            def finalize(res_list, docs=docs, tfs=tfs, trunc=trunc,
-                         group=group, slot_of=slot_of, idf64_q=idf64_q,
-                         ks=ks, T=T):
-                self._finalize_group(res_list, np.asarray(docs),
-                                     np.asarray(tfs), group, slot_of,
-                                     idf64_q, ks, is_phrase=False,
-                                     force_host=np.asarray(trunc))
+                def finalize(res_list, docs=docs, tfs=tfs, flags=flags,
+                             group=group, slot_of=slot_of, idf64_q=idf64_q,
+                             ks=ks, T=T):
+                    fl = np.asarray(flags)
+                    self._finalize_group(
+                        res_list, np.asarray(docs), np.asarray(tfs),
+                        group, slot_of, idf64_q, ks, is_phrase=False,
+                        force_host=(fl & K.FLAG_TRUNC) != 0,
+                        force_always=(fl & K.FLAG_TF_SAT) != 0)
+            else:
+                kern = make_sharded_kernel(T, L, M,
+                                           K.n_iters_for(self._max_df),
+                                           self.mesh, M_out=Mo)
+                docs, score, tfs, trunc = kern(
+                    self.d_postings_doc, self.d_postings_score,
+                    self.d_postings_tf,
+                    self.d_term_starts, self.d_df_shard,
+                    jax.device_put(rows_arr, repl),
+                    jax.device_put(use_score, repl),
+                )
+
+                def finalize(res_list, docs=docs, tfs=tfs, trunc=trunc,
+                             group=group, slot_of=slot_of, idf64_q=idf64_q,
+                             ks=ks, T=T):
+                    self._finalize_group(res_list, np.asarray(docs),
+                                         np.asarray(tfs), group, slot_of,
+                                         idf64_q, ks, is_phrase=False,
+                                         force_host=np.asarray(trunc))
 
             pending.append(finalize)
 
@@ -928,7 +1367,7 @@ class ShardedEngine:
         NB = self._npd // BLOCK
         C = self.PRUNED_DENSE_C
         pruned = NB >= max(self.PRUNED_DENSE_MIN_NB, C + 1)
-        eps3 = 3.0e-6
+        eps3 = 3.0 * self.rel_eps
         groups: Dict[int, list] = {}
         for item in items:
             groups.setdefault(_bucket(len(item[1]), T_BUCKETS),
@@ -937,6 +1376,7 @@ class ShardedEngine:
             B = _bucket(len(group), B_BUCKETS)
             slots = np.zeros((B, T), dtype=np.int32)
             use = np.zeros((B, T), dtype=np.float32)
+            idf32_g = np.zeros((B, T), dtype=np.float32)
             idf64_q = np.zeros((B, T), dtype=np.float64)
             slot_of = np.tile(np.arange(T, dtype=np.int64), (B, 1))
             ks = np.zeros(B, dtype=np.int32)
@@ -947,9 +1387,25 @@ class ShardedEngine:
                     slots[i, t] = self._dense_slot[r]
                     if t < len(rows):
                         use[i, t] = 1.0
+                        idf32_g[i, t] = np.float32(self.sharded.idf64[r])
                         idf64_q[i, t] = self.sharded.idf64[r]
             M = min(int(ks.max(initial=1)) + self.margin, self._npd)
-            if pruned:
+            if self.columns == "tc":
+                if pruned:
+                    kern = make_sharded_pruned_dense_kernel_tc(
+                        T, NB, C, M, eps3, self.mesh, self._avg32)
+                    out = kern(self.d_dense_tf8, self.d_len_code,
+                               self.d_dense_blockmax,
+                               jax.device_put(slots, repl),
+                               jax.device_put(idf32_g, repl),
+                               jax.device_put(ks, repl))
+                else:
+                    kern = make_sharded_dense_kernel_tc(
+                        T, self._npd, M, self.mesh, self._avg32)
+                    out = kern(self.d_dense_tf8, self.d_len_code,
+                               jax.device_put(slots, repl),
+                               jax.device_put(idf32_g, repl))
+            elif pruned:
                 kern = make_sharded_pruned_dense_kernel(
                     T, NB, C, M, eps3, self.mesh)
                 out = kern(self.d_dense_sc, self.d_dense_tf,
@@ -1006,6 +1462,7 @@ class ShardedEngine:
             B = _bucket(len(group), B_BUCKETS)
             rows_arr = np.zeros((B, T), dtype=np.int32)
             use = np.zeros((B, T), dtype=np.float32)
+            idf32_s = np.zeros((B, T), dtype=np.float32)
             slots = np.zeros((B, T), dtype=np.int32)
             idf64_q = np.zeros((B, T), dtype=np.float64)
             slot_of = np.zeros((B, T), dtype=np.int64)
@@ -1024,6 +1481,7 @@ class ShardedEngine:
                     if slot >= first_dense:
                         slots[i, slot] = self._dense_slot[r]
                     use[i, slot] = 1.0
+                    idf32_s[i, slot] = np.float32(self.sharded.idf64[r])
                     slot_of[i, t] = slot
                 for slot in range(len(order), T):  # padded slots
                     rows_arr[i, slot] = rows_arr[i, first_dense]
@@ -1031,14 +1489,27 @@ class ShardedEngine:
                 for t, r in enumerate(rows):
                     idf64_q[i, t] = self.sharded.idf64[r]
             M = min(L, int(ks.max(initial=1)) + self.margin)
-            kern = make_sharded_semidense_kernel(
-                T, L, M, self._npd, NBs, n_it, self.mesh)
-            out = kern(self.d_postings_doc, self.d_postings_score,
-                       self.d_postings_tf, self.d_term_starts,
-                       self.d_df_shard, self.d_dense_sc, self.d_dense_tf,
-                       jax.device_put(rows_arr, repl),
-                       jax.device_put(use, repl),
-                       jax.device_put(slots, repl))
+            Mo = min(int(ks.max(initial=1)) + self.margin,
+                     M * self.sharded.n_shards)
+            if self.columns == "tc":
+                kern = make_sharded_semidense_kernel_tc(
+                    T, L, M, self._npd, NBs, n_it, self.mesh, self._avg32,
+                    M_out=Mo)
+                out = kern(self.d_postings_doc, self.d_postings_tc,
+                           self.d_term_starts, self.d_df_shard,
+                           self.d_dense_tf8,
+                           jax.device_put(rows_arr, repl),
+                           jax.device_put(idf32_s, repl),
+                           jax.device_put(slots, repl))
+            else:
+                kern = make_sharded_semidense_kernel(
+                    T, L, M, self._npd, NBs, n_it, self.mesh, M_out=Mo)
+                out = kern(self.d_postings_doc, self.d_postings_score,
+                           self.d_postings_tf, self.d_term_starts,
+                           self.d_df_shard, self.d_dense_sc, self.d_dense_tf,
+                           jax.device_put(rows_arr, repl),
+                           jax.device_put(use, repl),
+                           jax.device_put(slots, repl))
 
             def finalize(res_list, out=out, group=group, T=T,
                          slot_of=slot_of, idf64_q=idf64_q, ks=ks):

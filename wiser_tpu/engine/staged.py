@@ -164,7 +164,8 @@ def dense_tier_bytes(packed: PackedIndex, columns: str = "raw",
     dense_min = max(TpuEngine.DENSE_MIN_DF_FLOOR,
                     n // TpuEngine.DENSE_ELIGIBLE_FRACTION)
     row_bytes = 1 if columns == "tc" else 8
-    per_row = n_pad * row_bytes + (n_pad // 128) * 4  # row + blockmax
+    # row + blockmax/blockmax2 (f32) + argpos (u8) planes
+    per_row = n_pad * row_bytes + (n_pad // 128) * 9
     cap = int(budget_bytes // per_row)
     cap = min(cap, (2**31 - 1) // n_pad - 1)
     H = min(int((packed.df >= dense_min).sum()), cap)
