@@ -183,9 +183,14 @@ def build_workload(packed, oracle, t: Treatment):
 
 def run_treatment(t: Treatment) -> ExpResult:
     if t.index_dir:
+        from dataclasses import replace as _replace
+
         from wiser_tpu.index.format import PackedIndex
 
         packed = PackedIndex.load(t.index_dir)
+        # record the SERVED corpus shape, not the synthetic defaults
+        # (round-3 grid rows said n_docs=50000 against idx_c1m)
+        t = _replace(t, n_docs=packed.n_docs, vocab=packed.n_terms)
         oracle = None  # phrase mining needs the oracle; other workloads
         # only touch terms/dfs
     else:

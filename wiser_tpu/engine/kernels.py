@@ -621,6 +621,104 @@ def n_iters_for(max_len: int) -> int:
     return max(1, int(np.ceil(np.log2(max(2, int(max_len) + 1)))))
 
 
+def compact_phrase_body(postings_doc, postings_score, postings_tf,
+                        postings_tc, avg32, positions, pos_starts,
+                        starts, ends, use_score, idf32, slot_of, ks,
+                        bloom_rows, bloom_bitmap, bloom_rank,
+                        probe_slot, probe_begins, probe_mask,
+                        probe_active, *, T, L, KV, PP, PW, M,
+                        n_bs_iters, eps3, tc_mode):
+    """Module-level compact phrase pipeline (bloom gate -> KV score
+    compaction -> window verify -> top-k) shared by the single-chip
+    fused kernel (make_compact_phrase_kernel) and the sharded
+    per-shard local step (shard.py make_sharded_compact_phrase_kernel
+    -- round 4: the mesh phrase path gains the cost-aware bi-bloom
+    gate, query_processing.h:796-807). Returns (packed (B, T+2, M),
+    top_score (B, M))."""
+    B = starts.shape[0]
+    if tc_mode:
+        cdocs, ctc, cvalid, cs = _candidates(
+            postings_doc, postings_tc, starts, ends, L)
+        ctc = ctc.astype(jnp.int32)
+        cscore = tc_score(ctc, idf32[:, 0:1], avg32)
+    else:
+        cdocs, cscore, cvalid, cs = _candidates(
+            postings_doc, postings_score, starts, ends, L)
+    lane = jnp.arange(L, dtype=jnp.int32)
+    cpidx = cs[:, None] + lane[None, :]
+
+    Tr = T - 1
+    targets = jnp.broadcast_to(cdocs[:, None, :], (B, Tr, L))
+    lo = _binary_search(postings_doc, targets, starts[:, 1:, None],
+                        ends[:, 1:, None], n_bs_iters)
+    hit = _gather1d(postings_doc, lo)
+    found = (lo < ends[:, 1:, None]) & (hit == targets)
+    match = jnp.all(found, axis=1) & cvalid
+    pidx = jnp.concatenate([cpidx[:, None, :], lo], axis=1)  # (B,T,L)
+    if tc_mode:
+        hit_tc = _gather1d(postings_tc, lo).astype(jnp.int32)
+        score = cscore + jnp.sum(
+            jnp.where(found,
+                      tc_score(hit_tc, idf32[:, 1:, None], avg32), 0.0),
+            axis=1)
+        sat_lane = ((ctc & 0xFF) >= TF_SAT) | jnp.any(
+            found & ((hit_tc & 0xFF) >= TF_SAT), axis=1)
+    else:
+        partial = jnp.where(found, _gather1d(postings_score, lo), 0.0)
+        score = cscore * use_score[:, 0:1] + jnp.sum(
+            partial * use_score[:, 1:, None], axis=1)
+        sat_lane = None
+    bloom_pass = _bloom_gate(pidx, bloom_rows, bloom_bitmap,
+                             bloom_rank, probe_slot, probe_begins,
+                             probe_mask, probe_active, B=B, L=L)
+
+    # compaction: KV best-scored surviving lanes
+    active = match & bloom_pass
+    mscore = jnp.where(active, score, NEG_INF)
+    top_cs, top_cl = jax.lax.top_k(mscore, KV + 1)
+    unseen = top_cs[:, KV]  # bounds every unverified lane
+    sel_score = top_cs[:, :KV]  # score desc, doc asc on ties
+    sel_l = top_cl[:, :KV]
+    sel_docs = jnp.take_along_axis(cdocs, sel_l, axis=1)
+    sel_pidx = jnp.take_along_axis(
+        pidx, sel_l[:, None, :].repeat(T, 1), axis=2)  # (B, T, KV)
+    sel_valid = sel_score > NEG_INF
+
+    # adjusted-position window verify in query-term order over KV
+    # lanes, anchored on query term 0 (slot_of re-permutes pidx)
+    pidx_q = jnp.take_along_axis(
+        sel_pidx, slot_of[:, :, None].astype(jnp.int32).repeat(KV, 2),
+        axis=1)
+    ps = _gather1d(pos_starts, pidx_q.reshape(B, -1)).reshape(B, T, KV)
+    pe = _gather1d(pos_starts,
+                   pidx_q.reshape(B, -1) + 1).reshape(B, T, KV)
+    n_matches = _verify_pos_windows(
+        positions, ps, pe, jnp.zeros((B,), dtype=jnp.int32),
+        T=T, NL=KV, PP=PP, PW=PW)
+
+    final_score = jnp.where(sel_valid & (n_matches > 0), sel_score,
+                            NEG_INF)
+    top_score, top_l = jax.lax.top_k(final_score, M)
+    top_docs = jnp.take_along_axis(sel_docs, top_l, axis=1)
+    top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
+    top_pidx = jnp.take_along_axis(
+        sel_pidx, top_l[:, None, :].repeat(T, 1), axis=2)
+    flags = (boundary_truncated(final_score, top_score, M)
+             .astype(jnp.int32)
+             | prune_guard_flag(top_score, unseen, ks, M=M, eps3=eps3))
+    if tc_mode:
+        top_tc = _gather1d(postings_tc, top_pidx).astype(jnp.int32)
+        top_tfs = jnp.where(top_docs[:, None, :] >= 0, top_tc & 0xFF, 0)
+        top_sat = jnp.take_along_axis(
+            jnp.take_along_axis(sat_lane, sel_l, axis=1), top_l, axis=1)
+        sat = jnp.any(top_sat & (top_docs >= 0), axis=1)
+        flags = flags | sat.astype(jnp.int32) * FLAG_TF_SAT
+    else:
+        top_tfs = jnp.where(top_docs[:, None, :] >= 0,
+                            _gather1d(postings_tf, top_pidx), 0)
+    return pack_with_flags(top_docs, top_tfs, flags), top_score
+
+
 @lru_cache(maxsize=64)
 def make_compact_phrase_kernel(T: int, L: int, KV: int, PP: int, PW: int,
                                M: int, n_bs_iters: int,
@@ -647,92 +745,11 @@ def make_compact_phrase_kernel(T: int, L: int, KV: int, PP: int, PW: int,
     make_phrase_verify_kernel."""
     tc_mode = mode == "tc"
 
-    def body(postings_doc, postings_score, postings_tf, postings_tc,
-             avg32, positions, pos_starts, starts, ends, use_score,
-             idf32, slot_of, ks, bloom_rows, bloom_bitmap, bloom_rank,
-             probe_slot, probe_begins, probe_mask, probe_active):
-        B = starts.shape[0]
-        if tc_mode:
-            cdocs, ctc, cvalid, cs = _candidates(
-                postings_doc, postings_tc, starts, ends, L)
-            ctc = ctc.astype(jnp.int32)
-            cscore = tc_score(ctc, idf32[:, 0:1], avg32)
-        else:
-            cdocs, cscore, cvalid, cs = _candidates(
-                postings_doc, postings_score, starts, ends, L)
-        lane = jnp.arange(L, dtype=jnp.int32)
-        cpidx = cs[:, None] + lane[None, :]
-
-        Tr = T - 1
-        targets = jnp.broadcast_to(cdocs[:, None, :], (B, Tr, L))
-        lo = _binary_search(postings_doc, targets, starts[:, 1:, None],
-                            ends[:, 1:, None], n_bs_iters)
-        hit = _gather1d(postings_doc, lo)
-        found = (lo < ends[:, 1:, None]) & (hit == targets)
-        match = jnp.all(found, axis=1) & cvalid
-        pidx = jnp.concatenate([cpidx[:, None, :], lo], axis=1)  # (B,T,L)
-        if tc_mode:
-            hit_tc = _gather1d(postings_tc, lo).astype(jnp.int32)
-            score = cscore + jnp.sum(
-                jnp.where(found,
-                          tc_score(hit_tc, idf32[:, 1:, None], avg32), 0.0),
-                axis=1)
-            sat_lane = ((ctc & 0xFF) >= TF_SAT) | jnp.any(
-                found & ((hit_tc & 0xFF) >= TF_SAT), axis=1)
-        else:
-            partial = jnp.where(found, _gather1d(postings_score, lo), 0.0)
-            score = cscore * use_score[:, 0:1] + jnp.sum(
-                partial * use_score[:, 1:, None], axis=1)
-            sat_lane = None
-        bloom_pass = _bloom_gate(pidx, bloom_rows, bloom_bitmap,
-                                 bloom_rank, probe_slot, probe_begins,
-                                 probe_mask, probe_active, B=B, L=L)
-
-        # compaction: KV best-scored surviving lanes
-        active = match & bloom_pass
-        mscore = jnp.where(active, score, NEG_INF)
-        top_cs, top_cl = jax.lax.top_k(mscore, KV + 1)
-        unseen = top_cs[:, KV]  # bounds every unverified lane
-        sel_score = top_cs[:, :KV]  # score desc, doc asc on ties
-        sel_l = top_cl[:, :KV]
-        sel_docs = jnp.take_along_axis(cdocs, sel_l, axis=1)
-        sel_pidx = jnp.take_along_axis(
-            pidx, sel_l[:, None, :].repeat(T, 1), axis=2)  # (B, T, KV)
-        sel_valid = sel_score > NEG_INF
-
-        # adjusted-position window verify in query-term order over KV
-        # lanes, anchored on query term 0 (slot_of re-permutes pidx)
-        pidx_q = jnp.take_along_axis(
-            sel_pidx, slot_of[:, :, None].astype(jnp.int32).repeat(KV, 2),
-            axis=1)
-        ps = _gather1d(pos_starts, pidx_q.reshape(B, -1)).reshape(B, T, KV)
-        pe = _gather1d(pos_starts,
-                       pidx_q.reshape(B, -1) + 1).reshape(B, T, KV)
-        n_matches = _verify_pos_windows(
-            positions, ps, pe, jnp.zeros((B,), dtype=jnp.int32),
-            T=T, NL=KV, PP=PP, PW=PW)
-
-        final_score = jnp.where(sel_valid & (n_matches > 0), sel_score,
-                                NEG_INF)
-        top_score, top_l = jax.lax.top_k(final_score, M)
-        top_docs = jnp.take_along_axis(sel_docs, top_l, axis=1)
-        top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
-        top_pidx = jnp.take_along_axis(
-            sel_pidx, top_l[:, None, :].repeat(T, 1), axis=2)
-        flags = (boundary_truncated(final_score, top_score, M)
-                 .astype(jnp.int32)
-                 | prune_guard_flag(top_score, unseen, ks, M=M, eps3=eps3))
-        if tc_mode:
-            top_tc = _gather1d(postings_tc, top_pidx).astype(jnp.int32)
-            top_tfs = jnp.where(top_docs[:, None, :] >= 0, top_tc & 0xFF, 0)
-            top_sat = jnp.take_along_axis(
-                jnp.take_along_axis(sat_lane, sel_l, axis=1), top_l, axis=1)
-            sat = jnp.any(top_sat & (top_docs >= 0), axis=1)
-            flags = flags | sat.astype(jnp.int32) * FLAG_TF_SAT
-        else:
-            top_tfs = jnp.where(top_docs[:, None, :] >= 0,
-                                _gather1d(postings_tf, top_pidx), 0)
-        return pack_with_flags(top_docs, top_tfs, flags)
+    def body(*a):
+        packed, _ = compact_phrase_body(
+            *a, T=T, L=L, KV=KV, PP=PP, PW=PW, M=M,
+            n_bs_iters=n_bs_iters, eps3=eps3, tc_mode=tc_mode)
+        return packed
 
     if tc_mode:
         def kernel(postings_doc, postings_tc, avg32, positions, pos_starts,

@@ -63,6 +63,10 @@ class ShardedIndex:
     n_docs: int
     avg_len: float
     doc_len_code: np.ndarray  # uint8[N]
+    # per-shard bi-bloom rows (regathered per-posting columns, uint32
+    # [D, P_pad, W]); None when the source index has no bloom columns
+    bloom_ends: Optional[np.ndarray] = None
+    bloom_begins: Optional[np.ndarray] = None
     max_tf: np.ndarray = None  # int32[T] global (phrase PP bucketing)
     # host-only reference to the source index: exact-fallback re-searches
     # and snippet offsets (never uploaded to devices)
@@ -108,6 +112,11 @@ class ShardedIndex:
         out_doc = np.full((D, p_pad), SENTINEL_DOC, dtype=np.int32)
         out_tf = np.zeros((D, p_pad), dtype=np.int32)
         out_sc = np.zeros((D, p_pad), dtype=np.float32)
+        have_blooms = packed.bloom_ends is not None
+        if have_blooms:
+            W = packed.bloom_ends.shape[1]
+            out_be = np.zeros((D, p_pad, W), dtype=np.uint32)
+            out_bb = np.zeros((D, p_pad, W), dtype=np.uint32)
         df_shard = np.zeros((D, T), dtype=np.int32)
         pos_counts_global = np.diff(packed.pos_starts)
         shard_positions = []
@@ -122,6 +131,9 @@ class ShardedIndex:
             out_doc[s, dest] = packed.postings_doc[sel]
             out_tf[s, dest] = packed.postings_tf[sel]
             out_sc[s, dest] = scores[sel]
+            if have_blooms:
+                out_be[s, dest] = packed.bloom_ends[sel]
+                out_bb[s, dest] = packed.bloom_begins[sel]
             df_shard[s] = cnt
             # ragged gather of each selected posting's position bag
             sel_idx = np.nonzero(sel)[0]
@@ -151,6 +163,8 @@ class ShardedIndex:
             df_shard=df_shard,
             pos_starts=out_ps,
             positions=out_pos,
+            bloom_ends=out_be if have_blooms else None,
+            bloom_begins=out_bb if have_blooms else None,
             max_tf=packed.max_tf.copy(),
             terms=packed.terms,
             df=packed.df.copy(),
@@ -465,6 +479,74 @@ def make_sharded_semidense_kernel(T: int, L: int, M: int, Npd: int,
         local, mesh=mesh,
         in_specs=(P("d"), P("d"), P("d"), P("d"), P("d"), P("d"), P("d"),
                   P(), P(), P()),
+        out_specs=P(), check_vma=False)
+    return serial_jit(step)
+
+
+@lru_cache(maxsize=32)
+def make_sharded_compact_phrase_kernel(T: int, L: int, KV: int, PP: int,
+                                       PW: int, M: int, n_bs_iters: int,
+                                       eps3: float, mesh: Mesh,
+                                       mode: str = "raw",
+                                       avg32: float = 0.0,
+                                       M_out: int = None):
+    """Sharded fused compact phrase pipeline: per-shard cost-aware
+    bi-bloom gate -> KV score compaction -> window verify -> local
+    top-k (kernels.compact_phrase_body on the shard's columns), then
+    all-gather + flag-OR merge. This closes the round-3 gap where the
+    mesh phrase path skipped the bloom gate entirely
+    (query_processing.h:796-807; VERDICT r3 item 8): for per-shard
+    candidate runs past KV lanes, bloom-failing lanes are proven
+    non-matches and the element-gather-heavy verify shrinks to the KV
+    best survivors — the same economics as the single-chip compact
+    kernel, per shard. FLAG_PRUNE_MISS from the per-shard (KV+1)-th
+    bound merges by OR and forces the exact host path (conservative:
+    each shard's guard compares against its own kept k-th)."""
+    tc_mode = mode == "tc"
+
+    def body(pd, psc, pt, ptc, ts, dfs, pos, pstarts, brows, bbitmap,
+             brank, rows, use_score, idf32, slot_of, ks,
+             p_slot, p_beg, p_mask, p_act):
+        pd, ts, dfs = pd[0], ts[0], dfs[0]
+        pos, pstarts = pos[0], pstarts[0]
+        brows, bbitmap, brank = brows[0], bbitmap[0], brank[0]
+        psc_l = psc[0] if psc is not None else None
+        pt_l = pt[0] if pt is not None else None
+        ptc_l = ptc[0] if ptc is not None else None
+        starts = ts[rows]
+        ends = starts + dfs[rows]
+        packed, tsc = K.compact_phrase_body(
+            pd, psc_l, pt_l, ptc_l,
+            np.float32(avg32) if tc_mode else None,
+            pos, pstarts, starts, ends, use_score, idf32, slot_of, ks,
+            brows, bbitmap, brank, p_slot, p_beg, p_mask, p_act,
+            T=T, L=L, KV=KV, PP=PP, PW=PW, M=M,
+            n_bs_iters=n_bs_iters, eps3=eps3, tc_mode=tc_mode)
+        lflags = packed[:, T + 1, 0]
+        d2, s2, t2, flags = _merge_gathered_flags(
+            packed[:, 0, :], tsc, packed[:, 1 : T + 1, :], lflags,
+            T=T, M=M, M_out=M_out)
+        flag_row = jnp.broadcast_to(flags[:, None, None],
+                                    (flags.shape[0], 1, M_out or M))
+        return jnp.concatenate([d2[:, None, :], t2, flag_row], axis=1)
+
+    if tc_mode:
+        def local(pd, ptc, ts, dfs, pos, pstarts, brows, bbitmap, brank,
+                  rows, idf32, slot_of, ks, p_slot, p_beg, p_mask, p_act):
+            return body(pd, None, None, ptc, ts, dfs, pos, pstarts,
+                        brows, bbitmap, brank, rows, None, idf32,
+                        slot_of, ks, p_slot, p_beg, p_mask, p_act)
+    else:
+        def local(pd, psc, pt, ts, dfs, pos, pstarts, brows, bbitmap,
+                  brank, rows, use_score, slot_of, ks, p_slot, p_beg,
+                  p_mask, p_act):
+            return body(pd, psc, pt, None, ts, dfs, pos, pstarts,
+                        brows, bbitmap, brank, rows, use_score, None,
+                        slot_of, ks, p_slot, p_beg, p_mask, p_act)
+
+    step = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("d"),) * 9 + (P(),) * 8,
         out_specs=P(), check_vma=False)
     return serial_jit(step)
 
@@ -895,6 +977,50 @@ class ShardedEngine:
         self.d_df_shard = jax.device_put(sharded.df_shard, shard_spec)
         self.d_positions = jax.device_put(sharded.positions, shard_spec)
         self.d_pos_starts = jax.device_put(sharded.pos_starts, shard_spec)
+        # per-shard sparse folded bi-bloom columns (the single-chip
+        # _build_bloom_sparse layout, one fold per shard) — enables the
+        # cost-aware bloom gate on the sharded compact phrase path
+        self.d_bloom_rows = None
+        if sharded.bloom_ends is not None:
+            from wiser_tpu.engine.device import TpuEngine as _T
+
+            D = sharded.n_shards
+            P_pad = sharded.postings_doc.shape[1]
+            gate_term = sharded.df <= _T.BLOOM_DF_CEILING
+            rows_all, bitmap_all, rank_all = [], [], []
+            for s in range(D):
+                ts_s = sharded.term_starts[s]
+                lens = np.diff(ts_s)
+                gate = np.zeros(P_pad, dtype=bool)
+                gate[: int(ts_s[-1])] = np.repeat(gate_term, lens)
+                rows_parts, bitmap_parts, rank_parts = [], [], []
+                base = 0
+                for side in (sharded.bloom_ends[s], sharded.bloom_begins[s]):
+                    fold = side[:, 0].copy()
+                    for w in range(1, side.shape[1]):
+                        np.bitwise_or(fold, side[:, w], out=fold)
+                    stored = (fold != 0) & gate
+                    rows_parts.append(fold[stored])
+                    bitmap_parts.append(
+                        np.packbits(stored, bitorder="little").view("<u4"))
+                    cnt = stored.reshape(-1, 32).sum(axis=1)
+                    rank = np.zeros(len(cnt), dtype=np.int64)
+                    np.cumsum(cnt[:-1], out=rank[1:])
+                    rank_parts.append((rank + base).astype(np.int32))
+                    base += int(stored.sum())
+                rows_all.append(np.concatenate(rows_parts) if base
+                                else np.zeros(1, dtype=np.uint32))
+                bitmap_all.append(np.concatenate(bitmap_parts))
+                rank_all.append(np.concatenate(rank_parts))
+            nnz_max = max(1, max(len(r) for r in rows_all))
+            rows_stk = np.zeros((D, nnz_max), dtype=np.uint32)
+            for s, r in enumerate(rows_all):
+                rows_stk[s, : len(r)] = r
+            self.d_bloom_rows = jax.device_put(rows_stk, shard_spec)
+            self.d_bloom_bitmap = jax.device_put(
+                np.stack(bitmap_all), shard_spec)
+            self.d_bloom_rank = jax.device_put(
+                np.stack(rank_all), shard_spec)
         self._max_df = int(sharded.df.max(initial=1))
         self._max_tf = int(sharded.max_tf.max(initial=1)) \
             if sharded.max_tf is not None else 1
@@ -1086,6 +1212,55 @@ class ShardedEngine:
 
         return keep, [run_host]
 
+    # compact phrase pipeline engages when the per-shard candidate run
+    # exceeds this many lanes (the single-chip PRUNED_PHRASE_KV analog)
+    PHRASE_COMPACT_KV = 1024
+    BLOOM_ENABLE_FACTOR = 1
+
+    def _assemble_bloom_probes(self, group, T: int, B: int, slot_of):
+        """Folded probe assembly for the sharded bloom gate (the
+        single-chip TpuEngine._assemble_bloom_probes, with the same
+        cost-aware side selection, query_processing.h:796-807). group
+        items are (qi, rows, q); slot_of maps query-term order to kernel
+        slots."""
+        from wiser_tpu.engine.device import TpuEngine as _T
+
+        sh = self.sharded
+        cfg = sh.source.bloom_cfg if sh.source is not None else None
+        C = max(1, T - 1)
+        probe_slot = np.zeros((B, C), dtype=np.int32)
+        probe_begins = np.zeros((B, C), dtype=bool)
+        probe_mask = np.zeros((B, C), dtype=np.uint32)
+        probe_active = np.zeros((B, C), dtype=bool)
+        factor = self.BLOOM_ENABLE_FACTOR
+        ceil = _T.BLOOM_DF_CEILING
+        if cfg is not None:
+            for i, (qi, rows, q) in enumerate(group):
+                terms = q.terms
+                dfs = [int(sh.df[r]) for r in rows]
+                slot = slot_of[i]
+                if len(rows) == 2:
+                    s1, s2 = dfs
+                    if factor * s1 <= s2 and s1 <= ceil:
+                        probe_slot[i, 0] = slot[0]
+                        probe_begins[i, 0] = False
+                        probe_mask[i, 0] = cfg.probe_mask_folded(terms[1])
+                        probe_active[i, 0] = True
+                    elif factor * s2 < s1 and s2 <= ceil:
+                        probe_slot[i, 0] = slot[1]
+                        probe_begins[i, 0] = True
+                        probe_mask[i, 0] = cfg.probe_mask_folded(terms[0])
+                        probe_active[i, 0] = True
+                else:
+                    for c in range(len(rows) - 1):
+                        if dfs[c] > ceil:
+                            continue
+                        probe_slot[i, c] = slot[c]
+                        probe_begins[i, c] = False
+                        probe_mask[i, c] = cfg.probe_mask_folded(terms[c + 1])
+                        probe_active[i, c] = True
+        return (probe_slot, probe_begins, probe_mask, probe_active)
+
     def _run_phrase(self, phrase, results) -> list:
         if not phrase:
             return []
@@ -1093,7 +1268,7 @@ class ShardedEngine:
 
         phrase, pending = self._route_saturated(phrase, is_phrase=True)
         repl = NamedSharding(self.mesh, P())
-        groups: Dict[Tuple[int, int, int], list] = {}
+        groups: Dict[Tuple[int, int, int, int], list] = {}
         for qi, rows, q in phrase:
             T = len(rows)  # exact T (no slot padding for phrase)
             # slot 0 scans the global-min-df term; L covers its longest
@@ -1101,9 +1276,11 @@ class ShardedEngine:
             cand = rows[int(np.argmin([self.sharded.df[r] for r in rows]))]
             L = _bucket(int(self._df_shard_max[cand]), L_BUCKETS)
             PP = _bucket(int(self.sharded.max_tf[rows[0]]), PP_BUCKETS)
-            groups.setdefault((T, L, PP), []).append((qi, rows, q))
+            PW = _bucket(max(int(self.sharded.max_tf[r]) for r in rows),
+                         PP_BUCKETS)
+            groups.setdefault((T, L, PP, PW), []).append((qi, rows, q))
 
-        for (T, L, PP), group in groups.items():
+        for (T, L, PP, PW), group in groups.items():
             B = _bucket(len(group), B_BUCKETS)
             rows_arr = np.zeros((B, T), dtype=np.int32)
             use_score = np.zeros((B, T), dtype=np.float32)
@@ -1129,7 +1306,46 @@ class ShardedEngine:
             # buffer is smaller (deep-k truncation fix, round 4)
             Mo = min(int(ks.max(initial=1)) + self.margin,
                      M * self.sharded.n_shards)
-            if self.columns == "tc":
+            compact = (self.d_bloom_rows is not None
+                       and L > self.PHRASE_COMPACT_KV)
+            if compact:
+                # cost-aware bi-bloom gate + KV compaction per shard
+                # (the single-chip compact pipeline, sharded — round 4)
+                KV = self.PHRASE_COMPACT_KV
+                Mc = min(KV, int(ks.max(initial=1)) + self.margin)
+                Moc = min(int(ks.max(initial=1)) + self.margin,
+                          Mc * self.sharded.n_shards)
+                probes = self._assemble_bloom_probes(group, T,
+                                                     rows_arr.shape[0],
+                                                     slot_of)
+                eps3 = 3.0 * self.rel_eps
+                kern = make_sharded_compact_phrase_kernel(
+                    T, L, KV, PP, PW, Mc, K.n_iters_for(self._max_df),
+                    eps3, self.mesh,
+                    mode=self.columns, avg32=self._avg32, M_out=Moc)
+                pr = tuple(jax.device_put(p, repl) for p in probes)
+                if self.columns == "tc":
+                    out = kern(self.d_postings_doc, self.d_postings_tc,
+                               self.d_term_starts, self.d_df_shard,
+                               self.d_positions, self.d_pos_starts,
+                               self.d_bloom_rows, self.d_bloom_bitmap,
+                               self.d_bloom_rank,
+                               jax.device_put(rows_arr, repl),
+                               jax.device_put(idf32_s, repl),
+                               jax.device_put(slot_of, repl),
+                               jax.device_put(ks, repl), *pr)
+                else:
+                    out = kern(self.d_postings_doc, self.d_postings_score,
+                               self.d_postings_tf, self.d_term_starts,
+                               self.d_df_shard,
+                               self.d_positions, self.d_pos_starts,
+                               self.d_bloom_rows, self.d_bloom_bitmap,
+                               self.d_bloom_rank,
+                               jax.device_put(rows_arr, repl),
+                               jax.device_put(use_score, repl),
+                               jax.device_put(slot_of, repl),
+                               jax.device_put(ks, repl), *pr)
+            elif self.columns == "tc":
                 kern = make_sharded_phrase_kernel_tc(
                     T, L, PP, M, K.n_iters_for(self._max_df),
                     K.n_iters_for(self._max_tf), self.mesh, self._avg32,
@@ -1163,7 +1379,11 @@ class ShardedEngine:
                     res_list, merged[:, 0, :], merged[:, 1 : T + 1, :],
                     group, slot_of, idf64_q, ks, is_phrase=True,
                     force_host=(flags & K.FLAG_TRUNC) != 0,
-                    force_always=(flags & K.FLAG_TF_SAT) != 0)
+                    # compact path: an unverified-lane bound miss
+                    # (FLAG_PRUNE_MISS) must force the exact path
+                    force_always=(flags & (K.FLAG_TF_SAT
+                                           | K.FLAG_PRUNE_MISS
+                                           | K.FLAG_OVERFLOW)) != 0)
 
             pending.append(finalize)
         return pending
