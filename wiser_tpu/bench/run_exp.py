@@ -325,12 +325,13 @@ def main(argv=None):
     from wiser_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
+    fracs = (tuple(float(x) for x in args.fracs.split(","))
+             if args.fracs else None)
     if args.residency_compare:
         matrix = residency_matrix(args.index, batch=args.batch,
-                                  n_queries=args.n_queries or 16384)
+                                  n_queries=args.n_queries or 16384,
+                                  **({"fracs": fracs} if fracs else {}))
     elif args.memory:
-        fracs = (tuple(float(x) for x in args.fracs.split(","))
-                 if args.fracs else None)
         matrix = memory_matrix(args.quick, batch=args.batch,
                                index_dir=args.index, columns=args.columns,
                                n_queries=args.n_queries, fracs=fracs)

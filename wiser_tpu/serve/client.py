@@ -38,17 +38,26 @@ class Client:
     def __init__(self, target: str, producer: QueryProducer,
                  n_threads: int = 8, streaming: bool = True,
                  duration_s: float = 10.0, n_channels: int = 4,
-                 wire_batch: int = 1):
+                 wire_batch: int = 1, warmup_s: float = 0.0):
         self.target = target
         self.producer = producer
         self.n_threads = n_threads
         self.streaming = streaming
         self.duration_s = duration_s
         self.wire_batch = wire_batch
+        # steady-state window: roundtrips completing in the first warmup_s
+        # are driven (they keep the closed loop loaded) but not recorded —
+        # channel setup + first-batch transients otherwise land in p99+
+        # (the reference client also measures against a warm server,
+        # grpc_client_impl.h:448-466)
+        self.warmup_s = warmup_s
         self.channels = [grpc.insecure_channel(target) for _ in range(n_channels)]
         self.hists = [Histogram() for _ in range(n_threads)]
         self.counts = [0] * n_threads
         self._stop = threading.Event()
+        self._record = threading.Event()
+        if warmup_s <= 0:
+            self._record.set()
 
     def _thread_fn(self, tid: int) -> None:
         stub = WiserEngineStub(self.channels[tid % len(self.channels)])
@@ -71,8 +80,9 @@ class Client:
             t0 = time.monotonic_ns()
             for reply in stub.BatchSearch(gen()):
                 t1 = time.monotonic_ns()
-                hist.add(t1 - t0)
-                self.counts[tid] += len(reply.replies)
+                if self._record.is_set():
+                    hist.add(t1 - t0)
+                    self.counts[tid] += len(reply.replies)
                 t0 = t1
                 if self._stop.is_set():
                     break
@@ -88,8 +98,9 @@ class Client:
             t0 = time.monotonic_ns()
             for _reply in stub.StreamingSearch(gen()):
                 t1 = time.monotonic_ns()
-                hist.add(t1 - t0)
-                self.counts[tid] += 1
+                if self._record.is_set():
+                    hist.add(t1 - t0)
+                    self.counts[tid] += 1
                 t0 = t1
                 if self._stop.is_set():
                     break
@@ -98,15 +109,19 @@ class Client:
                 q = self.producer.next_query(tid)
                 t0 = time.monotonic_ns()
                 stub.UnarySearch(request_from_query(q))
-                hist.add(time.monotonic_ns() - t0)
-                self.counts[tid] += 1
+                if self._record.is_set():
+                    hist.add(time.monotonic_ns() - t0)
+                    self.counts[tid] += 1
 
     def run(self) -> dict:
         threads = [threading.Thread(target=self._thread_fn, args=(i,))
                    for i in range(self.n_threads)]
-        t0 = time.time()
         for t in threads:
             t.start()
+        if not self._record.is_set():
+            time.sleep(self.warmup_s)
+            self._record.set()
+        t0 = time.time()
         time.sleep(self.duration_s)
         self._stop.set()
         for t in threads:
@@ -123,13 +138,14 @@ class Client:
 
 
 def _proc_worker(target, queries, n_threads, streaming, duration,
-                 n_channels, out_q, wire_batch=1) -> None:
+                 n_channels, out_q, wire_batch=1, warmup_s=0.0) -> None:
     """One load-generating process (forked): runs a threaded Client and
     ships mergeable histogram state back over the queue."""
     producer = QueryProducer(queries, n_threads)
     client = Client(target, producer, n_threads=n_threads,
                     streaming=streaming, duration_s=duration,
-                    n_channels=n_channels, wire_batch=wire_batch)
+                    n_channels=n_channels, wire_batch=wire_batch,
+                    warmup_s=warmup_s)
     stats = client.run()
     h = stats["histogram"]
     out_q.put((stats["total"], stats["wall_s"],
@@ -137,7 +153,8 @@ def _proc_worker(target, queries, n_threads, streaming, duration,
 
 
 def run_multiprocess(target, queries, n_procs, n_threads, streaming,
-                     duration, n_channels, wire_batch: int = 1) -> dict:
+                     duration, n_channels, wire_batch: int = 1,
+                     warmup_s: float = 0.0) -> dict:
     """Closed-loop load from n_procs forked processes x n_threads streams.
 
     The reference client runs 128 C++ threads (grpc_client_impl.h:393-399);
@@ -150,7 +167,8 @@ def run_multiprocess(target, queries, n_procs, n_threads, streaming,
     out_q = ctx.Queue()
     procs = [ctx.Process(target=_proc_worker,
                          args=(target, queries, n_threads, streaming,
-                               duration, n_channels, out_q, wire_batch),
+                               duration, n_channels, out_q, wire_batch,
+                               warmup_s),
                          daemon=True)
              for _ in range(n_procs)]
     t0 = time.time()
@@ -160,7 +178,8 @@ def run_multiprocess(target, queries, n_procs, n_threads, streaming,
     total = 0
     walls = []
     for _ in procs:
-        t, w, buckets, count, s, mn, mx = out_q.get(timeout=duration + 120)
+        t, w, buckets, count, s, mn, mx = out_q.get(
+            timeout=duration + warmup_s + 120)
         total += t
         walls.append(w)
         other = Histogram()
@@ -189,6 +208,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--wire-batch", type=int, default=1,
                     help="queries per wire message (BatchSearch); 1 = "
                          "per-query streaming like the reference client")
+    ap.add_argument("--warmup-s", type=float, default=0.0,
+                    help="drive but don't record the first N seconds")
     args = ap.parse_args(argv)
 
     queries = QueryLogReader(args.query_log).read_all(n_results=args.n_results)
@@ -196,13 +217,13 @@ def main(argv: Optional[List[str]] = None) -> None:
         stats = run_multiprocess(
             args.target, queries, args.n_procs, args.n_threads,
             not args.unary, args.duration, args.n_channels,
-            wire_batch=args.wire_batch)
+            wire_batch=args.wire_batch, warmup_s=args.warmup_s)
     else:
         producer = QueryProducer(queries, args.n_threads)
         client = Client(args.target, producer, n_threads=args.n_threads,
                         streaming=not args.unary, duration_s=args.duration,
                         n_channels=args.n_channels,
-                        wire_batch=args.wire_batch)
+                        wire_batch=args.wire_batch, warmup_s=args.warmup_s)
         stats = client.run()
     print(f"QPS\t{stats['qps']:.1f}")
     print(f"total\t{stats['total']}")

@@ -31,18 +31,24 @@ from wiser_tpu.types import SearchQuery, SearchResult
 
 
 class BatchingExecutor:
-    def __init__(self, engine, max_batch: int = 4096, max_wait_ms: float = 2.0):
+    def __init__(self, engine, max_batch: int = 4096, max_wait_ms: float = 2.0,
+                 trace_path: Optional[str] = None):
         self.engine = engine
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1000.0
-        self._q: "queue.Queue[tuple[SearchQuery, futures.Future]]" = queue.Queue()
+        self._q: "queue.Queue[tuple[SearchQuery, futures.Future, float]]" = queue.Queue()
         self._stop = False
+        # tail diagnosis (WISER_SERVE_TRACE=<path>): one JSONL line per
+        # executor batch — queue age of its oldest item, submit wall,
+        # finalize wall (where flagged-query host merges run) — so a p99
+        # spike is attributable to queueing vs device vs host post-pass
+        self._trace = open(trace_path, "a") if trace_path else None
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def search(self, query: SearchQuery, timeout: float = 60.0) -> SearchResult:
         fut: futures.Future = futures.Future()
-        self._q.put((query, fut))
+        self._q.put((query, fut, time.monotonic()))
         return fut.result(timeout=timeout)
 
     def search_many(self, queries: List[SearchQuery],
@@ -50,9 +56,10 @@ class BatchingExecutor:
         """Enqueue a whole wire batch at once; the dispatcher still
         coalesces across streams through the shared queue."""
         futs = []
+        now = time.monotonic()
         for q in queries:
             fut: futures.Future = futures.Future()
-            self._q.put((q, fut))
+            self._q.put((q, fut, now))
             futs.append(fut)
         return [f.result(timeout=timeout) for f in futs]
 
@@ -77,50 +84,71 @@ class BatchingExecutor:
         # pipelined: dispatch batch N+1 before finalizing batch N, so the
         # device->host fetch latency of one batch overlaps the dispatch
         # and device compute of the next (the completion-queue analog)
-        in_flight = None  # (items, results, pending)
+        in_flight = None  # (items, results, pending, submit_wall, q_age)
         while not self._stop:
             items = self._drain()
             submitted = None
             if items:
-                queries = [q for q, _ in items]
+                queries = [q for q, _, _ in items]
+                t_sub = time.monotonic()
+                q_age = t_sub - min(ts for _, _, ts in items)
                 try:
                     if hasattr(self.engine, "submit_batch"):
                         results, pending = self.engine.submit_batch(queries)
-                        submitted = (items, results, pending)
+                        submitted = (items, results, pending,
+                                     time.monotonic() - t_sub, q_age)
                     else:
                         results = self.engine.search_batch(queries)
-                        for (_, fut), res in zip(items, results):
+                        for (_, fut, _), res in zip(items, results):
                             fut.set_result(res)
+                        if self._trace is not None:
+                            self._trace_line(len(items), q_age,
+                                             time.monotonic() - t_sub, 0.0)
                 except Exception as e:
-                    for _, fut in items:
+                    for _, fut, _ in items:
                         if not fut.done():
                             fut.set_exception(e)
             if in_flight is not None:
-                f_items, f_results, f_pending = in_flight
+                f_items, f_results, f_pending, sub_s, f_age = in_flight
+                t_fin = time.monotonic()
                 try:
                     if hasattr(self.engine, "run_pending"):
                         self.engine.run_pending(f_results, f_pending)
                     else:
                         for f in f_pending:
                             f(f_results)
-                    for (_, fut), res in zip(f_items, f_results):
+                    for (_, fut, _), res in zip(f_items, f_results):
                         fut.set_result(res)
                 except Exception as e:
-                    for _, fut in f_items:
+                    for _, fut, _ in f_items:
                         if not fut.done():
                             fut.set_exception(e)
+                if self._trace is not None:
+                    self._trace_line(len(f_items), f_age, sub_s,
+                                     time.monotonic() - t_fin)
             in_flight = submitted
         if in_flight is not None:  # flush on shutdown
-            f_items, f_results, f_pending = in_flight
+            f_items, f_results, f_pending, _, _ = in_flight
             try:
                 for f in f_pending:
                     f(f_results)
-                for (_, fut), res in zip(f_items, f_results):
+                for (_, fut, _), res in zip(f_items, f_results):
                     fut.set_result(res)
             except Exception as e:
-                for _, fut in f_items:
+                for _, fut, _ in f_items:
                     if not fut.done():
                         fut.set_exception(e)
+
+    def _trace_line(self, n: int, q_age: float, submit_s: float,
+                    finalize_s: float) -> None:
+        import json as _json
+
+        self._trace.write(_json.dumps({
+            "t": round(time.monotonic(), 3), "n": n,
+            "q_age_ms": round(q_age * 1e3, 1),
+            "submit_ms": round(submit_s * 1e3, 1),
+            "finalize_ms": round(finalize_s * 1e3, 1)}) + "\n")
+        self._trace.flush()
 
     def stop(self) -> None:
         self._stop = True
@@ -220,7 +248,10 @@ def create_server(engine, port: int, n_threads: int = 512,
         t0 = time.time()
         n = warmup_engine(engine)
         print(f"warmed {n} queries in {time.time()-t0:.1f}s", file=sys.stderr)
-    executor = BatchingExecutor(engine, max_batch, max_wait_ms)
+    import os
+
+    executor = BatchingExecutor(engine, max_batch, max_wait_ms,
+                                trace_path=os.environ.get("WISER_SERVE_TRACE"))
     server = grpc.server(futures.ThreadPoolExecutor(max_workers=n_threads))
     protocol.add_service(server, WiserServicer(executor, mutable_engine))
     server.add_insecure_port(f"[::]:{port}")

@@ -61,6 +61,10 @@ def main(argv=None):
                     choices=["off", "dispatch", "fetch", "both"],
                     help="server engine RTT-overlap pools (fetch wins on "
                          "small corpora; see bench.py note)")
+    ap.add_argument("--warmup-s", type=float, default=0.0,
+                    help="closed-loop steady-state window: drive but don't "
+                         "record the first N seconds (channel setup + "
+                         "first-batch transients otherwise land in p99+)")
     ap.add_argument("--out", default=None, help="write the stats JSON here")
     args = ap.parse_args(argv)
 
@@ -94,11 +98,13 @@ def main(argv=None):
         if args.n_procs > 1:
             stats = run_multiprocess(target, queries, args.n_procs,
                                      args.n_threads, True, args.duration, 4,
-                                     wire_batch=args.wire_batch)
+                                     wire_batch=args.wire_batch,
+                                     warmup_s=args.warmup_s)
         else:
             client = Client(target, QueryProducer(queries, args.n_threads),
                             n_threads=args.n_threads, duration_s=args.duration,
-                            wire_batch=args.wire_batch)
+                            wire_batch=args.wire_batch,
+                            warmup_s=args.warmup_s)
             stats = client.run()
         h = stats.pop("histogram")
         from wiser_tpu.bench.histogram import PERCENTILES, format_latency_table
@@ -111,6 +117,7 @@ def main(argv=None):
         stats["wire_batch"] = args.wire_batch
         stats["max_batch"] = args.max_batch
         stats["max_wait_ms"] = args.max_wait_ms
+        stats["warmup_s_excluded"] = args.warmup_s
         print(format_latency_table(h), file=sys.stderr)
         print(json.dumps(stats))
         if args.out:
