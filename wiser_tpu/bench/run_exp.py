@@ -61,6 +61,9 @@ class ExpResult:
     batch_p50_s: float
     device_mem_bytes: Optional[int] = None
     hot_fraction: Optional[float] = None  # staged: share of terms resident
+    # staged: share of terms with phrase components (positions + blooms)
+    # resident — component-granular admission fills cores first
+    phrase_hot_fraction: Optional[float] = None
     budget_bytes: Optional[int] = None
     # staged: bytes the hot tier actually charged against the budget and
     # the engine's measured resident footprint — published so the grid
@@ -112,7 +115,7 @@ def memory_matrix(quick: bool = False, n_docs: int = 50_000,
 
 def residency_matrix(index_dir: Optional[str], batch: int = 8192,
                      fracs=(0.05, 0.1, 0.25), n_queries: int = 16384,
-                     ) -> List[Treatment]:
+                     columns: str = "raw") -> List[Treatment]:
     """df-greedy vs workload-aware (qfreq) hot-tier admission at equal
     budget, on a workload whose access pattern DIVERGES from df order
     (worklocal_mix: half the queries hit a small working set of mid-df
@@ -126,7 +129,8 @@ def residency_matrix(index_dir: Optional[str], batch: int = 8192,
                 name=f"residency_{residency}_{frac}",
                 workload="worklocal_mix", engine="staged",
                 hbm_budget_frac=frac, residency=residency,
-                n_queries=n_queries, batch=batch, index_dir=index_dir))
+                n_queries=n_queries, batch=batch, index_dir=index_dir,
+                columns=columns))
     return out
 
 
@@ -237,6 +241,7 @@ def run_treatment(t: Treatment) -> ExpResult:
         return ExpResult(asdict(t), len(queries) / wall, wall, 0.0, wall)
 
     hot_fraction = None
+    phrase_hot = None
     budget = None
     doc_bodies = oracle.doc_bodies if oracle is not None else None
     if t.engine == "staged":
@@ -252,6 +257,7 @@ def run_treatment(t: Treatment) -> ExpResult:
         engine = StagedEngine(packed, budget, doc_bodies=doc_bodies,
                               columns=t.columns, term_weights=term_weights)
         hot_fraction = round(engine.hot_fraction, 4)
+        phrase_hot = round(engine.phrase_hot_fraction, 4)
     else:
         from wiser_tpu.engine.device import TpuEngine
 
@@ -297,7 +303,8 @@ def run_treatment(t: Treatment) -> ExpResult:
         pass
     return ExpResult(asdict(t), round(len(queries) / wall, 1), round(wall, 3),
                      round(warmup, 2), round(float(np.median(lat)), 3), mem,
-                     hot_fraction=hot_fraction, budget_bytes=budget,
+                     hot_fraction=hot_fraction, phrase_hot_fraction=phrase_hot,
+                     budget_bytes=budget,
                      hot_bytes_used=hot_used, resident_bytes=resident)
 
 
@@ -330,6 +337,7 @@ def main(argv=None):
     if args.residency_compare:
         matrix = residency_matrix(args.index, batch=args.batch,
                                   n_queries=args.n_queries or 16384,
+                                  columns=args.columns,
                                   **({"fracs": fracs} if fracs else {}))
     elif args.memory:
         matrix = memory_matrix(args.quick, batch=args.batch,

@@ -113,7 +113,8 @@ def _make_doc_combine(G16: int, Graw: int, cap: int, width: int):
 
 
 def per_term_device_cost(packed: PackedIndex,
-                         columns: str = "raw") -> np.ndarray:
+                         columns: str = "raw",
+                         split: bool = False) -> np.ndarray:
     """int64[n_terms] HBM bytes a term costs when resident, mirroring
     TpuEngine's device layout (device.py _upload / device_bytes): CSR
     posting columns (+ the int32 pos_starts lane), position bags (uint16
@@ -122,16 +123,26 @@ def per_term_device_cost(packed: PackedIndex,
     the budget-accounting substrate for the staged hot tier — the
     round-3 grid charged only posting bytes, so the dense tier and
     position/bloom columns landed OUTSIDE the budget and the cgroup-cap
-    analog (reference tools/run_exp.py:628-696) measured nothing real."""
+    analog (reference tools/run_exp.py:628-696) measured nothing real.
+
+    With split=True returns (core, phrase): `core` is what a term costs
+    to serve boolean/ranked queries (posting lanes + the int32
+    pos_starts lane — structural, uploaded per posting), `phrase` is
+    what it additionally costs to serve phrase queries (position bags +
+    both bi-bloom columns). The split exists because positions+blooms
+    are ~55% of per-term bytes at 1M docs but serve only the phrase
+    share of the workload — whole-term admission let them crowd out
+    postings (the measured 0.25-budget cliff: 56% of posting bytes
+    resident yet 0.4% of queries fully hot, 44.6 QPS)."""
     lens = np.diff(packed.term_starts).astype(np.int64)
     bpp = BYTES_PER_POSTING_TC if columns == "tc" else BYTES_PER_POSTING
-    cost = lens * (bpp + 4)  # +4: int32 pos_starts per posting
+    core = lens * (bpp + 4)  # +4: int32 pos_starts per posting
     s = packed.term_starts
     pos_cnt = (packed.pos_starts[s[1:]]
                - packed.pos_starts[s[:-1]]).astype(np.int64)
     pos_b = 2 if (len(packed.positions) == 0
                   or int(packed.positions.max(initial=0)) < 2**16 - 1) else 4
-    cost += pos_cnt * pos_b
+    phrase = pos_cnt * pos_b
     if packed.bloom_ends is not None:
         from wiser_tpu.engine.device import TpuEngine
 
@@ -143,9 +154,11 @@ def per_term_device_cost(packed: PackedIndex,
             stored = (fold != 0) & np.repeat(gate, lens)
             csum = np.zeros(len(stored) + 1, dtype=np.int64)
             np.cumsum(stored, out=csum[1:])
-            cost += (csum[s[1:]] - csum[s[:-1]]) * 4
-        cost += lens  # presence bitmap + rank lanes, both sides
-    return cost
+            phrase += (csum[s[1:]] - csum[s[:-1]]) * 4
+        phrase += lens  # presence bitmap + rank lanes, both sides
+    if split:
+        return core, phrase
+    return core + phrase
 
 
 def dense_tier_bytes(packed: PackedIndex, columns: str = "raw",
@@ -184,7 +197,8 @@ def _hot_view(packed: PackedIndex, hbm_budget_bytes: int,
               bytes_per_posting: int = BYTES_PER_POSTING,
               term_weights: np.ndarray = None,
               cost: np.ndarray = None,
-              ) -> Tuple[PackedIndex, np.ndarray]:
+              cost_phrase: np.ndarray = None,
+              ) -> Tuple[PackedIndex, np.ndarray, np.ndarray]:
     """Build a PackedIndex whose posting columns contain only the hottest
     terms (greedy within budget); cold terms keep their real df (global
     stats must stay global) but point at an empty run.
@@ -197,7 +211,22 @@ def _hot_view(packed: PackedIndex, hbm_budget_bytes: int,
 
     With `cost` (int64[n_terms] device bytes per term, see
     per_term_device_cost), terms are charged their FULL residency cost;
-    otherwise the legacy posting-bytes-only charge applies."""
+    otherwise the legacy posting-bytes-only charge applies.
+
+    With `cost_phrase` (the split from per_term_device_cost(split=True)),
+    admission is COMPONENT-granular, two passes in the same order:
+    pass 1 admits term cores (postings — serve every query shape),
+    pass 2 spends the leftover on phrase components (position bags +
+    bloom rows — serve only phrase queries). A core-hot/phrase-cold
+    term gets an empty position bag and zeroed bloom rows in the view;
+    StagedEngine routes phrase queries touching it to the cold path.
+    Marginal bytes always buy coverage for 100% of the workload before
+    buying coverage for its phrase share — this is what makes the
+    memory curve degrade gracefully instead of cliffing when position
+    bags crowd out postings.
+
+    Returns (view, hot, phrase_hot); without cost_phrase,
+    phrase_hot == hot (whole-term admission)."""
     lens = np.diff(packed.term_starts)
     if term_weights is not None:
         # weight desc, df desc as tiebreak (np.lexsort: last key primary)
@@ -218,6 +247,19 @@ def _hot_view(packed: PackedIndex, hbm_budget_bytes: int,
             continue
         used += run
         hot[r] = True
+    if cost_phrase is not None:
+        phrase_hot = np.zeros(packed.n_terms, dtype=bool)
+        charge_p = cost_phrase.astype(np.int64)
+        for r in order:
+            if not hot[r]:
+                continue
+            run = int(charge_p[r])
+            if used + run > budget:
+                continue
+            used += run
+            phrase_hot[r] = True
+    else:
+        phrase_hot = hot
 
     new_starts = np.zeros(packed.n_terms + 1, dtype=np.int64)
     np.cumsum(np.where(hot, lens, 0), out=new_starts[1:])
@@ -228,15 +270,21 @@ def _hot_view(packed: PackedIndex, hbm_budget_bytes: int,
     # posting index, so keeping the originals would silently read another
     # term's positions/offsets/filters on the hot tier.
     gather = np.empty(P_hot, dtype=np.int64)
+    # per-hot-posting phrase residency (positions/blooms kept?): phrase-
+    # cold terms get empty position bags + zeroed bloom rows in the view
+    keep_pos = np.empty(P_hot, dtype=bool)
     for r in np.nonzero(hot)[0]:
         s_old, n = int(packed.term_starts[r]), int(lens[r])
         s_new = int(new_starts[r])
         gather[s_new : s_new + n] = np.arange(s_old, s_old + n)
+        keep_pos[s_new : s_new + n] = bool(phrase_hot[r])
     doc = packed.postings_doc[gather].astype(np.int32, copy=False)
     tf = packed.postings_tf[gather].astype(np.int32, copy=False)
 
-    def _regather_csr(starts: np.ndarray, *payloads):
+    def _regather_csr(starts: np.ndarray, *payloads, keep=None):
         seg_lens = np.diff(starts)[gather]
+        if keep is not None:
+            seg_lens = np.where(keep, seg_lens, 0)
         new_csr = np.zeros(P_hot + 1, dtype=np.int64)
         np.cumsum(seg_lens, out=new_csr[1:])
         total = int(new_csr[-1])
@@ -245,13 +293,22 @@ def _hot_view(packed: PackedIndex, hbm_budget_bytes: int,
                + np.arange(total) - np.repeat(new_csr[:-1], seg_lens))
         return (new_csr,) + tuple(p[idx] for p in payloads)
 
-    pos_starts, positions = _regather_csr(packed.pos_starts, packed.positions)
+    pos_starts, positions = _regather_csr(packed.pos_starts,
+                                          packed.positions, keep=keep_pos)
+    # offset bags stay whole-term: host RAM (never uploaded — device.py
+    # has no off_* arrays), used by the highlighter on hot results
     off_starts, off_begin, off_end = _regather_csr(
         packed.off_starts, packed.off_begin, packed.off_end)
     bloom_ends = (packed.bloom_ends[gather]
                   if packed.bloom_ends is not None else None)
     bloom_begins = (packed.bloom_begins[gather]
                     if packed.bloom_begins is not None else None)
+    if bloom_ends is not None and not keep_pos.all():
+        # zero rows are "not stored" to the sparse folded column builder
+        # (device bloom bytes) — routing keeps hot phrase queries off
+        # phrase-cold terms, so the gate never reads these rows
+        bloom_ends = np.where(keep_pos[:, None], bloom_ends, 0)
+        bloom_begins = np.where(keep_pos[:, None], bloom_begins, 0)
     # cold rows get zero-length runs (monotone CSR preserved); they are
     # never dispatched to the hot engine by construction
     view = replace(
@@ -270,7 +327,7 @@ def _hot_view(packed: PackedIndex, hbm_budget_bytes: int,
         idf64=packed.idf64,
         max_tf=packed.max_tf,
     )
-    return view, hot
+    return view, hot, phrase_hot
 
 
 class StagedEngine:
@@ -301,11 +358,14 @@ class StagedEngine:
         # round-3 grid charged postings alone, so a "50% budget" ran a
         # full 3.2 GB dense tier beside a 0.2% hot tier and measured
         # 9.6 QPS of cold staging instead of a memory curve.
-        cost = per_term_device_cost(packed, columns)
-        hot_view, self.hot_mask = _hot_view(
+        cost_core, cost_phr = per_term_device_cost(packed, columns,
+                                                   split=True)
+        hot_view, self.hot_mask, self.phrase_hot_mask = _hot_view(
             packed, hbm_budget_bytes,
-            term_weights=term_weights, cost=cost)
-        self.hot_bytes_used = int(cost[self.hot_mask].sum())
+            term_weights=term_weights, cost=cost_core,
+            cost_phrase=cost_phr)
+        self.hot_bytes_used = int(cost_core[self.hot_mask].sum()
+                                  + cost_phr[self.phrase_hot_mask].sum())
         dense_budget = max(0, int(hbm_budget_bytes) - self.hot_bytes_used)
         self.hot = TpuEngine(hot_view, doc_bodies=doc_bodies, margin=margin,
                              strict_parity=strict_parity, columns=columns,
@@ -337,6 +397,13 @@ class StagedEngine:
     def hot_fraction(self) -> float:
         return float(self.hot_mask.mean()) if len(self.hot_mask) else 0.0
 
+    @property
+    def phrase_hot_fraction(self) -> float:
+        """Share of terms whose phrase components (positions + blooms)
+        are resident — phrase queries touching any other term go cold."""
+        return (float(self.phrase_hot_mask.mean())
+                if len(self.phrase_hot_mask) else 0.0)
+
     def search(self, query: SearchQuery) -> SearchResult:
         return self.search_batch([query])[0]
 
@@ -362,7 +429,9 @@ class StagedEngine:
             rows = [lookup(t, -1) for t in q.terms]
             if min(rows) < 0:
                 continue
-            if all(self.hot_mask[r] for r in rows):
+            if all(self.hot_mask[r] for r in rows) and (
+                    not q.is_phrase
+                    or all(self.phrase_hot_mask[r] for r in rows)):
                 hot_q.append(q)
                 hot_qi.append(qi)
             else:

@@ -72,7 +72,7 @@ class ShardedStagedEngine:
         from wiser_tpu.engine.staged import per_term_device_cost
 
         cost = per_term_device_cost(packed)
-        hot_view, self.hot_mask = _hot_view(packed, hbm_budget_bytes,
+        hot_view, self.hot_mask, _ = _hot_view(packed, hbm_budget_bytes,
                                             cost=cost)
         self.hot_bytes_used = int(cost[self.hot_mask].sum())
         hot_sh = ShardedIndex.from_packed(hot_view, n_shards)
