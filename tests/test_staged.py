@@ -226,12 +226,93 @@ class TestColdChunking:
 
         monkeypatch.setattr(S, "CHUNK_LIMIT", L_BUCKETS_TOP)
         eng = StagedEngine(packed, hbm_budget_bytes=0)
-        # force limit below any single run: chunker must raise, not clip
+        # force limit below any single run: chunker must raise, not clip.
+        # (two terms: a single-term query is answered by the staged
+        # full-index impact table and never reaches the cold chunker)
         monkeypatch.setattr(S, "CHUNK_LIMIT", -1)
         with pytest.raises(ValueError, match="scratch capacity"):
-            eng.search(SearchQuery([packed.terms[0]], n_results=5))
+            eng.search(SearchQuery([packed.terms[0], packed.terms[1]],
+                                   n_results=5))
 
 
 from wiser_tpu.engine.device import L_BUCKETS as _LB  # noqa: E402
 
 L_BUCKETS_TOP = _LB[-1]
+
+
+class TestDenseOnlyTier:
+    """Dense-only head terms: under a constrained budget the planner
+    admits head-term DENSE ROWS (built from the full index,
+    TpuEngine dense_from) while their CSR stays cold. Every non-phrase
+    query over such terms must still serve from the hot tier, bit-exact:
+    the hot planner fences csr-cold rows off the list routes (semidense
+    candidate / windowed / bs) and the exact-host fallback searches the
+    FULL index (host_packed), never the hot view's empty runs."""
+
+    @pytest.fixture(scope="class", params=["raw", "tc"])
+    def staged(self, request, corpus):
+        from wiser_tpu.engine.device import TpuEngine
+        from wiser_tpu.engine.staged import full_device_bytes
+
+        packed, oracle = corpus
+        old = TpuEngine.DENSE_MIN_DF_FLOOR
+        TpuEngine.DENSE_MIN_DF_FLOOR = 32  # 400-doc corpus: heads qualify
+        try:
+            total = full_device_bytes(packed, request.param)
+            eng = StagedEngine(packed, hbm_budget_bytes=total // 3,
+                               doc_bodies=[d.body for d in oracle.docs]
+                               if hasattr(oracle, "docs") else None,
+                               columns=request.param)
+        finally:
+            TpuEngine.DENSE_MIN_DF_FLOOR = old
+        eng._test_budget = total // 3
+        return packed, oracle, eng
+
+    def test_dense_only_terms_exist(self, staged):
+        packed, _, eng = staged
+        dense_only = eng.dense_mask & ~eng.hot_mask
+        assert dense_only.any(), (
+            "fixture must produce dense-only terms "
+            f"(hot {eng.hot_mask.mean():.2f}, dense {eng.dense_mask.mean():.2f})")
+
+    def test_all_query_shapes_parity(self, staged):
+        packed, oracle, eng = staged
+        rng = np.random.default_rng(11)
+        dense_only = np.nonzero(eng.dense_mask & ~eng.hot_mask)[0]
+        csr_hot = np.nonzero(eng.hot_mask)[0]
+        queries = []
+        # targeted: dense-only pairs, dense-only x csr-hot mixes,
+        # triples, singles on dense-only terms, and phrase over
+        # dense-only terms (must go cold, still exact)
+        for _ in range(40):
+            pools = [dense_only, csr_hot]
+            k = int(rng.integers(1, 4))
+            rows = [int(rng.choice(pools[int(rng.integers(0, 2))]))
+                    for _ in range(k)]
+            rows = list(dict.fromkeys(rows))
+            terms = [packed.terms[r] for r in rows]
+            queries.append(SearchQuery(terms, n_results=10))
+        for _ in range(10):
+            if len(dense_only) >= 2:
+                rows = rng.choice(dense_only, size=2, replace=False)
+                queries.append(SearchQuery(
+                    [packed.terms[int(r)] for r in rows], n_results=10,
+                    is_phrase=True))
+        got = eng.search_batch(queries)
+        for q, r in zip(queries, got):
+            assert_same(oracle.search(q), r,
+                        f"terms={q.terms} phrase={q.is_phrase}")
+
+    def test_budget_respected(self, staged):
+        packed, _, eng = staged
+        budget = eng._test_budget
+        resident = eng.hot.device_bytes()["total"]
+        # structural slack: the posting columns carry a fixed
+        # (max-L-bucket + 4096)-posting dynamic-slice pad tail
+        # (device.py) that is budget-independent — ~72 KB here, which
+        # dwarfs a toy-corpus budget but is ~0.002% of a 1M-doc one
+        from wiser_tpu.engine.device import L_BUCKETS
+
+        pad = (L_BUCKETS[0] + 4096) * (12 if eng.columns == "raw" else 10)
+        assert resident <= budget + budget // 10 + pad, (
+            f"resident {resident} exceeds budget {budget} (+pad {pad})")

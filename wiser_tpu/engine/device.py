@@ -268,7 +268,27 @@ class TpuEngine:
         coarse_buckets: bool = False,
         io_workers: int = 8,
         io_mode: str = "both",
+        dense_from: Optional[PackedIndex] = None,
+        host_packed: Optional[PackedIndex] = None,
     ):
+        # dense_from: build the dense head-term tier from THIS index's
+        # posting runs instead of `packed`'s. The staged engine passes
+        # the full host-RAM index here so head terms can be served
+        # dense-only — a head term's (N_pad,) uint8 row costs ~1/10 of
+        # its CSR run at 1M docs and answers every non-phrase query
+        # shape the term appears in, which is what makes the HBM-budget
+        # curve degrade gracefully instead of cliffing (the measured
+        # 0.25-budget point served 47 QPS with 95%% of posting bytes
+        # resident because the dense tier got zero leftover bytes and
+        # every head query fell to the host path).
+        # host_packed: the index the EXACT HOST fallback searches. For a
+        # staged hot view this must be the full index — the view gives
+        # csr-cold terms zero-length runs, and a dense-routed query that
+        # guard-flags to host would otherwise silently search an empty
+        # run (the reference's host path always reads the full on-flash
+        # index, vacuum_engine.h:144-166).
+        self._dense_from = dense_from
+        self._host_packed = host_packed if host_packed is not None else packed
         self.strict_parity = strict_parity
         # columns="tc": compressed device columns — one uint16
         # (doc_len_code << 8 | min(tf, 255)) lane replaces the (score f32,
@@ -379,6 +399,12 @@ class TpuEngine:
         self._max_df = int(packed.df.max(initial=1))
         self._starts32 = packed.term_starts.astype(np.int32)
         self._df32 = packed.df.astype(np.int32)
+        # per-term CSR availability: a staged hot view keeps the real df
+        # on csr-cold rows but gives them zero-length runs. Routes that
+        # read a term's posting run (bs/windowed/semidense-candidate/
+        # phrase) must not touch such a row — the planner falls back to
+        # the dense route or the exact host path (host_packed).
+        self._csr_ok = np.diff(packed.term_starts) >= packed.df
 
         self._st_depth = single_term_depth
         if single_term_depth:
@@ -394,6 +420,7 @@ class TpuEngine:
         self.HOST_CACHE_CAP = 200_000
 
         self._dense_H = 0
+        self._dense_slot = np.full(packed.n_terms, -1, dtype=np.int32)
         if dense_budget_bytes:
             self._build_dense_rows(dense_budget_bytes)
 
@@ -454,15 +481,17 @@ class TpuEngine:
         reference scale ~25% of an AOL-shaped workload is all-head
         multi-term — the windowed/merge paths do Omega(df*512) work and
         OOM at L-buckets past 131072; the dense scan is T*N lane-ops."""
-        packed = self.packed
+        # dense_from (staged): build rows from the FULL index so head
+        # terms are servable dense-only while their CSR stays cold.
+        # Without it (standalone engine), a hot view's eligible-but-cold
+        # term would get an all-zero dense row (never served — cold
+        # queries go to the staging path), so exclude zero-length runs.
+        packed = self._dense_from if self._dense_from is not None \
+            else self.packed
         n = packed.n_docs
         self._dense_slot = np.full(packed.n_terms, -1, dtype=np.int32)
         dense_min = max(self.DENSE_MIN_DF_FLOOR,
                         n // self.DENSE_ELIGIBLE_FRACTION)
-        # staged hot views keep real df on zero-length cold runs: an
-        # eligible-but-cold term would get an all-zero dense row (never
-        # served — cold queries go to the staging path), so exclude it
-        # rather than spend dense budget on empty planes
         run_lens = np.diff(packed.term_starts)
         rows = np.nonzero((packed.df >= dense_min) & (run_lens > 0))[0]
         if len(rows) == 0:
@@ -500,16 +529,26 @@ class TpuEngine:
         else:
             dense_sc = np.zeros((H, self._n_pad_docs), dtype=np.float32)
             dense_tf = np.zeros((H, self._n_pad_docs), dtype=np.int32)
+        cache64 = self.cache64
         for slot, r in enumerate(rows.tolist()):
             s = int(packed.term_starts[r])
             m = min(int(packed.df[r]), int(lens[r]))  # staged hot views
             docs = packed.postings_doc[s : s + m]
+            # values come from `packed` (= dense_from when staged), not
+            # the view's padded host columns: for a csr-cold term the
+            # view has no postings at all. tf8/score math is identical
+            # to the _h_tc/_h_score bake (same formula, same dtypes).
+            tf_m = packed.postings_tf[s : s + m]
             if self.columns == "tc":
-                dense_tf8[slot, docs] = (self._h_tc[s : s + m]
-                                         & 0xFF).astype(np.uint8)
+                dense_tf8[slot, docs] = np.minimum(
+                    tf_m, K.TF_SAT).astype(np.uint8)
             else:
-                dense_sc[slot, docs] = self._h_score[s : s + m]
-                dense_tf[slot, docs] = self._h_tf[s : s + m]
+                tf64 = tf_m.astype(np.float64)
+                code = packed.doc_len_code[docs.astype(np.int64)] & 0xFF
+                sc64 = packed.idf64[r] * ((tf64 * 2.2)
+                                          / (tf64 + cache64[code]))
+                dense_sc[slot, docs] = sc64.astype(np.float32)
+                dense_tf[slot, docs] = tf_m.astype(np.int32)
             self._dense_slot[r] = slot
         self._dense_H = H
         # per-128-doc-block score upper bounds for the pruned dense scan
@@ -722,8 +761,8 @@ class TpuEngine:
             if len(self._host_cache) >= self.HOST_CACHE_CAP:
                 self._host_cache.clear()
             t0 = _time.time()
-            hit = host_exact_search(self.packed, self.cache64, rows, k,
-                                    is_phrase=is_phrase)
+            hit = host_exact_search(self._host_packed, self.cache64, rows,
+                                    k, is_phrase=is_phrase)
             self._bump(host_exact_calls=1,
                        host_exact_s=_time.time() - t0)
             self._host_cache[key] = hit
@@ -927,6 +966,10 @@ class TpuEngine:
         dfs_m = np.where(valid, dfs, np.int32(2**31 - 1))
         cand = np.argmin(dfs_m, axis=1).astype(np.int32)
         cand_df = np.take_along_axis(dfs_m, cand[:, None], 1)[:, 0]
+        # per-term CSR availability (csr-cold rows of a staged hot view):
+        # routes that read posting runs are fenced off these terms below
+        csr_bad = ~self._csr_ok[rows_pad] & valid  # (N, MT)
+        any_missing = csr_bad.any(axis=1)
 
         lb = np.asarray(self._lb, dtype=np.int64)
         L_idx = np.minimum(np.searchsorted(lb, cand_df), len(lb) - 1)
@@ -958,9 +1001,14 @@ class TpuEngine:
             logN = np.log(max(self.packed.n_docs, 1))
             exp_matches = np.exp(
                 log_df.sum(axis=1) - (n_terms - 1) * logN)
+            # csr-missing all-dense queries take the dense route even
+            # when sparse (the semidense alternative needs the candidate
+            # term's CSR); a guard flag there falls back to the exact
+            # host search over host_packed — correct either way
             all_dense &= ((cand_df.astype(np.int64)
                            > self.SEMI_FROM_DENSE_MAX_CAND_L)
-                          | (exp_matches >= 4.0 * ks))
+                          | (exp_matches >= 4.0 * ks)
+                          | any_missing)
             if all_dense.any():
                 dm = np.nonzero(all_dense)[0]
                 pending += self._submit_dense(
@@ -970,11 +1018,13 @@ class TpuEngine:
                 if not keep.any():
                     return pending
                 (qi_arr, n_terms, rows_pad, ks, valid, dfs, cand, cand_df,
-                 Lval, L2val, windowed, T_idx, L_idx, L2_idx) = (
+                 Lval, L2val, windowed, T_idx, L_idx, L2_idx,
+                 csr_bad, any_missing) = (
                     qi_arr[keep], n_terms[keep], rows_pad[keep], ks[keep],
                     valid[keep], dfs[keep], cand[keep], cand_df[keep],
                     Lval[keep], L2val[keep], windowed[keep], T_idx[keep],
-                    L_idx[keep], L2_idx[keep])
+                    L_idx[keep], L2_idx[keep], csr_bad[keep],
+                    any_missing[keep])
                 flat_rows = [flat_rows[i] for i in np.nonzero(keep)[0]]
                 N = len(flat_rows)
 
@@ -1009,13 +1059,20 @@ class TpuEngine:
             # traffic (~590us/q); with the widened dense-eligibility tier
             # this absorbs most former windowed traffic in tc mode.
             semi = (n_terms > 1) & any_dense_other & ~saturated
+            # the candidate term's CSR seeds the lanes and non-dense
+            # others are resolved by bs over their runs — both need CSR
+            cand_ok = np.take_along_axis(
+                self._csr_ok[rows_pad], cand[:, None].astype(np.int64),
+                1)[:, 0]
+            semi &= cand_ok & np.all(slot_dense | ~csr_bad, axis=1)
             if semi.any():
                 sm = np.nonzero(semi)[0]
                 pending += self._submit_semidense(
                     sm, qi_arr, flat_rows, n_terms, cand, ks, Lval, queries,
                     results, rows_pad=rows_pad)
         host_merge = ((n_terms > 1) & (Lval >= self.HOST_MERGE_MIN_L)
-                      & ~windowed & ~semi) | saturated
+                      & ~windowed & ~semi) | saturated \
+            | (any_missing & ~semi)  # windowed/bs/single need every CSR
         if host_merge.any():
             hm = np.nonzero(host_merge)[0]
 
@@ -1678,7 +1735,10 @@ class TpuEngine:
         keep: List[_PlannedQuery] = []
         over: List[_PlannedQuery] = []
         for pq in planned:
-            if int(self.packed.df[pq.slot_rows[0]]) > max_l:
+            if (int(self.packed.df[pq.slot_rows[0]]) > max_l
+                    or not all(self._csr_ok[r] for r in pq.rows)):
+                # csr-cold rows (staged dense-only terms) have no posting
+                # runs for the list kernels to read — exact host path
                 over.append(pq)
             else:
                 keep.append(pq)
@@ -1779,6 +1839,9 @@ class TpuEngine:
                             > self.PHRASE_MAX_L)
                     ok = (mega and len(pq.rows) >= 2
                           and all(self._dense_slot[r] >= 0 for r in pq.rows)
+                          # posting-index recovery + position verify read
+                          # the CSR runs — csr-cold terms go host instead
+                          and all(self._csr_ok[r] for r in pq.rows)
                           and min(int(self.packed.max_tf[r])
                                   for r in pq.rows)
                           <= self.PRUNED_PHRASE_MAX_PP
@@ -2191,7 +2254,10 @@ class TpuEngine:
     def _snippet(self, pq: _PlannedQuery, doc: int) -> str:
         if self.doc_bodies is None:
             return ""
-        return snippet_for(self.packed, self.doc_bodies, pq.rows, pq.query, doc)
+        # host_packed: a hot view's offset bags exist only for csr-hot
+        # terms; the full index serves snippets for dense-only routes
+        return snippet_for(self._host_packed, self.doc_bodies, pq.rows,
+                           pq.query, doc)
 
 
 def _posting_index(packed: PackedIndex, row: int, doc: int) -> int:

@@ -1590,6 +1590,186 @@ def make_pruned_phrase_kernel_tc(T: int, NB: int, C: int, KV: int,
     return serial_jit(kernel)
 
 
+def _full_phrase_body(rows_f32, rows_payload, postings_doc, positions,
+                      pos_starts, starts, ends, anchor, ks, *,
+                      T, N_pad, KV, PP, PW, M, n_bs_iters, eps3,
+                      payload_tie_exact):
+    """FULL-scan dense phrase: score every doc lane, verify the KV
+    globally-best candidates, bound the rest by the (KV+1)-th score.
+
+    The pruned phrase scan (C blocks of NB) is the wrong shape for mega
+    pairs: their block-ub surface is near-flat, so next_ub stays at the
+    global max and FLAG_PRUNE_MISS fires on ~13% even after a 4x (C,KV)
+    retry (measured, ROADMAP round-3 item 5) — each miss costs a ~21 ms
+    host exact pass, 16.3 ms/q amortized on the 1M phrase_mega class.
+    Scanning ALL lanes replaces the loose block bound with the tightest
+    possible one: the (KV+1)-th ACTUAL candidate score, computed by the
+    same f32 expression as the kept scores, so the f32-monotonicity
+    doctrine (boundary_truncated's docstring) applies to the comparison
+    and the only slop is the eps3 arithmetic band. Cost: T*N_pad lane
+    ops per query — the same full dense scan dense_all_head_pair
+    already pays, trivially VPU-parallel, no gathers.
+
+    Tie refinement (payload_tie_exact=True, tc mode): on the quantized
+    tc score surface the eps3 band at the kth kept score is dominated
+    by EXACT ties — lanes whose integer payload (len_code<<8|tf per
+    term) equals the kth lane's. Such a lane's f64 score is exactly the
+    kth's (same integers through the same formula), and top_k's
+    full-array selection makes every unselected equal-score lane's doc
+    id larger than every selected one's (else it would have been
+    selected), so the (score desc, doc asc) canon provably ranks it
+    after the kth kept — no parity risk, no flag. Only band lanes with
+    a DIFFERENT payload can hide an f64 inversion; they flag. Raw mode
+    has no exact integer payload (equal f32 score lanes can differ in
+    f64), so every band lane flags (payload_tie_exact=False).
+
+    rows_f32(t) -> (B, N_pad) f32 per-lane score contribution (0 where
+    absent); rows_payload(t) -> (B, N_pad) i32 exact payload for the
+    tie refinement, or None. Returns (top_docs, sel_docs_for_tf gather
+    helper not needed — top tc/tf gathers happen in the caller via
+    rows, flags)."""
+    B = starts.shape[0]
+    score = jnp.zeros((B, N_pad), dtype=jnp.float32)
+    match = jnp.ones((B, N_pad), dtype=bool)
+    for t in range(T):
+        p = rows_f32(t)
+        match = match & (p > 0)
+        score = score + p
+    score = jnp.where(match, score, NEG_INF)
+
+    top_cs, top_cl = jax.lax.top_k(score, KV + 1)  # lane index = doc id
+    unseen = top_cs[:, KV]  # best unexamined candidate score
+    doc_kv1 = top_cl[:, KV]
+    sel_score = top_cs[:, :KV]
+    sel_docs = top_cl[:, :KV]
+    sel_valid = sel_score > NEG_INF
+
+    # posting-index recovery for the selected lanes (guaranteed present
+    # in every term's CSR run — the dense rows are built from them)
+    targets = jnp.broadcast_to(sel_docs[:, None, :], (B, T, KV))
+    lo = _binary_search(postings_doc, targets,
+                        starts[:, :, None], ends[:, :, None], n_bs_iters)
+    ps = _gather1d(pos_starts, lo.reshape(B, -1)).reshape(B, T, KV)
+    pe = _gather1d(pos_starts, lo.reshape(B, -1) + 1).reshape(B, T, KV)
+    n_matches = _verify_pos_windows(positions, ps, pe, anchor,
+                                    T=T, NL=KV, PP=PP, PW=PW)
+
+    final_score = jnp.where(sel_valid & (n_matches > 0), sel_score,
+                            NEG_INF)
+    top_score, top_l = jax.lax.top_k(final_score, M)  # canon preserved
+    top_docs = jnp.take_along_axis(sel_docs, top_l, axis=1)
+    top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
+
+    k_idx = jnp.clip(ks.astype(jnp.int32) - 1, 0, M - 1)
+    kth = jnp.take_along_axis(top_score, k_idx[:, None], axis=1)[:, 0]
+    no_k = kth <= NEG_INF
+    kth_doc = jnp.maximum(
+        jnp.take_along_axis(top_docs, k_idx[:, None], axis=1)[:, 0], 0)
+
+    # guard: any unselected lane inside the eps3 band of the kth kept
+    # score flags, unless its payload proves an exact tie (tc mode).
+    # Unselected = canonical rank > KV: score below the (KV+1)-th, or
+    # equal with a larger doc id (top_k keeps lowest indices on ties).
+    lane_id = jax.lax.broadcasted_iota(jnp.int32, (B, N_pad), 1)
+    unsel = (score < unseen[:, None]) | (
+        (score == unseen[:, None]) & (lane_id >= doc_kv1[:, None]))
+    safe_kth = jnp.where(no_k, jnp.inf, kth)
+    band = unsel & (score > NEG_INF) \
+        & (score >= safe_kth[:, None] * np.float32(1.0 - eps3))
+    if payload_tie_exact:
+        neq = jnp.zeros((B, N_pad), dtype=bool)
+        for t in range(T):
+            pay = rows_payload(t)
+            pay_kth = jnp.take_along_axis(pay, kth_doc[:, None], axis=1)
+            neq = neq | (pay != pay_kth)
+        band = band & neq
+    miss = (no_k & (unseen > NEG_INF)) | jnp.any(band, axis=1)
+    flags = (boundary_truncated(final_score, top_score, M).astype(jnp.int32)
+             | miss.astype(jnp.int32) * FLAG_PRUNE_MISS)
+    return top_docs, flags
+
+
+@lru_cache(maxsize=32)
+def make_full_phrase_kernel_tc(T: int, N_pad: int, KV: int, PP: int,
+                               PW: int, M: int, n_bs_iters: int,
+                               eps3: float):
+    """tc-mode full-scan dense phrase (see _full_phrase_body). Dense
+    rows are the uint8 TF plane + shared len-code row, composed per
+    lane exactly as make_dense_search_kernel_tc. All per-term arrays in
+    QUERY order (adjacency is order-dependent).
+
+    fn(dense_tf (H, N_pad) u8, len_code (N_pad,) u8, avg32,
+       postings_doc, positions, pos_starts, starts (B,T) i32,
+       ends (B,T) i32, slots (B,T) i32, idf32 (B,T) f32, anchor (B,)
+       i32, ks (B,) i32) -> packed (B, T+2, M) i32."""
+
+    def kernel(dense_tf, len_code, avg32, postings_doc, positions,
+               pos_starts, starts, ends, slots, idf32, anchor, ks):
+        code_row = len_code.astype(jnp.int32)[None, :] << 8
+
+        def payload(t):
+            tf_t = jnp.take(dense_tf, slots[:, t], axis=0).astype(jnp.int32)
+            return jnp.where(tf_t > 0, code_row | tf_t, 0)
+
+        def row_f32(t):
+            return tc_score(payload(t), idf32[:, t : t + 1], avg32)
+
+        top_docs, flags = _full_phrase_body(
+            row_f32, payload, postings_doc, positions, pos_starts,
+            starts, ends, anchor, ks,
+            T=T, N_pad=N_pad, KV=KV, PP=PP, PW=PW, M=M,
+            n_bs_iters=n_bs_iters, eps3=eps3, payload_tie_exact=True)
+        sat = jnp.zeros((starts.shape[0],), dtype=jnp.int32)
+        tfs = []
+        for t in range(T):
+            top_t = jnp.take_along_axis(
+                payload(t), jnp.maximum(top_docs, 0), axis=1)
+            sat = sat | (tc_saturated(top_t, top_docs).astype(jnp.int32)
+                         * FLAG_TF_SAT)
+            tfs.append(jnp.where(top_docs >= 0, top_t & 0xFF, 0))
+        return pack_with_flags(
+            top_docs,
+            jnp.concatenate([x[:, None, :] for x in tfs], axis=1),
+            flags | sat)
+
+    return serial_jit(kernel)
+
+
+@lru_cache(maxsize=32)
+def make_full_phrase_kernel(T: int, N_pad: int, KV: int, PP: int,
+                            PW: int, M: int, n_bs_iters: int,
+                            eps3: float):
+    """Raw-column full-scan dense phrase (see _full_phrase_body; no
+    exact integer payload in raw mode, so eps3-band ties flag).
+
+    fn(dense_sc (H, N_pad) f32, dense_tf (H, N_pad) i32, postings_doc,
+       positions, pos_starts, starts, ends, slots, use_score (B,T) f32,
+       anchor (B,) i32, ks (B,) i32) -> packed (B, T+2, M) i32."""
+
+    def kernel(dense_sc, dense_tf, postings_doc, positions, pos_starts,
+               starts, ends, slots, use_score, anchor, ks):
+        def row_f32(t):
+            return jnp.take(dense_sc, slots[:, t], axis=0) \
+                * use_score[:, t : t + 1]
+
+        top_docs, flags = _full_phrase_body(
+            row_f32, None, postings_doc, positions, pos_starts,
+            starts, ends, anchor, ks,
+            T=T, N_pad=N_pad, KV=KV, PP=PP, PW=PW, M=M,
+            n_bs_iters=n_bs_iters, eps3=eps3, payload_tie_exact=False)
+        tf_flat = dense_tf.reshape(-1)
+        tfs = []
+        for t in range(T):
+            idx = slots[:, t : t + 1].astype(jnp.int32) * np.int32(N_pad) \
+                + jnp.maximum(top_docs, 0)
+            tfs.append(jnp.where(top_docs >= 0, _gather1d(tf_flat, idx), 0))
+        return pack_with_flags(
+            top_docs,
+            jnp.concatenate([x[:, None, :] for x in tfs], axis=1), flags)
+
+    return serial_jit(kernel)
+
+
 @lru_cache(maxsize=32)
 def make_dense_search_kernel(T: int, N_pad: int, M: int):
     """Doc-space dense scan for all-head-term conjunctions.

@@ -155,7 +155,13 @@ def per_term_device_cost(packed: PackedIndex,
             csum = np.zeros(len(stored) + 1, dtype=np.int64)
             np.cumsum(stored, out=csum[1:])
             phrase += (csum[s[1:]] - csum[s[:-1]]) * 4
-        phrase += lens  # presence bitmap + rank lanes, both sides
+        # presence bitmap (1 bit) + rank lane (1 b/32 postings * 4 B),
+        # BOTH sides = ~0.5 B/posting — uploaded for every posting
+        # regardless of phrase residency (zeroed rows are merely "not
+        # stored"), so it is a CORE charge; only the folded row words
+        # above are phrase bytes. The old whole-lens phrase charge made
+        # measured residency overshoot the budget ~7% at 1M.
+        core += (lens + 1) // 2
     if split:
         return core, phrase
     return core + phrase
@@ -198,6 +204,8 @@ def _hot_view(packed: PackedIndex, hbm_budget_bytes: int,
               term_weights: np.ndarray = None,
               cost: np.ndarray = None,
               cost_phrase: np.ndarray = None,
+              hot: np.ndarray = None,
+              phrase_hot: np.ndarray = None,
               ) -> Tuple[PackedIndex, np.ndarray, np.ndarray]:
     """Build a PackedIndex whose posting columns contain only the hottest
     terms (greedy within budget); cold terms keep their real df (global
@@ -225,9 +233,18 @@ def _hot_view(packed: PackedIndex, hbm_budget_bytes: int,
     memory curve degrade gracefully instead of cliffing when position
     bags crowd out postings.
 
+    With `hot` (and optionally `phrase_hot`) given, admission is the
+    CALLER's: the masks are used as-is and only the view is built
+    (StagedEngine's proportional-share planner computes them alongside
+    the dense-tier budget).
+
     Returns (view, hot, phrase_hot); without cost_phrase,
     phrase_hot == hot (whole-term admission)."""
     lens = np.diff(packed.term_starts)
+    if hot is not None:
+        if phrase_hot is None:
+            phrase_hot = hot
+        return _build_hot_view(packed, lens, hot, phrase_hot)
     if term_weights is not None:
         # weight desc, df desc as tiebreak (np.lexsort: last key primary)
         order = np.lexsort((-packed.df, -np.asarray(term_weights)))
@@ -260,7 +277,13 @@ def _hot_view(packed: PackedIndex, hbm_budget_bytes: int,
             phrase_hot[r] = True
     else:
         phrase_hot = hot
+    return _build_hot_view(packed, lens, hot, phrase_hot)
 
+
+def _build_hot_view(packed: PackedIndex, lens: np.ndarray,
+                    hot: np.ndarray, phrase_hot: np.ndarray):
+    """Compact the posting/position/offset/bloom columns to the admitted
+    terms (see _hot_view). Cold rows keep real df on zero-length runs."""
     new_starts = np.zeros(packed.n_terms + 1, dtype=np.int64)
     np.cumsum(np.where(hot, lens, 0), out=new_starts[1:])
     P_hot = int(new_starts[-1])
@@ -353,28 +376,112 @@ class StagedEngine:
         self.strict_parity = strict_parity
         # hbm_budget_bytes is the TOTAL device budget (the cgroup-cap
         # analog): resident terms are charged their full footprint
-        # (postings + positions + blooms, per_term_device_cost), and the
-        # dense head-term tier is built only from what remains — the
-        # round-3 grid charged postings alone, so a "50% budget" ran a
-        # full 3.2 GB dense tier beside a 0.2% hot tier and measured
-        # 9.6 QPS of cold staging instead of a memory curve.
+        # (postings + positions + blooms, per_term_device_cost) and the
+        # dense head-term tier is charged per admitted row — the round-3
+        # grid charged postings alone, so a "50% budget" ran a full
+        # 3.2 GB dense tier beside a 0.2% hot tier and measured 9.6 QPS
+        # of cold staging instead of a memory curve.
+        #
+        # PROPORTIONAL-SHARE composition: the budget splits across the
+        # three column families (dense rows / CSR cores / phrase
+        # components) by their FULL-residency byte shares, spilling
+        # unspendable remainders dense -> core -> phrase, so every
+        # family degrades by roughly the same factor as the budget
+        # shrinks. The dense tier gets its own share because head terms
+        # are servable dense-ONLY for every non-phrase query shape
+        # (TpuEngine dense_from): a head term's (N_pad,) uint8 row is
+        # ~1/10 of its CSR bytes at 1M docs. The measured alternative —
+        # CSR-first admission with the dense tier on leftovers — holds
+        # 95% of posting bytes at a 0.25 budget yet serves 47 QPS,
+        # because every head query (most of the Zipf query mass) loses
+        # its dense route and pays the host path.
         cost_core, cost_phr = per_term_device_cost(packed, columns,
                                                    split=True)
-        hot_view, self.hot_mask, self.phrase_hot_mask = _hot_view(
-            packed, hbm_budget_bytes,
-            term_weights=term_weights, cost=cost_core,
-            cost_phrase=cost_phr)
-        self.hot_bytes_used = int(cost_core[self.hot_mask].sum()
-                                  + cost_phr[self.phrase_hot_mask].sum())
-        dense_budget = max(0, int(hbm_budget_bytes) - self.hot_bytes_used)
+        n_pad = (packed.n_docs + 127) // 128 * 128
+        row_bytes = 1 if columns == "tc" else 8
+        per_row = n_pad * row_bytes + (n_pad // 128) * 9
+        dense_min = max(TpuEngine.DENSE_MIN_DF_FLOOR,
+                        packed.n_docs // TpuEngine.DENSE_ELIGIBLE_FRACTION)
+        eligible = packed.df >= dense_min
+        # int32 flat-index cap mirrors _build_dense_rows (slot * N_pad
+        # must stay addressable)
+        h_cap = max(0, (2**31 - 1) // n_pad - 1)
+        full_dense = min(int(eligible.sum()), h_cap) * per_row \
+            + (n_pad if columns == "tc" else 0)  # + shared len-code row
+        full_core = int(cost_core.sum())
+        full_phr = int(cost_phr.sum())
+        total_full = max(1, full_dense + full_core + full_phr)
+        B = int(hbm_budget_bytes)
+        s_dense = B * full_dense // total_full
+        s_core = B * full_core // total_full
+        s_phr = B - s_dense - s_core
+        dense_budget = min(full_dense, s_dense)
+        carry = s_dense - dense_budget
+        core_budget = min(full_core, s_core + carry)
+        carry = s_core + carry - core_budget
+        phrase_budget = s_phr + carry
+
+        # CSR admission: weight desc (df when unweighted), NON-eligible
+        # terms first — an eligible term is served by its dense row for
+        # every non-phrase shape, so its CSR only buys phrase/windowed
+        # routes and must not crowd out terms with no dense alternative.
+        w = (np.asarray(term_weights, dtype=np.float64)
+             if term_weights is not None
+             else packed.df.astype(np.float64))
+        order = np.lexsort((-packed.df, -w, eligible))
+        charge = cost_core.astype(np.int64)
+        hot = np.zeros(packed.n_terms, dtype=bool)
+        used = 0
+        for r in order:
+            run = int(charge[r])
+            if used + run > core_budget:
+                continue
+            used += run
+            hot[r] = True
+        phrase_hot = np.zeros(packed.n_terms, dtype=bool)
+        charge_p = cost_phr.astype(np.int64)
+        used_p = 0
+        for r in order:
+            if not hot[r]:
+                continue  # positions/blooms index through the CSR run
+            run = int(charge_p[r])
+            if used_p + run > phrase_budget:
+                continue
+            used_p += run
+            phrase_hot[r] = True
+        self.hot_mask = hot
+        self.phrase_hot_mask = phrase_hot
+        hot_view, _, _ = _hot_view(packed, 0, hot=hot,
+                                   phrase_hot=phrase_hot)
         self.hot = TpuEngine(hot_view, doc_bodies=doc_bodies, margin=margin,
                              strict_parity=strict_parity, columns=columns,
-                             dense_budget_bytes=dense_budget)
+                             dense_budget_bytes=dense_budget,
+                             dense_from=packed, host_packed=packed,
+                             single_term_depth=0)
+        # dense-only-servable terms (row admitted by TpuEngine within
+        # dense_budget, df desc — same order as the share planner)
+        self.dense_mask = self.hot._dense_slot >= 0
+        self.hot_bytes_used = int(
+            used + used_p + self.hot.device_bytes()["dense_tier"])
         self.margin = margin
         self.doc_bodies = doc_bodies
         self.similarity = Bm25Similarity(packed.avg_len)
         self.cache64 = self.similarity.cache
-        self._scores32 = packed.partial_scores(self.cache64).astype(np.float32)
+        scores64 = packed.partial_scores(self.cache64)
+        self._scores32 = scores64.astype(np.float32)
+        # full-index single-term impact table (host RAM, zero HBM): a
+        # single-term query's answer depends only on the index, so it is
+        # served at table-slice speed at ANY budget — the faithful analog
+        # is the reference's scoring cache + OS page cache on the hottest
+        # postings (scoring.h:85-90). Queries deeper than the table fall
+        # through to the hot/cold paths.
+        from wiser_tpu.engine.device import build_single_term_table
+
+        self._st_depth = 64
+        (self._tt_starts, self._tt_docs,
+         self._tt_scores) = build_single_term_table(packed, scores64,
+                                                    self._st_depth)
+        del scores64
         self._starts32 = packed.term_starts.astype(np.int32)
         self._df32 = packed.df.astype(np.int32)
         self._lens = np.diff(packed.term_starts).astype(np.int64)
@@ -417,21 +524,52 @@ class StagedEngine:
         device.py run_pending) — cold finalizers are independent too."""
         self.hot.run_pending(results, pending)
 
+    def _serve_single(self, qi: int, row: int, q: SearchQuery,
+                      results: List[SearchResult]) -> bool:
+        """Answer a single-term query from the full-index impact table
+        (host RAM slice, any budget); False when deeper than the table."""
+        k = q.n_results
+        s, e = int(self._tt_starts[row]), int(self._tt_starts[row + 1])
+        cnt = e - s
+        if k > cnt and int(self.packed.df[row]) > cnt:
+            return False
+        take = min(k, cnt)
+        res = results[qi]
+        res.set_arrays(self._tt_docs[s : s + take],
+                       self._tt_scores[s : s + take])
+        if q.return_snippets and self.doc_bodies is not None:
+            from wiser_tpu.engine.device import snippet_for
+
+            for entry in res.entries:
+                entry.snippet = snippet_for(self.packed, self.doc_bodies,
+                                            [row], q, entry.doc_id)
+        return True
+
     def submit_batch(self, queries: List[SearchQuery]):
         results = [SearchResult() for _ in queries]
         lookup = self.packed.term_to_row.get
         hot_q: List[SearchQuery] = []
         hot_qi: List[int] = []
         cold: List[Tuple[int, List[int], SearchQuery]] = []
+        hot_mask, phrase_mask = self.hot_mask, self.phrase_hot_mask
+        dense_mask = self.dense_mask
         for qi, q in enumerate(queries):
             if q.n_results <= 0 or not q.terms:
                 continue
             rows = [lookup(t, -1) for t in q.terms]
             if min(rows) < 0:
                 continue
-            if all(self.hot_mask[r] for r in rows) and (
-                    not q.is_phrase
-                    or all(self.phrase_hot_mask[r] for r in rows)):
+            if len(rows) == 1 and self._serve_single(
+                    qi, rows[0], q, results):
+                continue
+            if q.is_phrase and len(rows) >= 2:
+                # phrase kernels read CSR runs + position bags + blooms
+                ok = all(hot_mask[r] and phrase_mask[r] for r in rows)
+            else:
+                # a dense row serves every non-phrase shape (the hot
+                # engine's planner fences csr-cold rows off list routes)
+                ok = all(hot_mask[r] or dense_mask[r] for r in rows)
+            if ok:
                 hot_q.append(q)
                 hot_qi.append(qi)
             else:
