@@ -169,16 +169,19 @@ def test_prune_flag_forces_host_mask(flat_corpus):
 
 
 def spy_pruned_phrase(engine, monkeypatch):
+    """Watch BOTH mega-phrase kernel families: the default full-scan
+    (FULL_PHRASE_SCAN) and the block-pruned fallback."""
     called = []
-    name = ("make_pruned_phrase_kernel_tc" if engine.columns == "tc"
-            else "make_pruned_phrase_kernel")
-    orig = getattr(K, name)
+    suffix = "_tc" if engine.columns == "tc" else ""
+    for base in ("make_full_phrase_kernel", "make_pruned_phrase_kernel"):
+        name = base + suffix
+        orig = getattr(K, name)
 
-    def spy(*a, **kw):
-        called.append(a)
-        return orig(*a, **kw)
+        def spy(*a, _orig=orig, **kw):
+            called.append(a)
+            return _orig(*a, **kw)
 
-    monkeypatch.setattr(K, name, spy)
+        monkeypatch.setattr(K, name, spy)
     return called
 
 

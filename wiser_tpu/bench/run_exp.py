@@ -64,6 +64,9 @@ class ExpResult:
     # staged: share of terms with phrase components (positions + blooms)
     # resident — component-granular admission fills cores first
     phrase_hot_fraction: Optional[float] = None
+    # staged: share of terms servable from a dense row alone (head-term
+    # tier built from the full index; non-phrase shapes need no CSR)
+    dense_fraction: Optional[float] = None
     budget_bytes: Optional[int] = None
     # staged: bytes the hot tier actually charged against the budget and
     # the engine's measured resident footprint — published so the grid
@@ -242,6 +245,7 @@ def run_treatment(t: Treatment) -> ExpResult:
 
     hot_fraction = None
     phrase_hot = None
+    dense_frac = None
     budget = None
     doc_bodies = oracle.doc_bodies if oracle is not None else None
     if t.engine == "staged":
@@ -258,6 +262,7 @@ def run_treatment(t: Treatment) -> ExpResult:
                               columns=t.columns, term_weights=term_weights)
         hot_fraction = round(engine.hot_fraction, 4)
         phrase_hot = round(engine.phrase_hot_fraction, 4)
+        dense_frac = round(float(engine.dense_mask.mean()), 4)
     else:
         from wiser_tpu.engine.device import TpuEngine
 
@@ -304,6 +309,7 @@ def run_treatment(t: Treatment) -> ExpResult:
     return ExpResult(asdict(t), round(len(queries) / wall, 1), round(wall, 3),
                      round(warmup, 2), round(float(np.median(lat)), 3), mem,
                      hot_fraction=hot_fraction, phrase_hot_fraction=phrase_hot,
+                     dense_fraction=dense_frac,
                      budget_bytes=budget,
                      hot_bytes_used=hot_used, resident_bytes=resident)
 

@@ -1815,6 +1815,14 @@ class TpuEngine:
     # compare — such queries go host instead.
     PRUNED_PHRASE_C = 256
     PRUNED_PHRASE_KV = 1024
+    # FULL-scan mega phrases (kernels.make_full_phrase_kernel*): score
+    # EVERY doc lane instead of C selected blocks, so the guard bound is
+    # the (KV+1)-th actual candidate score instead of a near-flat block
+    # ub — the measured source of phrase_mega's 8.5% terminal host rate
+    # (~21 ms/query each, 61 QPS at 1M). Costs T*N_pad lane-ops/query
+    # (what dense_all_head_pair already pays); tc mode additionally
+    # un-flags exact integer-payload ties at the kth kept score.
+    FULL_PHRASE_SCAN = True
     # guard-flagged pruned phrases retry once at this scale before any
     # host fallback: 4x blocks shrinks next_ub down the sorted-ub curve,
     # 4x KV shrinks the unverified-lane bound (the (KV+1)-th AND score)
@@ -2053,7 +2061,9 @@ class TpuEngine:
         pending = []
         NB = self._n_pad_docs // 128
         C = self.PRUNED_PHRASE_C
-        KV = min(self.PRUNED_PHRASE_KV, C * 128 - 1)
+        KV = min(self.PRUNED_PHRASE_KV, C * 128 - 1,
+                 self._n_pad_docs - 1)
+        full = self.FULL_PHRASE_SCAN
         n_bs = K.n_iters_for(self._max_df)
         eps3 = 3.0 * self.rel_eps
         keyfn = lambda pq: (
@@ -2063,9 +2073,10 @@ class TpuEngine:
             _bucket(max(int(self.packed.max_tf[r]) for r in pq.rows),
                     PP_BUCKETS),  # every term's bag bound (PW windows)
         )
+        scan_lanes = self._n_pad_docs if full else C * 128
         for (T, PP, PW), group in self._chunked_groups(
                 planned, keyfn,
-                lanes_of=lambda k: max(k[0] * C * 128,
+                lanes_of=lambda k: max(k[0] * scan_lanes,
                                        k[0] * KV * k[2],
                                        KV * k[1] * k[2] // 4),
                 lane_budget=1 << 27, buckets=self.PHRASE_B_BUCKETS):
@@ -2135,10 +2146,31 @@ class TpuEngine:
 
     def _pruned_phrase_dispatch(self, T, PP, PW, M, C, KV, starts, ends,
                                 slots, use, idf32_q, anchor, ks):
-        """Build + call the pruned phrase kernel at a (C, KV) scale."""
+        """Build + call the mega-phrase kernel at a (C, KV) scale —
+        FULL_PHRASE_SCAN replaces the C-block selection with a full
+        doc-space scan (C then only keys the lane-budget math)."""
         NB = self._n_pad_docs // 128
         n_bs = K.n_iters_for(self._max_df)
         eps3 = 3.0 * self.rel_eps
+        if self.FULL_PHRASE_SCAN:
+            KV = min(KV, self._n_pad_docs - 1)  # top_k(KV+1) bound
+            if self.columns == "tc":
+                kern = K.make_full_phrase_kernel_tc(
+                    T, self._n_pad_docs, KV, PP, PW, M, n_bs, eps3)
+                return kern(self.d_dense_tf8, self.d_len_code,
+                            self.d_avg32, self.d_postings_doc,
+                            self.d_positions, self.d_pos_starts,
+                            jnp.asarray(starts), jnp.asarray(ends),
+                            jnp.asarray(slots), jnp.asarray(idf32_q),
+                            jnp.asarray(anchor), jnp.asarray(ks))
+            kern = K.make_full_phrase_kernel(
+                T, self._n_pad_docs, KV, PP, PW, M, n_bs, eps3)
+            return kern(self.d_dense_sc, self.d_dense_tf,
+                        self.d_postings_doc, self.d_positions,
+                        self.d_pos_starts, jnp.asarray(starts),
+                        jnp.asarray(ends), jnp.asarray(slots),
+                        jnp.asarray(use), jnp.asarray(anchor),
+                        jnp.asarray(ks))
         if self.columns == "tc":
             kern = K.make_pruned_phrase_kernel_tc(
                 T, NB, C, KV, PP, PW, M, n_bs, eps3)
@@ -2168,12 +2200,19 @@ class TpuEngine:
         certificate passes for most of them at ~1/10 the host cost."""
         NB = self._n_pad_docs // 128
         C2 = min(self.PRUNED_PHRASE_RETRY_C, NB - 1)
-        KV2 = min(self.PRUNED_PHRASE_RETRY_KV, C2 * 128 - 1)
+        if self.FULL_PHRASE_SCAN:
+            # full scan re-examines nothing new block-wise; only a
+            # deeper KV tightens the unverified-candidate bound
+            KV2 = min(self.PRUNED_PHRASE_RETRY_KV, self._n_pad_docs - 1)
+            scan = self._n_pad_docs
+        else:
+            KV2 = min(self.PRUNED_PHRASE_RETRY_KV, C2 * 128 - 1)
+            scan = C2 * 128
         n = len(ks)
         out = np.empty((n, T + 2, M), dtype=np.int32)
         # the retry's verify tensors are (B, KV2, PP, PW)-ish: keep the
         # largest live tensor inside the lane budget via small B chunks
-        lanes = max(T * C2 * 128, T * KV2 * PW, KV2 * PP * PW // 4)
+        lanes = max(T * scan, T * KV2 * PW, KV2 * PP * PW // 4)
         fit = max(1, (1 << 27) // max(lanes, 1))
         chunk = self.PHRASE_B_BUCKETS[0]
         for b in self.PHRASE_B_BUCKETS:
