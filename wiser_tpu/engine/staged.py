@@ -188,7 +188,10 @@ def dense_tier_bytes(packed: PackedIndex, columns: str = "raw",
     cap = int(budget_bytes // per_row)
     cap = min(cap, (2**31 - 1) // n_pad - 1)
     H = min(int((packed.df >= dense_min).sum()), cap)
-    return max(0, H) * per_row
+    if H <= 0:
+        return 0
+    # + the shared per-doc len-code row (tc mode stores it once)
+    return H * per_row + (n_pad if columns == "tc" else 0)
 
 
 def full_device_bytes(packed: PackedIndex, columns: str = "raw") -> int:
@@ -412,14 +415,20 @@ class StagedEngine:
         full_phr = int(cost_phr.sum())
         total_full = max(1, full_dense + full_core + full_phr)
         B = int(hbm_budget_bytes)
-        s_dense = B * full_dense // total_full
-        s_core = B * full_core // total_full
-        s_phr = B - s_dense - s_core
-        dense_budget = min(full_dense, s_dense)
-        carry = s_dense - dense_budget
-        core_budget = min(full_core, s_core + carry)
-        carry = s_core + carry - core_budget
-        phrase_budget = s_phr + carry
+        # full residency (0.1% tolerance absorbs base-accounting drift
+        # between full_device_bytes and this planner): no share rounding
+        if B >= total_full - total_full // 1000:
+            dense_budget, core_budget, phrase_budget = (
+                full_dense, full_core, full_phr)
+        else:
+            s_dense = B * full_dense // total_full
+            s_core = B * full_core // total_full
+            s_phr = B - s_dense - s_core
+            dense_budget = min(full_dense, s_dense)
+            carry = s_dense - dense_budget
+            core_budget = min(full_core, s_core + carry)
+            carry = s_core + carry - core_budget
+            phrase_budget = s_phr + carry
 
         # CSR admission: weight desc (df when unweighted), NON-eligible
         # terms first — an eligible term is served by its dense row for
@@ -503,6 +512,10 @@ class StagedEngine:
     @property
     def hot_fraction(self) -> float:
         return float(self.hot_mask.mean()) if len(self.hot_mask) else 0.0
+
+    def device_bytes(self) -> dict:
+        """Resident (hot-tier) device bytes — the budget's spend."""
+        return self.hot.device_bytes()
 
     @property
     def phrase_hot_fraction(self) -> float:

@@ -72,9 +72,13 @@ class _ChunkAccum:
 
 
 def _map_term_ids(vocab: Dict[str, int], flat_tokens: List[str]) -> np.ndarray:
-    """Dict-map tokens to ids, inserting new terms; C-driven via map()."""
+    """Dict-map tokens to ids, inserting new terms; C-driven via map().
+
+    int32 ids: the accumulated (term_id, doc_id, tf) triples are the
+    builder's second-largest resident after bloom keys — 24 B/entry in
+    int64 was ~13 GB of a 10M-doc build's peak on their own."""
     ids = np.fromiter(map(vocab.get, flat_tokens, repeat(-1)),
-                      dtype=np.int64, count=len(flat_tokens))
+                      dtype=np.int32, count=len(flat_tokens))
     missing = np.nonzero(ids < 0)[0]
     if len(missing):
         for i in missing.tolist():
@@ -178,7 +182,7 @@ def _accumulate_chunk(acc: _ChunkAccum, chunk: tuple,
 
     term_ids = _map_term_ids(acc.vocab, flat_tokens)
     doc_ids = np.repeat(
-        np.arange(acc.n_docs, acc.n_docs + n_docs, dtype=np.int64), n_tok)
+        np.arange(acc.n_docs, acc.n_docs + n_docs, dtype=np.int32), n_tok)
 
     pos_counts, pos_nums = _parse_group_col(pos_cols, E, ";.", "positions")
     if int(pos_counts.sum()) != len(pos_nums):
@@ -202,7 +206,7 @@ def _accumulate_chunk(acc: _ChunkAccum, chunk: tuple,
 
     acc.term_ids.append(term_ids)
     acc.doc_ids.append(doc_ids)
-    acc.tf.append(pos_counts)
+    acc.tf.append(pos_counts.astype(np.int32))
     acc.positions.append(pos_nums.astype(np.int32))
     acc.off_b.append(off_nums[0::2].astype(np.int32))
     acc.off_e.append(off_nums[1::2].astype(np.int32))
@@ -213,7 +217,11 @@ def _accumulate_chunk(acc: _ChunkAccum, chunk: tuple,
                             (begins_cols, acc.bloom_begins_keys)):
             keys, entry_of = _parse_bloom_col(colz, E, "bloom")
             a, b = _hash_bloom_keys(keys)
-            store.append((a, b, entry_of + entry_base))
+            # int32 entry ids: < 2^31 entries by the device-addressing
+            # guard; the (a, b, entry_of) chunks are the builder's
+            # largest resident (measured ~20 GB of the 31 GB 1M peak
+            # pre-hashing; 8->4 B per id cuts the 10M build ~4 GB)
+            store.append((a, b, (entry_of + entry_base).astype(np.int32)))
     acc.n_docs += n_docs
 
 
@@ -274,9 +282,9 @@ def pack_from_arrays(
     """Assemble the packed CSR columns from flat occurrence arrays."""
     terms = sorted(vocab)
     T = len(terms)
-    remap = np.empty(T, dtype=np.int64)
+    remap = np.empty(T, dtype=np.int32)
     remap[np.fromiter((vocab[t] for t in terms), dtype=np.int64, count=T)] = \
-        np.arange(T, dtype=np.int64)
+        np.arange(T, dtype=np.int32)
     tid = remap[term_ids]
 
     E = len(tid)

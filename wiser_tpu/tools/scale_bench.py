@@ -178,6 +178,15 @@ def main(argv=None):
                     help="comma-separated subset, e.g. 1_single_term,3_aol_mix")
     ap.add_argument("--columns", default="raw", choices=["raw", "tc"],
                     help="device column layout (tc = compressed uint16)")
+    ap.add_argument("--engine", default="device",
+                    choices=["device", "staged"],
+                    help="staged: bigger-than-HBM serving — hot tier + "
+                         "dense rows within --budget-bytes, cold terms "
+                         "host-staged (the reference's read-as-needed "
+                         "flash mode, vacuum_engine.h:144-166)")
+    ap.add_argument("--budget-bytes", type=int, default=12 << 30,
+                    help="staged HBM budget (default 12 GiB of the v5e's "
+                         "16 — headroom for kernel workspace)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -195,9 +204,20 @@ def main(argv=None):
     log(f"index loaded in {time.time()-t0:.1f}s: {packed.n_docs} docs, "
         f"{packed.n_terms} terms, {packed.n_postings} padded postings")
     t0 = time.time()
-    engine = TpuEngine(packed, columns=args.columns)
-    log(f"engine up in {time.time()-t0:.1f}s; device bytes: "
-        f"{json.dumps(engine.device_bytes())}")
+    if args.engine == "staged":
+        from wiser_tpu.engine.staged import StagedEngine
+
+        engine = StagedEngine(packed, args.budget_bytes,
+                              columns=args.columns)
+        log(f"staged engine up in {time.time()-t0:.1f}s; budget "
+            f"{args.budget_bytes}; hot {engine.hot_fraction:.4f} "
+            f"phrase_hot {engine.phrase_hot_fraction:.4f} "
+            f"dense {float(engine.dense_mask.mean()):.4f}; device bytes: "
+            f"{json.dumps(engine.hot.device_bytes())}")
+    else:
+        engine = TpuEngine(packed, columns=args.columns)
+        log(f"engine up in {time.time()-t0:.1f}s; device bytes: "
+            f"{json.dumps(engine.device_bytes())}")
 
     configs = build_configs(packed, args.linedoc, args.n_queries, args.k)
     if args.configs:
