@@ -185,6 +185,9 @@ def main(argv=None):
                          "— top_k cost scales with KV)")
     ap.add_argument("--phrase-c", type=int, default=None,
                     help="override PRUNED_PHRASE_C")
+    ap.add_argument("--no-full-phrase", action="store_true",
+                    help="A/B: block-pruned mega phrases instead of the "
+                         "full-scan kernel")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -206,6 +209,8 @@ def main(argv=None):
         engine.PRUNED_PHRASE_KV = args.phrase_kv
     if args.phrase_c:
         engine.PRUNED_PHRASE_C = args.phrase_c
+    if args.no_full_phrase:
+        engine.FULL_PHRASE_SCAN = False
     log(f"engine up; columns={args.columns}; dense_H={engine._dense_H}")
     sets = build_route_sets(packed, engine, args.n_queries, args.k)
     if args.linedoc:
