@@ -1614,20 +1614,35 @@ def _full_phrase_body(rows_f32, rows_payload, postings_doc, positions,
     tc score surface the eps3 band at the kth kept score is dominated
     by EXACT ties — lanes whose integer payload (len_code<<8|tf per
     term) equals the kth lane's. Such a lane's f64 score is exactly the
-    kth's (same integers through the same formula), and top_k's
-    full-array selection makes every unselected equal-score lane's doc
-    id larger than every selected one's (else it would have been
-    selected), so the (score desc, doc asc) canon provably ranks it
-    after the kth kept — no parity risk, no flag. Only band lanes with
-    a DIFFERENT payload can hide an f64 inversion; they flag. Raw mode
-    has no exact integer payload (equal f32 score lanes can differ in
-    f64), so every band lane flags (payload_tie_exact=False).
+    kth's (same integers through the same formula), so it can only
+    displace the kth by the doc-asc canon: an UNSELECTED payload-equal
+    band lane with doc id > kth's provably ranks after the kth kept —
+    no parity risk, no flag; one with doc id < kth's flags. NOTE the
+    selection membership is computed by an exact scatter of the
+    selected lane ids, NOT from the (score, doc) order — measured on
+    the v5e, lax.top_k does NOT break ties by lowest index at this N
+    (unlike the CPU backend), so any tie-order argument about which
+    equal-scored lane was selected is unsound on this hardware. The
+    count-based flags elsewhere in the engine (boundary_truncated,
+    prune_guard_flag's >= comparison) were already order-robust. Raw
+    mode has no exact integer payload (equal f32 score lanes can
+    differ in f64), so every band lane flags
+    (payload_tie_exact=False).
+
+    Selection is a TWO-LEVEL exact top-k: per-128-block maxima ->
+    top (KV+1) blocks -> row-gather -> top_k over (KV+1)*128 lanes.
+    Every lane with score STRICTLY above the gathered (KV+1)-th value
+    is provably selected (a block holding such a lane has max > that
+    value; at most KV blocks can, and they all rank above the tie
+    blocks), so `unseen` is the exact (KV+1)-th VALUE; equal-valued
+    membership may differ from the canonical set, which the
+    scatter-mask + payload rules above make harmless. Measured on the
+    v5e at (32, 1M): 59 ms vs 113 for the flat top_k(1025) — the flat
+    selection was the phrase_mega group wall.
 
     rows_f32(t) -> (B, N_pad) f32 per-lane score contribution (0 where
     absent); rows_payload(t) -> (B, N_pad) i32 exact payload for the
-    tie refinement, or None. Returns (top_docs, sel_docs_for_tf gather
-    helper not needed — top tc/tf gathers happen in the caller via
-    rows, flags)."""
+    tie refinement, or None. Returns (top_docs, flags)."""
     B = starts.shape[0]
     score = jnp.zeros((B, N_pad), dtype=jnp.float32)
     match = jnp.ones((B, N_pad), dtype=bool)
@@ -1637,9 +1652,22 @@ def _full_phrase_body(rows_f32, rows_payload, postings_doc, positions,
         score = score + p
     score = jnp.where(match, score, NEG_INF)
 
-    top_cs, top_cl = jax.lax.top_k(score, KV + 1)  # lane index = doc id
-    unseen = top_cs[:, KV]  # best unexamined candidate score
-    doc_kv1 = top_cl[:, KV]
+    NB = N_pad // 128
+    if NB >= KV + 1:
+        s3 = score.reshape(B, NB, 128)
+        bm = jnp.max(s3, axis=2)
+        _, blk = jax.lax.top_k(bm, KV + 1)
+        # ascending block ids: gathered lane order == doc order
+        nbs, _ = jax.lax.top_k(-blk.astype(jnp.float32), KV + 1)
+        blk = (-nbs).astype(jnp.int32)
+        rows3 = jnp.take_along_axis(s3, blk[:, :, None], axis=1)
+        flat = rows3.reshape(B, (KV + 1) * 128)
+        top_cs, fl = jax.lax.top_k(flat, KV + 1)
+        top_cl = (jnp.take_along_axis(blk, fl // 128, axis=1) * 128
+                  + fl % 128)
+    else:  # tiny doc spaces: flat top_k is cheap and exact
+        top_cs, top_cl = jax.lax.top_k(score, KV + 1)
+    unseen = top_cs[:, KV]  # exact (KV+1)-th candidate VALUE
     sel_score = top_cs[:, :KV]
     sel_docs = top_cl[:, :KV]
     sel_valid = sel_score > NEG_INF
@@ -1667,22 +1695,29 @@ def _full_phrase_body(rows_f32, rows_payload, postings_doc, positions,
         jnp.take_along_axis(top_docs, k_idx[:, None], axis=1)[:, 0], 0)
 
     # guard: any unselected lane inside the eps3 band of the kth kept
-    # score flags, unless its payload proves an exact tie (tc mode).
-    # Unselected = canonical rank > KV: score below the (KV+1)-th, or
-    # equal with a larger doc id (top_k keeps lowest indices on ties).
+    # score flags, unless its payload proves an exact tie ranking
+    # canonically after the kth (tc mode; see docstring). Selection
+    # membership is an exact scatter of the selected ids — no reliance
+    # on the hardware top_k's tie order.
     lane_id = jax.lax.broadcasted_iota(jnp.int32, (B, N_pad), 1)
-    unsel = (score < unseen[:, None]) | (
-        (score == unseen[:, None]) & (lane_id >= doc_kv1[:, None]))
+    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+    # only the first KV lanes are VERIFIED; the (KV+1)-th is as
+    # unexamined as any other band lane and must not be masked out
+    selected = jnp.zeros((B, N_pad), dtype=bool).at[
+        b_idx, jnp.clip(sel_docs, 0, N_pad - 1)].set(True)
     safe_kth = jnp.where(no_k, jnp.inf, kth)
-    band = unsel & (score > NEG_INF) \
+    band = ~selected & (score > NEG_INF) \
         & (score >= safe_kth[:, None] * np.float32(1.0 - eps3))
     if payload_tie_exact:
-        neq = jnp.zeros((B, N_pad), dtype=bool)
+        bad = jnp.zeros((B, N_pad), dtype=bool)
         for t in range(T):
             pay = rows_payload(t)
             pay_kth = jnp.take_along_axis(pay, kth_doc[:, None], axis=1)
-            neq = neq | (pay != pay_kth)
-        band = band & neq
+            bad = bad | (pay != pay_kth)
+        # exact payload tie: flags only if it would canonically
+        # DISPLACE the kth kept (equal f64 score, smaller doc id)
+        bad = bad | (lane_id < kth_doc[:, None])
+        band = band & bad
     miss = (no_k & (unseen > NEG_INF)) | jnp.any(band, axis=1)
     flags = (boundary_truncated(final_score, top_score, M).astype(jnp.int32)
              | miss.astype(jnp.int32) * FLAG_PRUNE_MISS)
