@@ -92,6 +92,22 @@ class TestFastBuilderParity:
             assert [(e.doc_id, e.doc_score) for e in o.entries] == \
                    [(e.doc_id, e.doc_score) for e in r.entries], q
 
+    def test_spill_mode_equal(self, tmp_path):
+        """Disk-spill accumulation (the >5M-doc path) must be column-for-
+        column identical to the in-RAM path, blooms included."""
+        docs = synth_docinfos(n_docs=150, vocab_size=50, mean_len=22,
+                              seed=47, with_blooms=True)
+        path = str(tmp_path / "corpus_spill.linedoc")
+        _docinfos_to_linedoc(docs, path, with_bloom=True)
+        ram = build_packed_fast(path, "WITH_BI_BLOOM", chunk_docs=40,
+                                with_blooms=True)
+        spill_dir = str(tmp_path / "spill")
+        spilled = build_packed_fast(path, "WITH_BI_BLOOM", chunk_docs=40,
+                                    with_blooms=True, spill_dir=spill_dir)
+        assert_packed_equal(ram, spilled, with_blooms=True)
+        import os
+        assert not os.path.exists(spill_dir)  # cleaned up
+
     def test_non_canonical_raises(self, tmp_path):
         path = str(tmp_path / "bad.linedoc")
         # two tokens but only one positions group: misaligned columns

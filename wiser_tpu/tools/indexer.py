@@ -17,7 +17,8 @@ import time
 
 
 def build(linedoc: str, fmt: str, out: str, n_rows=None, with_blooms=False,
-          bloom_entries=5, bloom_ratio=0.0009, store_docs=True, fast=False):
+          bloom_entries=5, bloom_ratio=0.0009, store_docs=True, fast=False,
+          spill_dir=None):
     from wiser_tpu.index.bloom import BloomConfig
     from wiser_tpu.index.builder import build_index_from_linedoc
     from wiser_tpu.index.doc_store import ChunkedDocStoreWriter
@@ -29,7 +30,8 @@ def build(linedoc: str, fmt: str, out: str, n_rows=None, with_blooms=False,
 
         packed = build_packed_fast(
             linedoc, fmt, n_rows=n_rows, with_blooms=with_blooms,
-            bloom_cfg=BloomConfig(bloom_entries, bloom_ratio), verbose=True)
+            bloom_cfg=BloomConfig(bloom_entries, bloom_ratio), verbose=True,
+            spill_dir=spill_dir)
     else:
         packed, oracle = build_index_from_linedoc(
             linedoc, fmt, n_rows=n_rows,
@@ -71,10 +73,14 @@ def main(argv=None):
     ap.add_argument("--no-doc-store", action="store_true")
     ap.add_argument("--fast", action="store_true",
                     help="vectorized chunked builder (reference-scale path)")
+    ap.add_argument("--spill-dir", default=None,
+                    help="stream parsed columns through this directory "
+                         "instead of RAM (required above ~5M docs)")
     args = ap.parse_args(argv)
     build(args.linedoc, args.format, args.out, args.n_rows, args.with_blooms,
           args.bloom_entries, args.bloom_ratio,
-          store_docs=not args.no_doc_store, fast=args.fast)
+          store_docs=not args.no_doc_store, fast=args.fast,
+          spill_dir=args.spill_dir)
 
 
 if __name__ == "__main__":
