@@ -93,6 +93,40 @@ def test_phrase_parity(tc_setup):
     assert n_hits > 0, "need at least one real phrase match in the probe"
 
 
+@pytest.mark.parametrize("columns", ["tc", "raw"])
+def test_compact_phrase_pipeline_parity(columns):
+    """Sharded compact phrase pipeline (bloom gate + KV compaction +
+    FLAG_PRUNE_MISS merge) in BOTH column modes. Requires blooms
+    resident and L > PHRASE_COMPACT_KV — monkeypatched low so the 128
+    L-bucket triggers it (ADVICE r4: the raw-mode branch shipped with
+    mismatched shard_map in_specs because no test reached it)."""
+    docs = synth_docinfos(n_docs=600, vocab_size=120, mean_len=40, seed=17)
+    packed, oracle = build_index(docs, with_blooms=True)
+    sharded = ShardedIndex.from_packed(packed, n_shards=8)
+    old_kv = ShardedEngine.PHRASE_COMPACT_KV
+    ShardedEngine.PHRASE_COMPACT_KV = 8
+    try:
+        engine = ShardedEngine(sharded, columns=columns)
+        assert engine.d_bloom_rows is not None, "blooms must be resident"
+        rng = np.random.default_rng(31)
+        live = [t for t in packed.terms if packed.df[packed.lookup(t)] > 0]
+        queries = []
+        for _ in range(30):
+            ts = list(dict.fromkeys(rng.choice(live, size=2).tolist()))
+            if len(ts) < 2:
+                continue
+            queries.append(SearchQuery(ts, n_results=10, is_phrase=True))
+        res = engine.search_batch(queries)
+        n_hits = 0
+        for q, r in zip(queries, res):
+            o = oracle.search(q)
+            n_hits += len(o.entries)
+            assert_same(o, r, f"compact phrase [{columns}] {q.terms}")
+        assert n_hits > 0
+    finally:
+        ShardedEngine.PHRASE_COMPACT_KV = old_kv
+
+
 def test_raw_and_tc_identical(tc_setup):
     """raw-vs-tc on the mesh must agree query for query (both already
     match the oracle; this pins the pair directly too)."""

@@ -25,6 +25,8 @@ summation order in the re-rank.
 
 from __future__ import annotations
 
+import os
+import time as _time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -82,6 +84,14 @@ def _tc_score64_ub(tc_u16: np.ndarray, idf64: np.ndarray,
     return (idf64 * norm * (1 + 2e-6)).astype(np.float32)
 
 
+# Escape hatch for the bi-bloom pre-gate below (ADVICE r4): the gate is
+# exact ONLY if the builder's bloom columns have no false negatives; a
+# bloom-build bug would corrupt device path and host fallback alike, so
+# the independent check (tests/test_engine_parity bloom-drop test, or
+# WISER_HOST_BLOOM_GATE=0 at runtime) must be able to bypass it.
+HOST_BLOOM_GATE = os.environ.get("WISER_HOST_BLOOM_GATE", "1") != "0"
+
+
 def host_exact_search(packed: PackedIndex, cache64: np.ndarray,
                       rows: Sequence[int], k: int, is_phrase: bool = False):
     """Exact host-side conjunctive/phrase search over the packed columns —
@@ -137,7 +147,7 @@ def host_exact_search(packed: PackedIndex, cache64: np.ndarray,
         # verify set. Phrase-RARE mega pairs (the 200-300 ms host calls)
         # collapse to near-nothing; saturated filters on ultra-frequent
         # terms just pass more lanes through, never drop a match.
-        if packed.bloom_ends is not None and docs_m.size:
+        if HOST_BLOOM_GATE and packed.bloom_ends is not None and docs_m.size:
             cfg = packed.bloom_cfg
             keep_m = np.ones(docs_m.size, dtype=bool)
             terms = packed.terms
@@ -815,6 +825,16 @@ class TpuEngine:
         _run_with_recovery sees them)."""
         return out.result() if hasattr(out, "result") else out
 
+    def _fetch(self, out) -> np.ndarray:
+        """Resolve + device->host fetch, timed into fetch_wait_s — this
+        wait covers BOTH device compute still in flight and the tunnel
+        transfer, so (finalize_s - fetch_wait_s) is the route's true
+        host-side cost (the round-4 profile couldn't tell them apart)."""
+        t0 = _time.perf_counter()
+        arr = np.asarray(self._resolve(out))
+        self._bump(fetch_wait_s=_time.perf_counter() - t0)
+        return arr
+
     def _run_with_recovery(self, run):
         """Execute run() (dispatch + fetch); on a device-loss error,
         re-upload the index columns and retry."""
@@ -1278,7 +1298,7 @@ class TpuEngine:
                         if not first[0]:  # re-dispatch after device loss
                             holder[0] = dispatch()
                         first[0] = False
-                        return np.asarray(self._resolve(holder[0]))
+                        return self._fetch(holder[0])
 
                     n = len(m)
                     packed_out = self._run_with_recovery(run)[:n]
@@ -1321,6 +1341,7 @@ class TpuEngine:
         the caller re-derives force_host from the rescue's own flags
         (no prune bit can recur: every doc block is examined)."""
         n = len(slots)
+        t0 = _time.perf_counter()
         out = np.empty((n, T + 2, M), dtype=np.int32)
         chunks = []
         for ci in range(0, n, self.DENSE_CHUNK):
@@ -1352,10 +1373,10 @@ class TpuEngine:
                 if not first[0]:
                     hb[0] = self._dispatch_async(dispatch)
                 first[0] = False
-                return np.asarray(self._resolve(hb[0]))
+                return self._fetch(hb[0])
 
             out[sl] = self._run_with_recovery(run)[: sl.stop - sl.start]
-        self._bump(prune_rescued=n)
+        self._bump(prune_rescued=n, rescue_s=_time.perf_counter() - t0)
         return out
 
     def _submit_semidense(self, sm, qi_arr, flat_rows, n_terms, cand, ks,
@@ -1483,7 +1504,7 @@ class TpuEngine:
                         if not first[0]:  # re-dispatch after device loss
                             holder[0] = dispatch()
                         first[0] = False
-                        return np.asarray(self._resolve(holder[0]))
+                        return self._fetch(holder[0])
 
                     n = len(m)
                     packed_out = self._run_with_recovery(run)[:n]
@@ -1531,7 +1552,7 @@ class TpuEngine:
                 if not first[0]:
                     holder[0] = kern(*make_args())  # re-dispatch after recovery
                 first[0] = False
-                return np.asarray(self._resolve(holder[0]))
+                return self._fetch(holder[0])
 
             packed = self._run_with_recovery(run)
             # per-query flags (boundary-class truncation / window
@@ -1578,6 +1599,7 @@ class TpuEngine:
                          qis, flat_rows, members, queries, results,
                          force_host=None):
         n = len(qis)
+        t0 = _time.perf_counter()
         B, T, M = top_tfs_slot.shape
         # flat-index gather (take_along_axis builds np.indices per call —
         # measured finalize hot spot on 32k batches)
@@ -1591,7 +1613,8 @@ class TpuEngine:
                                        rel_eps=self.rel_eps)
         if force_host is not None:
             suspects = suspects | force_host[: len(suspects)]
-        self._bump(host_fallback_q=int(suspects.sum()))
+        self._bump(host_fallback_q=int(suspects.sum()),
+                   rescore_s=_time.perf_counter() - t0)
         cnts = np.minimum(ks[:n], n_valid[:n])
         snip = self.doc_bodies is not None
         for i in range(n):
@@ -1666,6 +1689,7 @@ class TpuEngine:
     def _finalize_group(self, group, top_docs, top_tfs_slot, slot_of,
                         idf64_q, ks, results, force_host=None):
         # slot order -> query-term order for the exact f64 sum
+        t0 = _time.perf_counter()
         M = top_tfs_slot.shape[2]
         tf_q = np.take_along_axis(
             top_tfs_slot, np.broadcast_to(slot_of[:, :, None],
@@ -1678,22 +1702,20 @@ class TpuEngine:
                                        rel_eps=self.rel_eps)
         if force_host is not None:
             suspects = suspects | force_host[: len(suspects)]
-        self._bump(host_fallback_q=int(suspects.sum()))
+        self._bump(host_fallback_q=int(suspects.sum()),
+                   rescore_s=_time.perf_counter() - t0)
         for i, pq in enumerate(group):
             res = results[pq.qi]
             if suspects[i]:
                 d, s = self._host_exact(
                     pq.rows, int(ks[i]), is_phrase=pq.query.is_phrase)
-                pairs = list(zip(s.tolist(), d.tolist()))
+                res.set_arrays(d, s)
             else:
                 cnt = min(int(ks[i]), int(n_valid[i]))
-                pairs = [(float(score_f[i, m]), int(docs_f[i, m]))
-                         for m in range(cnt)]
-            for score, doc in pairs:
-                snippet = ""
-                if pq.query.return_snippets:
-                    snippet = self._snippet(pq, doc)
-                res.entries.append(SearchResultEntry(doc, score, snippet))
+                res.set_arrays(docs_f[i, :cnt], score_f[i, :cnt])
+            if pq.query.return_snippets and self.doc_bodies is not None:
+                for e in res.entries:
+                    e.snippet = self._snippet(pq, e.doc_id)
 
     # -- non-phrase (single + AND) -------------------------------------
 
@@ -1789,7 +1811,7 @@ class TpuEngine:
             def finalize(results, group=group, out=out,
                          slot_of=slot_of, idf64_q=idf64_q, ks=ks,
                          args=args, T=T, L=L, M=M):
-                packed = np.asarray(self._resolve(out))  # ONE roundtrip
+                packed = self._fetch(out)  # ONE roundtrip
                 force_host = self._flags_to_force(packed[:, T + 1, 0])
                 top_docs = packed[:, 0, :]
                 top_tfs = packed[:, 1 : T + 1, :]
@@ -2042,7 +2064,7 @@ class TpuEngine:
                     if not first[0]:
                         holder[0] = chain()
                     first[0] = False
-                    return np.asarray(self._resolve(holder[0]))
+                    return self._fetch(holder[0])
 
                 packed = self._run_with_recovery(run)
                 self._finalize_group(group, packed[:, 0, :],
@@ -2122,7 +2144,7 @@ class TpuEngine:
                     if not first[0]:  # re-dispatch after device loss
                         holder[0] = dispatch()
                     first[0] = False
-                    return np.asarray(self._resolve(holder[0]))
+                    return self._fetch(holder[0])
 
                 packed_out = self._run_with_recovery(run)
                 force = self._flags_to_force(packed_out[:, T + 1, 0])
@@ -2209,6 +2231,7 @@ class TpuEngine:
             KV2 = min(self.PRUNED_PHRASE_RETRY_KV, C2 * 128 - 1)
             scan = C2 * 128
         n = len(ks)
+        t0 = _time.perf_counter()
         out = np.empty((n, T + 2, M), dtype=np.int32)
         # the retry's verify tensors are (B, KV2, PP, PW)-ish: keep the
         # largest live tensor inside the lane budget via small B chunks
@@ -2241,10 +2264,10 @@ class TpuEngine:
                 if not first[0]:
                     hb[0] = self._dispatch_async(dispatch)
                 first[0] = False
-                return np.asarray(self._resolve(hb[0]))
+                return self._fetch(hb[0])
 
             out[sl] = self._run_with_recovery(run)[: sl.stop - sl.start]
-        self._bump(prune_rescued=n)
+        self._bump(prune_rescued=n, rescue_s=_time.perf_counter() - t0)
         return out
 
     def _assemble_bloom_probes(self, group, T: int, B: int):

@@ -544,9 +544,13 @@ def make_sharded_compact_phrase_kernel(T: int, L: int, KV: int, PP: int,
                         brows, bbitmap, brank, rows, use_score, None,
                         slot_of, ks, p_slot, p_beg, p_mask, p_act)
 
+    # raw mode shards THREE posting columns (pd, psc, pt) vs tc's two
+    # (pd, ptc): 10 sharded operands, not 9 (ADVICE r4: fixed specs
+    # crashed every raw-columns compact-phrase dispatch with blooms).
+    n_sharded = 9 if tc_mode else 10
     step = shard_map(
         local, mesh=mesh,
-        in_specs=(P("d"),) * 9 + (P(),) * 8,
+        in_specs=(P("d"),) * n_sharded + (P(),) * 8,
         out_specs=P(), check_vma=False)
     return serial_jit(step)
 

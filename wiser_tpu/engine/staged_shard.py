@@ -69,18 +69,42 @@ class ShardedStagedEngine:
         self.packed = packed
         # budget = aggregate device bytes across the mesh; terms charged
         # their full resident footprint (see staged.per_term_device_cost)
+        # AND the dense head-term tier charged its own proportional share
+        # (ADVICE r4: the inner ShardedEngine's default 3.5 GB
+        # dense_budget_bytes used to sit OUTSIDE the stated budget, the
+        # same accounting artifact StagedEngine's share planner fixed).
         from wiser_tpu.engine.staged import per_term_device_cost
+        from wiser_tpu.index.format import BLOCK
 
         cost = per_term_device_cost(packed)
-        hot_view, self.hot_mask, _ = _hot_view(packed, hbm_budget_bytes,
+        npd = ((packed.n_docs + n_shards * BLOCK - 1)
+               // (n_shards * BLOCK) * BLOCK)
+        n_pad = npd * n_shards
+        # raw mesh dense row: f32 score plane + i32 tf plane + blockmax
+        per_row = n_pad * 8 + (n_pad // BLOCK) * 4
+        dense_min = max(ShardedEngine.DENSE_MIN_DF_FLOOR,
+                        packed.n_docs // ShardedEngine.DENSE_MIN_DF_FRACTION)
+        full_dense = int((packed.df >= dense_min).sum()) * per_row
+        full_core = int(cost.sum())
+        total_full = max(1, full_dense + full_core)
+        B = int(hbm_budget_bytes)
+        if B >= total_full - total_full // 1000:
+            dense_budget, core_budget = full_dense, full_core
+        else:
+            dense_budget = min(full_dense, B * full_dense // total_full)
+            core_budget = B - dense_budget
+        hot_view, self.hot_mask, _ = _hot_view(packed, core_budget,
                                             cost=cost)
-        self.hot_bytes_used = int(cost[self.hot_mask].sum())
         hot_sh = ShardedIndex.from_packed(hot_view, n_shards)
         # exact fallbacks and snippets must see the FULL index, not the view
         hot_sh.source = packed
         self.hot = ShardedEngine(hot_sh, mesh=mesh, margin=margin,
                                  doc_bodies=doc_bodies,
+                                 dense_budget_bytes=dense_budget,
                                  strict_parity=strict_parity)
+        self.hot_bytes_used = int(
+            cost[self.hot_mask].sum()
+            + int((self.hot._dense_slot >= 0).sum()) * per_row)
         self.mesh = self.hot.mesh
         # full per-shard host columns: the staging source (host RAM only —
         # the flash-file analog; never uploaded whole)
