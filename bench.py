@@ -114,11 +114,17 @@ def main():
         f"coalescing executes repeats once)")
 
     # warmup / compile: run the whole workload once so every shape bucket
-    # is compiled before timing (steady-state serving behavior)
+    # is compiled before timing (steady-state serving behavior).
+    # warmup_s is published: it labels the machine state (~15s = warm
+    # persistent compile cache; minutes = cold cache, e.g. a fresh
+    # machine) so headline swings attribute to compile state instead of
+    # silently tracking it (r04's 262s-warmup run also overlapped the
+    # 10M index build on this single-core host).
     t0 = time.time()
     for i in range(0, len(queries), BATCH):
         engine.search_batch(queries[i : i + BATCH])
-    log(f"warmup (incl. compile): {time.time()-t0:.1f}s")
+    warmup_s = time.time() - t0
+    log(f"warmup (incl. compile): {warmup_s:.1f}s")
     # Result-memo honesty (same policy as scale_bench/route_bench/run_exp):
     # drop memoized host merges so the timed pass pays the real cost of
     # flagged queries; compile/shape warmth stays, and repeats WITHIN the
@@ -130,32 +136,49 @@ def main():
     # i+1's kernels while batch i's results are fetched and finalized)
     PIPELINE = int(os.environ.get("WISER_BENCH_PIPELINE", "2"))
     PROFILE = bool(int(os.environ.get("WISER_BENCH_PROFILE", "0")))
-    submit_s = finalize_s = 0.0
-    lat = []
-    t0 = time.time()
-    done = 0
-    in_flight = []
-    for i in range(0, len(queries), BATCH):
-        bt = time.time()
-        in_flight.append((bt, engine.submit_batch(queries[i : i + BATCH])))
-        submit_s += time.time() - bt
-        while len(in_flight) > PIPELINE:
-            bt0, (res, pending) = in_flight.pop(0)
+    # two timed passes, best-of (VERDICT r4 item 9): on this single-core
+    # host a transient background process skews one pass; best-of-2 makes
+    # the headline track the engine, not machine load. Both published.
+    N_PASSES = int(os.environ.get("WISER_BENCH_PASSES", "2"))
+
+    def timed_pass():
+        submit_s = finalize_s = 0.0
+        lat = []
+        t0 = time.time()
+        done = 0
+        in_flight = []
+        for i in range(0, len(queries), BATCH):
+            bt = time.time()
+            in_flight.append((bt, engine.submit_batch(queries[i : i + BATCH])))
+            submit_s += time.time() - bt
+            while len(in_flight) > PIPELINE:
+                bt0, (res, pending) = in_flight.pop(0)
+                ft = time.time()
+                engine.run_pending(res, pending)  # overlapped group fetches
+                finalize_s += time.time() - ft
+                lat.append(time.time() - bt0)
+                done += len(res)
+        for bt0, (res, pending) in in_flight:
             ft = time.time()
-            engine.run_pending(res, pending)  # overlapped group fetches
+            engine.run_pending(res, pending)
             finalize_s += time.time() - ft
             lat.append(time.time() - bt0)
             done += len(res)
-    for bt0, (res, pending) in in_flight:
-        ft = time.time()
-        engine.run_pending(res, pending)
-        finalize_s += time.time() - ft
-        lat.append(time.time() - bt0)
-        done += len(res)
-    wall = time.time() - t0
-    if PROFILE:
-        log(f"profile: submit {submit_s:.2f}s, run_pending {finalize_s:.2f}s "
-            f"of {wall:.2f}s wall ({len(lat)} batches)")
+        wall = time.time() - t0
+        if PROFILE:
+            log(f"profile: submit {submit_s:.2f}s, run_pending "
+                f"{finalize_s:.2f}s of {wall:.2f}s wall ({len(lat)} batches)")
+        return done, wall, lat
+
+    passes = []
+    for p in range(N_PASSES):
+        if p and hasattr(engine, "clear_result_memos"):
+            engine.clear_result_memos()
+        passes.append(timed_pass())
+        log(f"pass {p + 1}/{N_PASSES}: "
+            f"{passes[-1][0] / passes[-1][1]:,.0f} QPS")
+    done, wall, lat = max(passes, key=lambda t: t[0] / t[1])
+    pass_qps = [round(d / w, 1) for d, w, _ in passes]
     qps = done / wall
     # Both denominators (VERDICT r3 item 9): replayed-log QPS (repeats
     # re-served via coalescing — legitimate trace replay, and what the
@@ -176,6 +199,9 @@ def main():
         "unique_queries": uniq,
         "replayed_queries": done,
         "unique_qps": round(unique_qps, 1),
+        "warmup_s": round(warmup_s, 1),
+        "compile_cache": ("warm" if warmup_s < 60.0 else "cold"),
+        "pass_qps": pass_qps,
     }))
 
 
