@@ -207,7 +207,7 @@ def search_body(postings_doc, postings_score, postings_tf,
 
     if T == 1:
         score = jnp.where(cvalid, cscore, NEG_INF)
-        top_score, top_l = jax.lax.top_k(score, M)
+        top_score, top_l = two_level_top_m(score, M)
         top_docs = jnp.take_along_axis(cdocs, top_l, axis=1)
         top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
         top_pidx = jnp.take_along_axis(cpidx, top_l, axis=1)[:, None, :]
@@ -242,7 +242,7 @@ def search_body(postings_doc, postings_score, postings_tf,
             partial * use_score[:, 1:, None], axis=1)
     score = jnp.where(match, score, NEG_INF)
 
-    top_score, top_l = jax.lax.top_k(score, M)
+    top_score, top_l = two_level_top_m(score, M)
     top_docs = jnp.take_along_axis(cdocs, top_l, axis=1)
     top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
     pidx = jnp.concatenate([cpidx[:, None, :], lo], axis=1)  # (B, T, L)
@@ -257,6 +257,46 @@ def search_body(postings_doc, postings_score, postings_tf,
         top_tfs = jnp.where(
             top_docs[:, None, :] >= 0, _gather1d(postings_tf, top_pidx), 0)
     return top_docs, top_score, top_tfs, top_pidx, flags
+
+
+def two_level_top_m(score_flat, M: int):
+    """Exact top-M lane selection over (B, NBLK*128) f32 lanes via
+    per-128-block maxima: top_k(block maxima, M+1) -> row-gather the
+    selected blocks -> top_k over (M+1)*128 lanes. Returns (top_score,
+    top_lane) with top_lane indexing score_flat — a drop-in for the
+    flat lax.top_k(score, M) whose cost scales with the full lane count
+    (the flat selection measured 113 ms at (32, 1M) vs 59 two-level in
+    the full-phrase kernel; for M ~ 16 the gathered surface is 544x
+    smaller than a 1M-doc plane).
+
+    Exactness (same doctrine as _full_phrase_body's two-level top-KV):
+    let s_M be the flat M-th best value. Lanes > s_M number <= M-1, so
+    blocks whose max > s_M number <= M-1 and all rank above any tie
+    block — selected regardless of the hardware top_k's tie order
+    (v5e lax.top_k does NOT tie-break by index). Blocks with max ==
+    s_M: if the boundary class fits in M lanes overall, such blocks
+    number <= M < M+1 and are all selected; if it does not, the
+    count-based boundary_truncated flag (computed by callers over the
+    FULL plane) fires exactly as it does for the flat selection —
+    identical flag semantics, no new parity surface. Selected block ids
+    are re-emitted ascending (ids < 2^24 exact in f32), so gathered
+    lane order == doc order and the final top_k sees lanes in the same
+    relative order as the flat selection."""
+    B, NL = score_flat.shape
+    NBLK = NL // 128
+    if NBLK < M + 1 or NL % 128:
+        return jax.lax.top_k(score_flat, M)
+    s3 = score_flat.reshape(B, NBLK, 128)
+    bm = jnp.max(s3, axis=2)
+    _, blk = jax.lax.top_k(bm, M + 1)
+    nbs, _ = jax.lax.top_k(-blk.astype(jnp.float32), M + 1)
+    blk = (-nbs).astype(jnp.int32)
+    rows3 = jnp.take_along_axis(s3, blk[:, :, None], axis=1)
+    flat = rows3.reshape(B, (M + 1) * 128)
+    top_score, fl = jax.lax.top_k(flat, M)
+    top_lane = (jnp.take_along_axis(blk, fl // 128, axis=1) * 128
+                + fl % 128)
+    return top_score, top_lane
 
 
 def pack_with_flags(top_docs, top_tfs, flags_int32):
@@ -384,7 +424,7 @@ def make_select_topk_kernel_tc(T: int, L: int, M: int):
 
     def kernel(postings_tc, cdocs, pidx, score, match, sat_lane):
         score = jnp.where(match, score, NEG_INF)
-        top_score, top_l = jax.lax.top_k(score, M)
+        top_score, top_l = two_level_top_m(score, M)
         top_docs = jnp.take_along_axis(cdocs, top_l, axis=1)
         top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
         top_pidx = jnp.take_along_axis(pidx, top_l[:, None, :].repeat(T, 1), axis=2)
@@ -559,7 +599,7 @@ def phrase_body(postings_doc, postings_score, postings_tf, positions,
 
     final = match & (n_matches > 0)
     score = jnp.where(final, score, NEG_INF)
-    top_score, top_l = jax.lax.top_k(score, M)
+    top_score, top_l = two_level_top_m(score, M)
     top_docs = jnp.take_along_axis(cdocs, top_l, axis=1)
     top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
     top_pidx = jnp.take_along_axis(pidx, top_l[:, None, :].repeat(T, 1), axis=2)
@@ -604,7 +644,7 @@ def make_select_topk_kernel(T: int, L: int, M: int):
 
     def kernel(postings_tf, cdocs, pidx, score, match):
         score = jnp.where(match, score, NEG_INF)
-        top_score, top_l = jax.lax.top_k(score, M)
+        top_score, top_l = two_level_top_m(score, M)
         top_docs = jnp.take_along_axis(cdocs, top_l, axis=1)
         top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
         top_pidx = jnp.take_along_axis(pidx, top_l[:, None, :].repeat(T, 1), axis=2)
@@ -975,7 +1015,7 @@ def make_semidense_kernel_tc(T: int, L: int, M: int, N_pad: int,
             match = match & (p_tc > 0)
             score = score + tc_score(p_tc, idf32[:, t : t + 1], avg32)
         score = jnp.where(match, score, NEG_INF)
-        top_score, top_l = jax.lax.top_k(score, M)
+        top_score, top_l = two_level_top_m(score, M)
         top_docs = jnp.take_along_axis(cdocs, top_l, axis=1)
         top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
         top_ctc = jnp.take_along_axis(ctc, top_l, axis=1)
@@ -1022,7 +1062,7 @@ def make_dense_search_kernel_tc(T: int, N_pad: int, M: int):
             match = match & (tc_t > 0)
             score = score + tc_score(tc_t, idf32[:, t : t + 1], avg32)
         score = jnp.where(match, score, NEG_INF)
-        top_score, top_docs = jax.lax.top_k(score, M)  # lane index = doc id
+        top_score, top_docs = two_level_top_m(score, M)  # lane = doc id
         top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
         sat = jnp.zeros((B,), dtype=bool)
         tfs = []
@@ -1094,7 +1134,7 @@ def make_semidense_kernel(T: int, L: int, M: int, N_pad: int,
             match = match & (p > 0)
             score = score + p * use_score[:, t : t + 1]
         score = jnp.where(match, score, NEG_INF)
-        top_score, top_l = jax.lax.top_k(score, M)
+        top_score, top_l = two_level_top_m(score, M)
         top_docs = jnp.take_along_axis(cdocs, top_l, axis=1)
         top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
         top_cpidx = jnp.take_along_axis(cpidx, top_l, axis=1)
@@ -1309,7 +1349,7 @@ def _pruned_dense_body(get_row_f32, get_tf, blockmax, slots, weights, ks,
         else:
             score = score + p * weights[:, t, None, None]
     score = jnp.where(match, score, NEG_INF).reshape(B, -1)
-    top_score, top_l = jax.lax.top_k(score, M)
+    top_score, top_l = two_level_top_m(score, M)
     top_docs = jnp.take_along_axis(cand_docs, top_l, axis=1)
     top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
 
@@ -1816,11 +1856,13 @@ def make_dense_search_kernel(T: int, N_pad: int, M: int):
     with gathers. The TPU-right representation is the DENSE one: each head
     term keeps a (N_pad,) score vector (0 = absent) and the query is pure
     elementwise math over doc lanes — score = sum of row-gathered vectors,
-    match = all rows nonzero, then one top_k. Work is T*N lane-ops with
-    NO per-candidate gathers, independent of df. The doc-lane index IS the
-    doc id, so top_k's lowest-index tie keep matches the (score desc, doc
-    asc) canon. (The reference's analog is the zigzag on its densest
-    lists, query_processing.h:644-678 — linear passes over both lists.)
+    match = all rows nonzero, then the two-level exact top-M selection
+    (two_level_top_m; the doc-lane index IS the doc id, and boundary-
+    class spillover past M fires the count-based trunc flag computed
+    over the full plane). Work is T*N lane-ops with NO per-candidate
+    gathers, independent of df. (The reference's analog is the zigzag on
+    its densest lists, query_processing.h:644-678 — linear passes over
+    both lists.)
 
     fn(dense_sc (H, N_pad) f32, dense_tf (H, N_pad) i32,
        slots (B, T) i32 rows into H (padded slots repeat slot 0),
@@ -1836,7 +1878,7 @@ def make_dense_search_kernel(T: int, N_pad: int, M: int):
             match = match & (sc_t > 0)
             score = score + sc_t * use_score[:, t : t + 1]
         score = jnp.where(match, score, NEG_INF)
-        top_score, top_docs = jax.lax.top_k(score, M)  # lane index = doc id
+        top_score, top_docs = two_level_top_m(score, M)  # lane = doc id
         top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
         tf_flat = dense_tf.reshape(-1)
         tfs = []
@@ -1994,7 +2036,7 @@ def windowed_search_body(postings_doc, postings_score, postings_tf,
             partial * use_score[:, 1:, None], axis=1)
     score = jnp.where(match, score, NEG_INF)
 
-    top_score, top_l = jax.lax.top_k(score, M)
+    top_score, top_l = two_level_top_m(score, M)
     top_docs = jnp.take_along_axis(cdocs, top_l, axis=1)
     top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
     # candidate-slot tf via its own posting index; other slots from the
