@@ -1850,6 +1850,14 @@ class TpuEngine:
     # 4x KV shrinks the unverified-lane bound (the (KV+1)-th AND score)
     PRUNED_PHRASE_RETRY_C = 1024
     PRUNED_PHRASE_RETRY_KV = 4096
+    # the mega-phrase (pruned/full-scan) route's live tensors are (B,
+    # N_pad) score/payload planes — at 1M docs the generic 2^27 lane
+    # budget capped dispatches at B=32, making phrase_mega 54 RTT-bound
+    # groups per 4k batch (ROUTE_1M_R5). 2^29 lanes ~= 2 GB of f32
+    # planes: B=128 at 1M (4x fewer dispatches), still B=8 at 10M. The
+    # compact/list phrase paths keep the 2^27 budget (their (B, KV, PP,
+    # PW) verify tensors OOMed at B=1024, L=32768 — see _submit_phrase).
+    PRUNED_PHRASE_LANE_BUDGET = 1 << 29
     PRUNED_PHRASE_MAX_PP = 128
     PHRASE_MAX_PW = 128
     POS_PAD = 1024  # trailing -1 pad on the positions column
@@ -2101,7 +2109,8 @@ class TpuEngine:
                 lanes_of=lambda k: max(k[0] * scan_lanes,
                                        k[0] * KV * k[2],
                                        KV * k[1] * k[2] // 4),
-                lane_budget=1 << 27, buckets=self.PHRASE_B_BUCKETS):
+                lane_budget=self.PRUNED_PHRASE_LANE_BUDGET,
+                buckets=self.PHRASE_B_BUCKETS):
             B = _bucket(len(group), self.PHRASE_B_BUCKETS)
             starts = np.zeros((B, T), dtype=np.int32)
             ends = np.zeros((B, T), dtype=np.int32)
@@ -2236,7 +2245,7 @@ class TpuEngine:
         # the retry's verify tensors are (B, KV2, PP, PW)-ish: keep the
         # largest live tensor inside the lane budget via small B chunks
         lanes = max(T * scan, T * KV2 * PW, KV2 * PP * PW // 4)
-        fit = max(1, (1 << 27) // max(lanes, 1))
+        fit = max(1, self.PRUNED_PHRASE_LANE_BUDGET // max(lanes, 1))
         chunk = self.PHRASE_B_BUCKETS[0]
         for b in self.PHRASE_B_BUCKETS:
             if b <= fit:
