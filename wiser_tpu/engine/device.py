@@ -1343,10 +1343,19 @@ class TpuEngine:
         n = len(slots)
         t0 = _time.perf_counter()
         out = np.empty((n, T + 2, M), dtype=np.int32)
+        # lane-budget the full-scan chunk: a (B, N_pad) f32 workspace at
+        # B=128 is 512MB at 1M docs but 5.1GB at 10M — on a staged
+        # bigger-than-HBM engine that rides on top of a ~10GiB resident
+        # budget, a wide rescue is itself an HBM-OOM hazard. 2^28 lanes
+        # keeps the 1M shapes identical (chunk 128) and drops to 8-wide
+        # chunks at 10M (~320MB live).
+        fit = (1 << 28) // max(self._n_pad_docs, 1)
+        buckets = [b for b in [8, self.DENSE_CHUNK] if b <= max(fit, 8)]
+        chunk = buckets[-1]
         chunks = []
-        for ci in range(0, n, self.DENSE_CHUNK):
-            sl = slice(ci, min(ci + self.DENSE_CHUNK, n))
-            B = _bucket(sl.stop - sl.start, [8, self.DENSE_CHUNK])
+        for ci in range(0, n, chunk):
+            sl = slice(ci, min(ci + chunk, n))
+            B = _bucket(sl.stop - sl.start, buckets)
             s_p = np.zeros((B, T), dtype=np.int32)
             s_p[: sl.stop - sl.start] = slots[sl]
             i_p = np.zeros((B, T), dtype=np.float32)
