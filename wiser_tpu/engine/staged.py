@@ -310,14 +310,30 @@ def _build_hot_view(packed: PackedIndex, lens: np.ndarray,
     def _regather_csr(starts: np.ndarray, *payloads, keep=None):
         seg_lens = np.diff(starts)[gather]
         if keep is not None:
-            seg_lens = np.where(keep, seg_lens, 0)
+            seg_lens[~keep] = 0  # fresh fancy-index copy: in-place safe
         new_csr = np.zeros(P_hot + 1, dtype=np.int64)
         np.cumsum(seg_lens, out=new_csr[1:])
         total = int(new_csr[-1])
-        # ragged element gather: absolute source index per payload element
-        idx = (np.repeat(starts[gather], seg_lens)
-               + np.arange(total) - np.repeat(new_csr[:-1], seg_lens))
-        return (new_csr,) + tuple(p[idx] for p in payloads)
+        outs = tuple(np.empty(total, dtype=p.dtype) for p in payloads)
+        # slabbed ragged element gather: the absolute-source-index temp
+        # is int64 PER ELEMENT — one flat build over the 10M corpus's
+        # 2.4B-element position bags is ~19GB (x2 for the np.repeat
+        # operands), the measured host-OOM spike when a tc budget admits
+        # most of the index. 32M-segment slabs bound the live temp.
+        CH = 1 << 25
+        for s0 in range(0, P_hot, CH):
+            s1 = min(s0 + CH, P_hot)
+            t0, t1 = int(new_csr[s0]), int(new_csr[s1])
+            if t1 == t0:
+                continue
+            lens_sl = seg_lens[s0:s1]
+            idx = (np.repeat(starts[gather[s0:s1]], lens_sl)
+                   + np.arange(t1 - t0, dtype=np.int64)
+                   - np.repeat(new_csr[s0:s1] - t0, lens_sl))
+            for p, o in zip(payloads, outs):
+                o[t0:t1] = p[idx]
+            del idx
+        return (new_csr,) + outs
 
     pos_starts, positions = _regather_csr(packed.pos_starts,
                                           packed.positions, keep=keep_pos)
@@ -332,9 +348,12 @@ def _build_hot_view(packed: PackedIndex, lens: np.ndarray,
     if bloom_ends is not None and not keep_pos.all():
         # zero rows are "not stored" to the sparse folded column builder
         # (device bloom bytes) — routing keeps hot phrase queries off
-        # phrase-cold terms, so the gate never reads these rows
-        bloom_ends = np.where(keep_pos[:, None], bloom_ends, 0)
-        bloom_begins = np.where(keep_pos[:, None], bloom_begins, 0)
+        # phrase-cold terms, so the gate never reads these rows.
+        # In-place on the fresh gathered copies: np.where here doubled a
+        # 2x7.5GB allocation at 10M scale.
+        cold = ~keep_pos
+        bloom_ends[cold] = 0
+        bloom_begins[cold] = 0
     # cold rows get zero-length runs (monotone CSR preserved); they are
     # never dispatched to the hot engine by construction
     view = replace(

@@ -171,7 +171,11 @@ class PackedIndex:
         np.savez(os.path.join(path, "columns.npz"), **cols)
 
     @classmethod
-    def load(cls, path: str) -> "PackedIndex":
+    def load(cls, path: str, skip_offsets: bool = False) -> "PackedIndex":
+        """Load a saved index. skip_offsets=True leaves the char-offset
+        bags empty (zero-length CSR): they feed only the highlighter and
+        cost ~15 GB of host RAM at 10M docs — benchmarks and serving
+        paths that never highlight should skip them."""
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
         if meta["format_version"] != FORMAT_VERSION:
@@ -180,6 +184,15 @@ class PackedIndex:
             raw = f.read()
         terms = raw.split("\n") if raw else []
         z = np.load(os.path.join(path, "columns.npz"))
+        if skip_offsets:
+            n_post = int(z["term_starts"][-1])
+            off_starts = np.zeros(n_post + 1, dtype=np.int64)
+            off_begin = np.zeros(0, dtype=np.int32)
+            off_end = np.zeros(0, dtype=np.int32)
+        else:
+            off_starts = z["off_starts"]
+            off_begin = z["off_begin"]
+            off_end = z["off_end"]
         return cls(
             terms=terms,
             term_starts=z["term_starts"],
@@ -191,9 +204,9 @@ class PackedIndex:
             doc_len_code=z["doc_len_code"],
             pos_starts=z["pos_starts"],
             positions=z["positions"],
-            off_starts=z["off_starts"],
-            off_begin=z["off_begin"],
-            off_end=z["off_end"],
+            off_starts=off_starts,
+            off_begin=off_begin,
+            off_end=off_end,
             bloom_cfg=BloomConfig(
                 meta["bloom"]["expected_entries"], meta["bloom"]["error_ratio"]
             ),

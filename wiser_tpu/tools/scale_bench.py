@@ -200,7 +200,9 @@ def main(argv=None):
     from wiser_tpu.index.format import PackedIndex
 
     t0 = time.time()
-    packed = PackedIndex.load(args.index)
+    # offsets feed only the highlighter (never benched here): skipping
+    # them saves ~15 GB host RAM at 10M docs
+    packed = PackedIndex.load(args.index, skip_offsets=True)
     log(f"index loaded in {time.time()-t0:.1f}s: {packed.n_docs} docs, "
         f"{packed.n_terms} terms, {packed.n_postings} padded postings")
     t0 = time.time()
