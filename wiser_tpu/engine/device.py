@@ -341,6 +341,9 @@ class TpuEngine:
         import threading
 
         self._recover_lock = threading.Lock()
+        # guards the per-batch deferred-rescue queue (_drain_rescues):
+        # finalizers append from the fetch pool's threads
+        self._rescue_lock = threading.Lock()
         # cheap execution counters (flag rates, host-fallback cost) — the
         # profiling substrate for route attribution and the parity audit
         self._stats_lock = threading.Lock()
@@ -946,9 +949,21 @@ class TpuEngine:
                 flat_qi.append(qi)
                 flat_rows.append(rows)
 
-        pending = self._submit_flat_vec(flat_qi, flat_rows, queries, results)
+        # per-batch deferred-rescue queue: prune-guard-flagged rows from
+        # EVERY group collect here and re-dispatch as one batched full
+        # scan in a barrier finalizer (a 128-padded per-group re-scan was
+        # ~11x padding waste at the 1M mix's ~4-9% flag rates)
+        rq: List[dict] = []
+        pending = self._submit_flat_vec(flat_qi, flat_rows, queries,
+                                        results, rq=rq)
         pending += self._submit_flat(long_tail)
-        pending += self._submit_phrase(phrase)
+        pending += self._submit_phrase(phrase, rq=rq)
+
+        def drain_rescues(res_list, rq=rq):
+            self._drain_rescues(rq)
+
+        drain_rescues.barrier = True  # after every plain finalizer
+        pending.append(drain_rescues)
         # NOTE: copy_to_host_async() on every pending output was tried to
         # overlap fetch RTTs and made things 7x WORSE on the tunneled
         # backend (serializes transfers ahead of compute) — don't.
@@ -966,7 +981,8 @@ class TpuEngine:
             pending.append(copy_dups)
         return results, pending
 
-    def _submit_flat_vec(self, flat_qi, flat_rows, queries, results):
+    def _submit_flat_vec(self, flat_qi, flat_rows, queries, results,
+                         rq=None):
         """Vectorized planning + assembly for <=MAX_T-term flat queries."""
         N = len(flat_qi)
         if N == 0:
@@ -1033,7 +1049,7 @@ class TpuEngine:
                 dm = np.nonzero(all_dense)[0]
                 pending += self._submit_dense(
                     dm, qi_arr, flat_rows, rows_pad, n_terms, ks, queries,
-                    results)
+                    results, rq=rq)
                 keep = ~all_dense
                 if not keep.any():
                     return pending
@@ -1204,7 +1220,7 @@ class TpuEngine:
     PRUNED_DENSE_B_BUCKETS = [8, 128, 512, 1024]
 
     def _submit_dense(self, dm, qi_arr, flat_rows, rows_pad, n_terms, ks,
-                      queries, results):
+                      queries, results, rq=None):
         """All-head conjunctions via the doc-space dense kernel."""
         pending = []
         NBLK = self._n_pad_docs // 128
@@ -1293,7 +1309,7 @@ class TpuEngine:
                              idf32_g=idf32_g, use=use,
                              idf64_q=idf64_q, ks_g=ks_g, qi_arr=qi_arr,
                              flat_rows=flat_rows, queries=queries,
-                             pruned=pruned):
+                             pruned=pruned, rq=rq):
                     def run(first=[True]):
                         if not first[0]:  # re-dispatch after device loss
                             holder[0] = dispatch()
@@ -1303,6 +1319,38 @@ class TpuEngine:
                     n = len(m)
                     packed_out = self._run_with_recovery(run)[:n]
                     force = self._flags_to_force(packed_out[:, T + 1, 0])
+                    if (pruned and self.DENSE_RESCUE and rq is not None
+                            and force.any()
+                            and ((packed_out[:n, T + 1, 0]
+                                  & K.FLAG_PRUNE_MISS) != 0).any()):
+                        # defer flagged rows to the batch-level drain: ONE
+                        # full-scan re-dispatch per (T, M) across every
+                        # group of this batch instead of a 128-padded
+                        # re-scan per group (see _drain_rescues)
+                        miss = (packed_out[:n, T + 1, 0]
+                                & K.FLAG_PRUNE_MISS) != 0
+                        sub = np.nonzero(miss)[0]
+                        keep = np.nonzero(~miss)[0]
+                        qis = np.asarray([qi_arr[i] for i in m],
+                                         dtype=np.int64)
+                        members = np.asarray(m)
+                        with self._rescue_lock:
+                            rq.append(dict(
+                                kind="dense", T=T, M=M, slots=slots[sub],
+                                idf32_g=idf32_g[sub], use=use[sub],
+                                slot_of=slot_of[sub],
+                                idf64_q=idf64_q[sub], ks=ks_g[sub],
+                                qis=qis[sub], members=members[sub],
+                                flat_rows=flat_rows, queries=queries,
+                                res_list=res_list))
+                        if keep.size:
+                            self._finalize_arrays(
+                                packed_out[keep][:, 0, :],
+                                packed_out[keep][:, 1 : T + 1, :],
+                                slot_of[keep], idf64_q[keep], ks_g[keep],
+                                qis[keep], flat_rows, members[keep],
+                                queries, res_list, force_host=force[keep])
+                        return
                     if pruned and self.DENSE_RESCUE and force.any():
                         # prune-guard misses CAN retry on the exact full
                         # dense scan (device) before any host fallback,
@@ -1387,6 +1435,66 @@ class TpuEngine:
             out[sl] = self._run_with_recovery(run)[: sl.stop - sl.start]
         self._bump(prune_rescued=n, rescue_s=_time.perf_counter() - t0)
         return out
+
+    def _drain_rescues(self, rq: List[dict]) -> None:
+        """Batch-level second-chance pass (barrier finalizer): flagged
+        rows deferred by every group of a batch re-dispatch TOGETHER —
+        dense prune misses as one full-scan call per (T, M), pruned-
+        phrase misses as one retry call per (T, PP, PW, M) — then the
+        affected rows finalize. Replaces per-group rescues whose 128-wide
+        chunk was ~90% padding at the observed 4-9% flag rates (route
+        profile 2026-08-20: rescue_s 14-23s cumulative on zipf_t3/t4)."""
+        with self._rescue_lock:
+            ctxs, rq[:] = list(rq), []
+        if not ctxs:
+            return
+        groups: Dict[tuple, List[dict]] = {}
+        for c in ctxs:
+            key = ((c["kind"], c["T"], c["M"]) if c["kind"] == "dense"
+                   else (c["kind"], c["T"], c["PP"], c["PW"], c["M"]))
+            groups.setdefault(key, []).append(c)
+        for key, cs in groups.items():
+            T, M = cs[0]["T"], cs[0]["M"]
+            if key[0] == "dense":
+                rescued = self._dense_full_rescue(
+                    T, M,
+                    np.concatenate([c["slots"] for c in cs]),
+                    np.concatenate([c["idf32_g"] for c in cs]),
+                    np.concatenate([c["use"] for c in cs]))
+                off = 0
+                for c in cs:
+                    k = len(c["qis"])
+                    sub = rescued[off : off + k]
+                    off += k
+                    force = self._flags_to_force(sub[:, T + 1, 0],
+                                                 rescue=True)
+                    self._finalize_arrays(
+                        sub[:, 0, :], sub[:, 1 : T + 1, :], c["slot_of"],
+                        c["idf64_q"], c["ks"], c["qis"], c["flat_rows"],
+                        c["members"], c["queries"], c["res_list"],
+                        force_host=force)
+            else:
+                PP, PW = cs[0]["PP"], cs[0]["PW"]
+                rescued = self._pruned_phrase_rescue(
+                    T, PP, PW, M,
+                    np.concatenate([c["starts"] for c in cs]),
+                    np.concatenate([c["ends"] for c in cs]),
+                    np.concatenate([c["slots"] for c in cs]),
+                    np.concatenate([c["use"] for c in cs]),
+                    np.concatenate([c["idf32_q"] for c in cs]),
+                    np.concatenate([c["anchor"] for c in cs]),
+                    np.concatenate([c["ks"] for c in cs]))
+                off = 0
+                for c in cs:
+                    k = len(c["group"])
+                    sub = rescued[off : off + k]
+                    off += k
+                    force = self._flags_to_force(sub[:, T + 1, 0],
+                                                 rescue=True)
+                    self._finalize_group(
+                        c["group"], sub[:, 0, :], sub[:, 1 : T + 1, :],
+                        c["slot_id"], c["idf64_q"], c["ks"], c["res_list"],
+                        force_host=force)
 
     def _submit_semidense(self, sm, qi_arr, flat_rows, n_terms, cand, ks,
                           Lval, queries, results, rows_pad=None):
@@ -1871,7 +1979,7 @@ class TpuEngine:
     PHRASE_MAX_PW = 128
     POS_PAD = 1024  # trailing -1 pad on the positions column
 
-    def _submit_phrase(self, planned: List[_PlannedQuery]):
+    def _submit_phrase(self, planned: List[_PlannedQuery], rq=None):
         pending = []
         # all-dense mega phrases ("of the") -> pruned dense phrase scan:
         # past PHRASE_MAX_L the list path can't run and the exact host
@@ -1897,7 +2005,7 @@ class TpuEngine:
                           <= self.PHRASE_MAX_PW)
                     (pruned if ok else rest).append(pq)
                 if pruned:
-                    pending += self._submit_pruned_phrase(pruned)
+                    pending += self._submit_pruned_phrase(pruned, rq=rq)
                     planned = rest
         planned, sat_pending = self._route_saturated(
             planned, is_phrase=True,
@@ -2092,7 +2200,7 @@ class TpuEngine:
             pending.append(finalize)
         return pending
 
-    def _submit_pruned_phrase(self, planned: List[_PlannedQuery]):
+    def _submit_pruned_phrase(self, planned: List[_PlannedQuery], rq=None):
         """All-dense mega phrases via the pruned dense phrase kernel
         (kernels._pruned_phrase_body). Arrays are in QUERY-term order
         (adjacency is order-dependent); the per-query anchor is the term
@@ -2157,7 +2265,7 @@ class TpuEngine:
                          dispatch=dispatch, T=T, PP=PP, PW=PW, M=M,
                          slot_id=slot_id, idf64_q=idf64_q, ks=ks,
                          starts=starts, ends=ends, slots=slots, use=use,
-                         idf32_q=idf32_q, anchor=anchor):
+                         idf32_q=idf32_q, anchor=anchor, rq=rq):
                 def run(first=[True]):
                     if not first[0]:  # re-dispatch after device loss
                         holder[0] = dispatch()
@@ -2168,6 +2276,30 @@ class TpuEngine:
                 force = self._flags_to_force(packed_out[:, T + 1, 0])
                 miss = (packed_out[:, T + 1, 0] & K.FLAG_PRUNE_MISS) != 0
                 miss[len(group):] = False  # padding rows: never retry
+                if miss.any() and self.PHRASE_RESCUE and rq is not None:
+                    # defer flagged rows to the batch-level rescue drain
+                    # (one retry dispatch per (T, PP, PW, M) across every
+                    # group of this batch — see _drain_rescues)
+                    sub = np.nonzero(miss)[0]
+                    keep = np.nonzero(~miss[: len(group)])[0]
+                    with self._rescue_lock:
+                        rq.append(dict(
+                            kind="phrase", T=T, PP=PP, PW=PW, M=M,
+                            starts=starts[sub], ends=ends[sub],
+                            slots=slots[sub], use=use[sub],
+                            idf32_q=idf32_q[sub], anchor=anchor[sub],
+                            ks=ks[sub], idf64_q=idf64_q[sub],
+                            slot_id=slot_id[sub],
+                            group=[group[i] for i in sub],
+                            res_list=results))
+                    if keep.size:
+                        self._finalize_group(
+                            [group[i] for i in keep],
+                            packed_out[keep][:, 0, :],
+                            packed_out[keep][:, 1 : T + 1, :],
+                            slot_id[keep], idf64_q[keep], ks[keep],
+                            results, force_host=force[keep])
+                    return
                 if miss.any() and self.PHRASE_RESCUE:
                     sub = np.nonzero(miss)[0]
                     rescued = self._pruned_phrase_rescue(
