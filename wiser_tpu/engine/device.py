@@ -525,10 +525,15 @@ class TpuEngine:
         cap = int(budget_bytes // per_row)
         if cap == 0:
             return
-        # the semidense kernels flat-index (slot * N_pad + doc) in int32;
-        # cap H so the largest flat index stays < 2^31 (at 5M padded
-        # docs the tc budget cap alone would reach ~376 rows = 1.88e9)
-        cap = min(cap, (2**31 - 1) // self._n_pad_docs - 1)
+        # element-flat dense gathers (slot * N_pad + doc) auto-widen to
+        # int64 past 2^31 plane elements (kernels._dense_flat_idx) — the
+        # old hard cap there limited the 10M dense tier to ~213 rows and
+        # forced every head pair to the host path (config 2 at 231 QPS).
+        # The remaining int32 bound is the pruned kernels' BLOCK-row
+        # index (slot * NB + blk into the (H*NB, 128) blockmax rows):
+        # H * NB must stay < 2^31 (~27k rows at 10M docs — far above any
+        # realistic budget).
+        cap = min(cap, (2**31 - 1) // max(self._n_pad_docs // 128, 1) - 1)
         if len(rows) > cap:
             rows = rows[np.argsort(packed.df[rows])[::-1][:cap]]
         H = len(rows)

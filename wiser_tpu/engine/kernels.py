@@ -110,6 +110,28 @@ def _gather1d(arr, idx):
     return jnp.take(arr, jnp.clip(idx, 0, arr.shape[0] - 1), axis=0)
 
 
+def _dense_gather(plane, slots_t, doc_idx):
+    """plane[slot, doc] element gather from an (H, N_pad) dense plane,
+    broadcasting slots_t (B, 1) against doc_idx (B, L). Flat int32
+    (slot * N_pad + doc) while the plane fits 2^31 elements — the
+    historical form, bit-identical and compile-cache warm. Past that, a
+    2D advanced-index gather whose per-dimension indices stay int32, so
+    there is NO flat-product cap: this unlocks dense tiers wider than
+    ~213 rows at 10M padded docs (device._build_dense_rows). (jnp int64
+    index math is NOT an option: x64 is disabled, so int64 silently
+    truncates to int32.)"""
+    H, N_pad = plane.shape
+    if H * N_pad < _FLAT_IDX_INT32_MAX:
+        idx = slots_t.astype(jnp.int32) * np.int32(N_pad) + doc_idx
+        return _gather1d(plane.reshape(-1), idx)
+    return plane[jnp.clip(slots_t.astype(jnp.int32), 0, H - 1),
+                 jnp.clip(doc_idx, 0, N_pad - 1)]
+
+
+# tests lower this to force the 2D-gather branch on small planes
+_FLAT_IDX_INT32_MAX = 2**31
+
+
 def _pos_gather(positions, idx):
     """Position-column gather as int32: the device positions column may be
     uint16 (half the HBM of int32 when max position < 2^16 - MAX_T, which
@@ -863,7 +885,6 @@ def make_semidense_phrase_kernel(T: int, L: int, KV: int, PP: int, PW: int,
         lane = jnp.arange(L, dtype=jnp.int32)
         cpidx = cs[:, None] + lane[None, :]
 
-        a_flat = dense_a.reshape(-1)
         doc_idx = jnp.clip(cdocs, 0, np.int32(N_pad - 1))
         match = cvalid
         score = cscore if tc_mode else cscore * use_score[:, 0:1]
@@ -871,18 +892,18 @@ def make_semidense_phrase_kernel(T: int, L: int, KV: int, PP: int, PW: int,
             ccode = ctc & 0xFF00
         payloads = []
         for t in range(1, T):
-            idx = slots[:, t : t + 1].astype(jnp.int32) * np.int32(N_pad) \
-                + doc_idx
             if tc_mode:
                 # dense_a is the uint8 tf plane; recompose the tc lane
                 # (bit-identical to the former uint16 dense_tc lane)
-                p_tf = _gather1d(a_flat, idx).astype(jnp.int32)
+                p_tf = _dense_gather(dense_a, slots[:, t : t + 1],
+                                     doc_idx).astype(jnp.int32)
                 p = jnp.where(p_tf > 0, ccode | p_tf, 0)  # (B, L) tc
                 payloads.append(p)
                 match = match & (p > 0)
                 score = score + tc_score(p, idf32[:, t : t + 1], avg32)
             else:
-                p = _gather1d(a_flat, idx)  # (B, L) score f32
+                p = _dense_gather(dense_a, slots[:, t : t + 1],
+                                  doc_idx)  # (B, L) score f32
                 payloads.append(p)
                 match = match & (p > 0)
                 score = score + p * use_score[:, t : t + 1]
@@ -987,7 +1008,6 @@ def make_semidense_kernel_tc(T: int, L: int, M: int, N_pad: int,
         cscore = tc_score(ctc, idf32[:, 0:1], avg32)
         lane = jnp.arange(L, dtype=jnp.int32)
         cpidx = cs[:, None] + lane[None, :]
-        tf_flat = dense_tf.reshape(-1)
         ccode = ctc & 0xFF00  # the lane doc's len code, pre-shifted
         doc_idx = jnp.clip(cdocs, 0, np.int32(N_pad - 1))
         match = cvalid
@@ -1007,9 +1027,8 @@ def make_semidense_kernel_tc(T: int, L: int, M: int, N_pad: int,
                           tc_score(hit_tc, idf32[:, 1 : 1 + n_bs, None],
                                    avg32), 0.0), axis=1)
         for t in range(1 + n_bs, T):
-            idx = slots[:, t : t + 1].astype(jnp.int32) * np.int32(N_pad) \
-                + doc_idx
-            p_tf = _gather1d(tf_flat, idx).astype(jnp.int32)  # (B, L)
+            p_tf = _dense_gather(dense_tf, slots[:, t : t + 1],
+                                 doc_idx).astype(jnp.int32)  # (B, L)
             p_tc = jnp.where(p_tf > 0, ccode | p_tf, 0)
             lanes_tc.append(p_tc)
             match = match & (p_tc > 0)
@@ -1109,8 +1128,6 @@ def make_semidense_kernel(T: int, L: int, M: int, N_pad: int,
             postings_doc, postings_score, starts, ends, L)
         lane = jnp.arange(L, dtype=jnp.int32)
         cpidx = cs[:, None] + lane[None, :]
-        sc_flat = dense_sc.reshape(-1)
-        tf_flat = dense_tf.reshape(-1)
         # sentinel cdocs clip to lane N_pad-1; cvalid masks them out of
         # match regardless of what that lane holds
         doc_idx = jnp.clip(cdocs, 0, np.int32(N_pad - 1))
@@ -1128,9 +1145,8 @@ def make_semidense_kernel(T: int, L: int, M: int, N_pad: int,
             score = score + jnp.sum(
                 partial * use_score[:, 1 : 1 + n_bs, None], axis=1)
         for t in range(1 + n_bs, T):
-            idx = slots[:, t : t + 1].astype(jnp.int32) * np.int32(N_pad) \
-                + doc_idx
-            p = _gather1d(sc_flat, idx)  # (B, L)
+            p = _dense_gather(dense_sc, slots[:, t : t + 1],
+                              doc_idx)  # (B, L)
             match = match & (p > 0)
             score = score + p * use_score[:, t : t + 1]
         score = jnp.where(match, score, NEG_INF)
@@ -1146,10 +1162,9 @@ def make_semidense_kernel(T: int, L: int, M: int, N_pad: int,
                                  _gather1d(postings_tf, top_lo),
                                  0)[:, None, :])
         for t in range(1 + n_bs, T):
-            idx = slots[:, t : t + 1].astype(jnp.int32) * np.int32(N_pad) \
-                + jnp.maximum(top_docs, 0)
-            tfs.append(jnp.where(top_docs >= 0,
-                                 _gather1d(tf_flat, idx), 0)[:, None, :])
+            p_tf = _dense_gather(dense_tf, slots[:, t : t + 1],
+                                 jnp.maximum(top_docs, 0))
+            tfs.append(jnp.where(top_docs >= 0, p_tf, 0)[:, None, :])
         trunc = boundary_truncated(score, top_score, M)
         return pack_with_flags(top_docs, jnp.concatenate(tfs, axis=1),
                                trunc.astype(jnp.int32))
@@ -1832,12 +1847,11 @@ def make_full_phrase_kernel(T: int, N_pad: int, KV: int, PP: int,
             starts, ends, anchor, ks,
             T=T, N_pad=N_pad, KV=KV, PP=PP, PW=PW, M=M,
             n_bs_iters=n_bs_iters, eps3=eps3, payload_tie_exact=False)
-        tf_flat = dense_tf.reshape(-1)
         tfs = []
         for t in range(T):
-            idx = slots[:, t : t + 1].astype(jnp.int32) * np.int32(N_pad) \
-                + jnp.maximum(top_docs, 0)
-            tfs.append(jnp.where(top_docs >= 0, _gather1d(tf_flat, idx), 0))
+            p_tf = _dense_gather(dense_tf, slots[:, t : t + 1],
+                                 jnp.maximum(top_docs, 0))
+            tfs.append(jnp.where(top_docs >= 0, p_tf, 0))
         return pack_with_flags(
             top_docs,
             jnp.concatenate([x[:, None, :] for x in tfs], axis=1), flags)
@@ -1880,12 +1894,11 @@ def make_dense_search_kernel(T: int, N_pad: int, M: int):
         score = jnp.where(match, score, NEG_INF)
         top_score, top_docs = two_level_top_m(score, M)  # lane = doc id
         top_docs = jnp.where(top_score > NEG_INF, top_docs, -1)
-        tf_flat = dense_tf.reshape(-1)
         tfs = []
         for t in range(T):
-            idx = slots[:, t : t + 1].astype(jnp.int32) * np.int32(N_pad) \
-                + jnp.maximum(top_docs, 0)
-            tfs.append(jnp.where(top_docs >= 0, _gather1d(tf_flat, idx), 0))
+            p_tf = _dense_gather(dense_tf, slots[:, t : t + 1],
+                                 jnp.maximum(top_docs, 0))
+            tfs.append(jnp.where(top_docs >= 0, p_tf, 0))
         trunc = boundary_truncated(score, top_score, M)
         return pack_with_flags(
             top_docs, jnp.concatenate([x[:, None, :] for x in tfs], axis=1),

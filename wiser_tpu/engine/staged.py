@@ -425,9 +425,10 @@ class StagedEngine:
         dense_min = max(TpuEngine.DENSE_MIN_DF_FLOOR,
                         packed.n_docs // TpuEngine.DENSE_ELIGIBLE_FRACTION)
         eligible = packed.df >= dense_min
-        # int32 flat-index cap mirrors _build_dense_rows (slot * N_pad
-        # must stay addressable)
-        h_cap = max(0, (2**31 - 1) // n_pad - 1)
+        # row-index cap mirrors _build_dense_rows (slot * NB block-row
+        # ids stay int32; element-flat gathers auto-widen to int64 in
+        # kernels._dense_flat_idx, so n_pad no longer caps H)
+        h_cap = max(0, (2**31 - 1) // max(n_pad // 128, 1) - 1)
         full_dense = min(int(eligible.sum()), h_cap) * per_row \
             + (n_pad if columns == "tc" else 0)  # + shared len-code row
         full_core = int(cost_core.sum())
